@@ -1,0 +1,80 @@
+"""Device-resident ray/pixel datasets + jitted batch sampling.
+
+TPU-first redesign of the reference's ray pipeline
+(utils/dataload.py:114-179). The reference's two hot-path sins —
+a host ``randperm`` over ~4M rays every step and a host->device copy of
+each batch (train.py:47-51) — are deleted by construction:
+
+- the packed ``[origin | direction]`` ray tensor and the flat gt-pixel
+  tensor for a whole split are built ON DEVICE once (one einsum) and stay
+  in HBM;
+- per-step batch selection is ``jax.random.randint`` gather INSIDE the
+  jitted train step (uniform-with-replacement — statistically equivalent
+  to the reference's randperm-prefix for B << total and fully on-device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from nerf_simple_tpu.data.blender import BlenderData
+from nerf_simple_tpu.ops.rays import rays_for_poses
+
+
+@dataclasses.dataclass
+class RayDataset:
+    """Per-split device arrays. ``rays[split]`` is (N_split*H*W, 6) packed
+    ``[origin | direction]``, camera-major row-major (same layout as the
+    reference's rays_dataset, utils/dataload.py:127); ``pixels[split]`` is
+    the matching flat (N_split*H*W, 3) gt colors (train.py:34)."""
+
+    rays: dict[str, jnp.ndarray]
+    pixels: dict[str, jnp.ndarray]
+    H: int
+    W: int
+    f: float
+
+    @classmethod
+    def from_blender(
+        cls, data: BlenderData, device=None, sharding=None
+    ) -> "RayDataset":
+        """Build all splits on device. ``sharding`` (a NamedSharding) lets
+        multi-chip runs keep each split sharded over the data axis."""
+        rays: dict[str, jnp.ndarray] = {}
+        pixels: dict[str, jnp.ndarray] = {}
+        for name, split in data.splits.items():
+            poses = jnp.asarray(split.poses)
+            r = rays_for_poses(poses, data.H, data.W, data.f)
+            p = jnp.asarray(split.images.reshape(-1, 3))
+            if sharding is not None:
+                r = jax.device_put(r, sharding)
+                p = jax.device_put(p, sharding)
+            elif device is not None:
+                r = jax.device_put(r, device)
+                p = jax.device_put(p, device)
+            rays[name] = r
+            pixels[name] = p
+        return cls(rays=rays, pixels=pixels, H=data.H, W=data.W, f=data.f)
+
+    def split_size(self, split: str) -> int:
+        return self.rays[split].shape[0]
+
+
+def sample_ray_batch(
+    key: jax.Array,
+    rays: jnp.ndarray,
+    pixels: jnp.ndarray,
+    batch_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniformly sample a ray batch + matching gt colors, on device.
+
+    Equivalent role to RayGenerator.select (utils/dataload.py:141-153) but
+    jit-safe and device-resident. Uniform WITH replacement: for
+    B=4096 out of ~4M rays the collision probability per step is ~0.2%,
+    statistically indistinguishable from the reference's randperm prefix.
+    """
+    idx = jax.random.randint(key, (batch_size,), 0, rays.shape[0])
+    return rays[idx], pixels[idx]

@@ -1,0 +1,135 @@
+"""Procedural synthetic scene: an analytic emission-absorption field plus
+ground-truth renders, used by tests, benchmarks, and demos.
+
+This environment has no downloaded nerf_synthetic data (zero egress), so
+the framework ships a self-contained analytic scene: a cluster of colored
+Gaussian density blobs near the origin, viewed from the reference's
+standard orbit (r=4, theta=-30, the test.py:33 defaults). GT images are
+rendered with the SAME compositing math the model trains against (dense
+midpoint sampling), so the scene is exactly representable and end-to-end
+training tests converge fast.
+
+``write_blender_scene`` serializes the scene in nerf_synthetic layout
+(train/ val/ test/ + transforms_*.json with ``camera_angle_x``), so the
+Blender loader (data/blender.py) is exercised by the same fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_simple_tpu.ops.rays import rays_for_poses, spherical_to_pose
+from nerf_simple_tpu.ops.volume import composite
+
+# (center xyz, pre-softplus peak sigma, rgb color, radius)
+_BLOBS = (
+    ((0.0, 0.0, 0.0), 8.0, (0.9, 0.2, 0.1), 0.45),
+    ((0.6, 0.3, -0.2), 6.0, (0.1, 0.8, 0.2), 0.35),
+    ((-0.5, -0.4, 0.3), 6.0, (0.2, 0.3, 0.9), 0.40),
+    ((0.1, -0.6, -0.4), 5.0, (0.9, 0.8, 0.1), 0.30),
+)
+
+
+def field(locs: jnp.ndarray) -> jnp.ndarray:
+    """Analytic radiance field: (..., 3) positions -> (..., 4) rgb+sigma
+    (sigma is pre-softplus, matching the raw MLP output convention)."""
+    sigma = jnp.full(locs.shape[:-1], -10.0, locs.dtype)
+    rgb_acc = jnp.zeros((*locs.shape[:-1], 3), locs.dtype)
+    w_acc = jnp.zeros(locs.shape[:-1], locs.dtype)
+    for (cx, cy, cz), peak, color, radius in _BLOBS:
+        d2 = jnp.sum((locs - jnp.asarray([cx, cy, cz], locs.dtype)) ** 2, -1)
+        g = jnp.exp(-d2 / (2.0 * radius**2))
+        sigma = sigma + peak * g
+        rgb_acc = rgb_acc + g[..., None] * jnp.asarray(color, locs.dtype)
+        w_acc = w_acc + g
+    rgb = rgb_acc / jnp.maximum(w_acc[..., None], 1e-6)
+    return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+def orbit_cameras(
+    n: int, r: float = 4.0, theta_deg: float = -30.0, seed_jitter: int = 0
+) -> np.ndarray:
+    """(n, 4, 4) poses spread over azimuth [0, 360), with optional
+    deterministic elevation jitter for split diversity."""
+    rng = np.random.default_rng(seed_jitter)
+    phis = np.linspace(0.0, 360.0, n, endpoint=False)
+    thetas = theta_deg + (
+        rng.uniform(-8, 8, n) if seed_jitter else np.zeros(n)
+    )
+    return np.stack(
+        [spherical_to_pose(r, t, p) for t, p in zip(thetas, phis)]
+    ).astype(np.float32)
+
+
+def render_gt(
+    poses: np.ndarray,
+    H: int,
+    W: int,
+    f: float,
+    N: int = 192,
+    tn: float = 2.0,
+    tf: float = 6.0,
+) -> np.ndarray:
+    """Ground-truth images via dense midpoint sampling of the analytic
+    field, composited with ops.volume.composite. Returns (P, H, W, 3) in
+    [0, 1] float32 (clipped like eval renders)."""
+
+    @jax.jit
+    def render_one(pose):
+        rays = rays_for_poses(pose[None], H, W, f)
+        mids = tn + (jnp.arange(N, dtype=jnp.float32) + 0.5) * (tf - tn) / N
+        ts = jnp.broadcast_to(mids, (H * W, N))
+        origins, dirs = rays[:, :3], rays[:, 3:]
+        locs = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+        unit = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        out = field(locs)
+        comp = composite(out, ts, unit)
+        return jnp.clip(comp.rgb, 0.0, 1.0).reshape(H, W, 3)
+
+    return np.stack(
+        [np.asarray(render_one(jnp.asarray(p))) for p in poses]
+    ).astype(np.float32)
+
+
+def write_blender_scene(
+    path: str,
+    n_train: int = 8,
+    n_val: int = 2,
+    n_test: int = 2,
+    H: int = 64,
+    W: int = 64,
+    fov_x: float = 0.6911112070083618,  # lego's camera_angle_x
+) -> None:
+    """Write the synthetic scene to ``path`` in nerf_synthetic layout."""
+    import cv2
+
+    f = W / (2.0 * np.tan(fov_x / 2.0))
+    specs = {
+        "train": orbit_cameras(n_train, seed_jitter=0),
+        "val": orbit_cameras(n_val, seed_jitter=1),
+        "test": orbit_cameras(n_test, seed_jitter=2),
+    }
+    for split, poses in specs.items():
+        split_dir = os.path.join(path, split)
+        os.makedirs(split_dir, exist_ok=True)
+        imgs = render_gt(poses, H, W, f)
+        frames = []
+        for i, (img, pose) in enumerate(zip(imgs, poses)):
+            fname = f"r_{i}.png"
+            cv2.imwrite(
+                os.path.join(split_dir, fname),
+                cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+            )
+            frames.append(
+                {
+                    "file_path": f"./{split}/r_{i}",
+                    "transform_matrix": pose.tolist(),
+                }
+            )
+        with open(os.path.join(path, f"transforms_{split}.json"), "w") as fh:
+            json.dump({"camera_angle_x": fov_x, "frames": frames}, fh)

@@ -1,0 +1,138 @@
+"""Eval driver: still-image rendering and the spherical-dome orbit video.
+
+Equivalent of reference ``test()`` (test.py:18-45): loads weights, then
+either (a) renders an orbit animation at radius 4 / theta from config
+(test.py:30-35) or (b) renders ``im_idxs`` from ``im_set``, saving a
+gt-beside-prediction grid PNG and a disparity PNG per index
+(test.py:39-45).
+
+Weight loading accepts the framework's own artifacts: an Orbax checkpoint
+directory (full TrainState) or a ``params_*.npz`` flat export — the
+.pth-equivalent of the reference's ``loadpath`` interface.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_simple_tpu.config import TestConfig, test_config_from_dict
+from nerf_simple_tpu.data.blender import load_blender
+from nerf_simple_tpu.data.dataset import RayDataset
+from nerf_simple_tpu.models.nerf import NerfMLP
+from nerf_simple_tpu.ops.rays import orbit_poses
+from nerf_simple_tpu.render.renderer import (
+    RenderSettings,
+    render_image,
+    render_orbit_video,
+)
+from nerf_simple_tpu.train.metrics import img_mse, img_psnr
+
+
+def load_params(loadpath: str):
+    """Load eval params from an npz export or an Orbax checkpoint dir.
+    For hierarchical checkpoints, returns the fine net."""
+    if loadpath.endswith(".npz"):
+        from nerf_simple_tpu.train.checkpoint import import_params_npz
+
+        params = import_params_npz(loadpath)
+    else:
+        import orbax.checkpoint as ocp
+
+        from nerf_simple_tpu.train.checkpoint import latest_checkpoint
+
+        path = loadpath
+        if not os.path.basename(path).startswith("ckpt_"):
+            found = latest_checkpoint(path)
+            if found is None:
+                raise FileNotFoundError(f"no ckpt_* under {path}")
+            path = found
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path))
+        params = restored["params"] if "params" in restored else restored
+    if "fine" in params:
+        params = params["fine"]
+    return jax.tree.map(jnp.asarray, params)
+
+
+def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
+    """Run evaluation per the reference test_params interface."""
+    cfg = (
+        params_or_cfg
+        if isinstance(params_or_cfg, TestConfig)
+        else test_config_from_dict(params_or_cfg)
+    )
+    assert os.path.exists(cfg.loadpath), "model path doesn't exist"  # test.py:19
+    out_dir = os.path.join(cfg.savepath, cfg.exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    model = NerfMLP()
+    params = load_params(cfg.loadpath)
+    settings = RenderSettings(
+        N=cfg.N_samples,
+        N_coarse=cfg.Nc,
+        tn=cfg.tn,
+        tf=cfg.tf,
+        compute_dtype=cfg.render_dtype,
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+
+    data = load_blender(cfg.datapath, cfg.half_res)
+    rd = RayDataset.from_blender(data)
+
+    if cfg.animation:
+        poses = orbit_poses(cfg.orbit_radius, -cfg.theta, cfg.num_poses)
+        out = render_orbit_video(
+            params,
+            poses,
+            rd.H,
+            rd.W,
+            rd.f,
+            out_dir,
+            key,
+            settings,
+            model,
+            chunk=cfg.batch_size,
+        )
+        print(f"wrote {out}")
+        return
+
+    import cv2
+
+    print(f"saving images to {out_dir}")
+    for idx in cfg.im_idxs:
+        rgb, disp = render_image(
+            params,
+            rd.rays[cfg.im_set],
+            rd.H,
+            rd.W,
+            idx,
+            jax.random.fold_in(key, idx),
+            settings,
+            model,
+            chunk=cfg.batch_size,
+        )
+        gt = np.asarray(rd.pixels[cfg.im_set]).reshape(-1, rd.H, rd.W, 3)[
+            idx : idx + 1
+        ]
+        print(
+            f"im {idx}: mse={float(img_mse(gt, rgb)):.5f} "
+            f"psnr={float(img_psnr(gt, rgb)):.2f}"
+        )
+        # gt-beside-prediction grid, like the reference's make_grid
+        # (test.py:43-44)
+        grid = np.concatenate([gt[0], rgb[0]], axis=1)
+        cv2.imwrite(
+            os.path.join(out_dir, f"rgb_{idx}.png"),
+            cv2.cvtColor((grid * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+        )
+        d = disp[0, ..., 0]
+        d = d / max(d.max(), 1e-9)
+        cv2.imwrite(
+            os.path.join(out_dir, f"depth_{idx}.png"),
+            (d * 255).astype(np.uint8),
+        )

@@ -1,0 +1,65 @@
+"""Sinusoidal positional encoding, vectorized for the TPU VPU.
+
+Behavior-equivalent to the reference encoder (reference utils/xyz.py:6-36)
+but computed with a single broadcasted sin/cos over a frequency axis instead
+of a Python loop of per-frequency tensor ops.
+
+Reference semantics that matter for per-pixel parity:
+
+- Per scalar channel ``u``, the encoding is ``[sin(2^i u), cos(2^i u)]``
+  interleaved per frequency i=0..L-1 (reference utils/xyz.py:10-13), i.e.
+  layout ``[sin(u), cos(u), sin(2u), cos(2u), ...]`` — 2L features.
+- The *raw* values are prepended: the position branch emits
+  ``[x, y, z, gamma(x), gamma(y), gamma(z)]`` -> 3 + 6*Lp features
+  (63 for Lp=10); the direction branch analogously -> 3 + 6*Ld (27 for
+  Ld=4) (reference utils/xyz.py:33-34).
+- Inputs are NOT rescaled to [-1, 1]; the reference merely warns
+  (utils/xyz.py:8-9). We replicate the un-rescaled behavior (no warning on
+  the compiled hot path — a host-side check lives in the data layer).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gamma(x: jnp.ndarray, L: int = 4) -> jnp.ndarray:
+    """Frequency-encode each scalar feature of ``x``.
+
+    Args:
+      x: (..., C) array.
+      L: number of frequency octaves.
+
+    Returns:
+      (..., C * 2L) array. For each input channel the 2L outputs are
+      interleaved ``[sin(2^0 x), cos(2^0 x), sin(2^1 x), ...]``, and
+      channel blocks are concatenated in input-channel order — matching
+      the reference layout when called per-channel (utils/xyz.py:10-13).
+    """
+    freqs = 2.0 ** jnp.arange(L, dtype=x.dtype)  # (L,)
+    ang = x[..., None] * freqs  # (..., C, L)
+    # (..., C, L, 2) with sin before cos, then flatten (C, L, 2) -> C*2L.
+    enc = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * L)
+
+
+def positional_encoder(
+    vec: jnp.ndarray, Lp: int = 10, Ld: int = 4
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode packed ``[xyz | view-dir]`` rows.
+
+    Args:
+      vec: (..., 6) array of ``x, y, z, d1, d2, d3`` rows.
+      Lp: octaves for the position channels.
+      Ld: octaves for the direction channels.
+
+    Returns:
+      ``(posx, posd)``: (..., 3 + 6*Lp) and (..., 3 + 6*Ld), raw values
+      first then per-channel frequency blocks, matching the reference
+      feature layout exactly (utils/xyz.py:33-34).
+    """
+    xyz = vec[..., 0:3]
+    d = vec[..., 3:6]
+    posx = jnp.concatenate([xyz, gamma(xyz, Lp)], axis=-1)
+    posd = jnp.concatenate([d, gamma(d, Ld)], axis=-1)
+    return posx, posd

@@ -1,0 +1,104 @@
+"""Camera ray generation and spherical pose synthesis.
+
+Behavior-equivalent to reference utils/xyz.py:38-91 and the ray-dataset
+precompute at utils/dataload.py:114-129 / utils/rendering.py:129-134, but
+expressed as batched jnp einsums that XLA maps straight onto the MXU, so
+the whole-dataset ray precompute runs on device in one fused program.
+
+Conventions (reference utils/xyz.py:38-52):
+- pixel (row r, col c) maps to the camera-frame direction
+  ``((c - W//2)/f, -(r - H//2)/f, -1)`` — integer-centered grid, NOT the
+  half-pixel-centered grid of the original NeRF codebase;
+- rays are returned row-major over the image (all of row 0, then row 1, …);
+- directions are NOT normalized here (sampling uses the unnormalized
+  direction, see ops/sampling.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def camera_ray_dirs(H: int, W: int, f: float, dtype=jnp.float32) -> jnp.ndarray:
+    """Per-pixel ray directions in the camera frame.
+
+    Returns:
+      (H*W, 3) array, row-major over pixels, matching the reference layout
+      (utils/xyz.py:48-51 builds 3xHW; we use the transposed HWx3 layout
+      because rows-of-rays is the natural lane layout on TPU).
+    """
+    rows = jnp.arange(H, dtype=dtype) - H // 2
+    cols = jnp.arange(W, dtype=dtype) - W // 2
+    x = jnp.broadcast_to(cols[None, :] / f, (H, W))
+    y = jnp.broadcast_to(-rows[:, None] / f, (H, W))
+    z = -jnp.ones((H, W), dtype=dtype)
+    return jnp.stack([x, y, z], axis=-1).reshape(H * W, 3)
+
+
+def rays_for_poses(poses: jnp.ndarray, H: int, W: int, f: float) -> jnp.ndarray:
+    """Build the packed ``[origin | direction]`` ray set for many cameras.
+
+    The reference materializes this per split with a batched matmul on host
+    (utils/dataload.py:114-129); here it is a single device einsum so the
+    full training ray set is born resident in HBM.
+
+    Args:
+      poses: (P, 4, 4) camera-to-world matrices.
+      H, W, f: camera intrinsics.
+
+    Returns:
+      (P * H * W, 6) rays, camera-major then row-major, matching the
+      reference's ``BHW x 6`` flattening (utils/dataload.py:127).
+    """
+    cam_dirs = camera_ray_dirs(H, W, f, dtype=poses.dtype)  # (HW, 3)
+    # world_dirs[p, n, :] = R_p @ cam_dirs[n]. Full f32 precision: ray
+    # geometry feeds sample positions, where bf16 MXU rounding is visible.
+    world_dirs = jnp.einsum(
+        "pij,nj->pni",
+        poses[:, :3, :3],
+        cam_dirs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    origins = jnp.broadcast_to(poses[:, None, :3, 3], world_dirs.shape)
+    return jnp.concatenate([origins, world_dirs], axis=-1).reshape(-1, 6)
+
+
+# --- Spherical ("dome orbit") pose synthesis: reference utils/xyz.py:55-91.
+# Host-side numpy: poses are tiny, built once per render job.
+
+
+def _theta_mat(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array(
+        [[1.0, 0, 0, 0], [0, c, s, 0], [0, -s, c, 0], [0, 0, 0, 1.0]]
+    )
+
+
+def _phi_mat(phi: float) -> np.ndarray:
+    c, s = np.cos(phi), np.sin(phi)
+    return np.array(
+        [[c, s, 0, 0], [-s, c, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    )
+
+
+def spherical_to_pose(r: float, theta_deg: float, phi_deg: float) -> np.ndarray:
+    """4x4 camera-to-world pose at spherical coords (reference utils/xyz.py:70-81).
+
+    Composition is ``phi_mat @ theta_mat @ translate(z=r)`` with the
+    reference's exact rotation-sign conventions.
+    """
+    theta = np.radians(theta_deg)
+    phi = np.radians(phi_deg)
+    trans = np.eye(4)
+    trans[2, 3] = r
+    return _phi_mat(phi) @ _theta_mat(theta) @ trans
+
+
+def orbit_poses(r: float, theta_deg: float, n_phi: int = 40) -> np.ndarray:
+    """(n_phi, 4, 4) poses sweeping phi over [0, 360] inclusive
+    (reference ``poses_to_render``, utils/xyz.py:83-91 — note the endpoint
+    is included, so first and last frames coincide)."""
+    phis = np.linspace(0.0, 360.0, n_phi)
+    return np.stack([spherical_to_pose(r, theta_deg, p) for p in phis])

@@ -1,0 +1,112 @@
+"""Ray-march sample placement: stratified and hierarchical (inverse-CDF).
+
+Stratified sampling is behavior-equivalent to reference
+utils/rendering.py:24-29: N equal bins on [tn, tf], one uniform sample per
+bin. Hierarchical importance sampling is a *roadmap* feature of the
+reference (empty CoarseNet/FineNet stubs at utils/nets.py:45-48,
+README.md:53) designed here from the NeRF paper's inverse-CDF scheme.
+
+Both are pure functions of an explicit PRNG key — deterministic, reproducible,
+and safe to call inside a jitted/scanned train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_ts(
+    key: jax.Array, n_rays: int, N: int, tn: float, tf: float, dtype=jnp.float32
+) -> jnp.ndarray:
+    """One uniform sample in each of N equal bins of [tn, tf], per ray.
+
+    Matches reference utils/rendering.py:25-29:
+    ``ts = bin_width * U(0,1) + bin_left_edges``.
+
+    Returns: (n_rays, N) sorted-by-construction sample distances.
+    """
+    edges = jnp.linspace(tn, tf, N + 1, dtype=dtype)
+    width = (tf - tn) / N
+    u = jax.random.uniform(key, (n_rays, N), dtype=dtype)
+    return width * u + edges[:-1]
+
+
+def importance_ts(
+    key: jax.Array,
+    ts_coarse: jnp.ndarray,
+    weights: jnp.ndarray,
+    N_fine: int,
+    det: bool = False,
+) -> jnp.ndarray:
+    """Inverse-transform sample N_fine new ts from the coarse weight PDF.
+
+    The NeRF hierarchical sampler (paper sec. 5.2). The piecewise-constant
+    PDF is defined over the midpoints of the coarse samples; returned
+    samples are sorted. No reference implementation exists (stubs only);
+    this is the standard formulation, fully vectorized and jit-safe.
+
+    Args:
+      key: PRNG key.
+      ts_coarse: (B, Nc) coarse sample distances (ascending per ray).
+      weights: (B, Nc) compositing weights from the coarse pass.
+      N_fine: number of importance samples to draw.
+      det: if True, use evenly spaced quantiles instead of random draws
+        (deterministic eval rendering).
+
+    Returns:
+      (B, N_fine) sorted sample distances within [ts_coarse min, max].
+    """
+    B, Nc = ts_coarse.shape
+    mids = 0.5 * (ts_coarse[:, 1:] + ts_coarse[:, :-1])  # (B, Nc-1)
+    w = weights[:, 1:-1] + 1e-5  # avoid nans; interior bins only
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (B, Nc-1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, N_fine, dtype=ts_coarse.dtype)
+        u = jnp.broadcast_to(u, (B, N_fine))
+    else:
+        u = jax.random.uniform(key, (B, N_fine), dtype=ts_coarse.dtype)
+
+    # For each u, find its bin in the per-ray CDF. searchsorted is vmapped
+    # over rays; XLA lowers this to a vectorized binary search.
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    mids_below = jnp.take_along_axis(mids, jnp.clip(below, 0, Nc - 2), axis=-1)
+    mids_above = jnp.take_along_axis(mids, jnp.clip(above, 0, Nc - 2), axis=-1)
+
+    denom = jnp.where(cdf_above - cdf_below < 1e-8, 1.0, cdf_above - cdf_below)
+    frac = (u - cdf_below) / denom
+    samples = mids_below + frac * (mids_above - mids_below)
+    return jnp.sort(samples, axis=-1)
+
+
+def sample_points(
+    rays: jnp.ndarray, ts: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample locations + unit view dirs for packed rays.
+
+    Replicates two load-bearing reference quirks (utils/rendering.py:31-40):
+    sample locations are computed with the UNNORMALIZED ray direction
+    (``loc = o + d_raw * t``), while the direction fed to the network (and
+    used for delta scaling) is normalized AFTER.
+
+    Args:
+      rays: (B, 6) packed ``[origin | direction]``.
+      ts: (B, N) sample distances.
+
+    Returns:
+      locs: (B, N, 3) sample positions.
+      unit_dirs: (B, 3) normalized view directions.
+    """
+    origins = rays[:, :3]
+    dirs = rays[:, 3:]
+    locs = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+    unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return locs, unit_dirs

@@ -1,0 +1,79 @@
+"""Emission-absorption volume compositing (NeRF eqn. 3/5).
+
+Behavior-equivalent to reference utils/rendering.py:47-85, with the
+reference's load-bearing quirks preserved exactly:
+
+- density activation is **softplus**, not ReLU (utils/rendering.py:67);
+- colors are composited **raw** — no sigmoid; clipping to [0,1] happens
+  only at image-render time (utils/rendering.py:74, 103);
+- the final delta is 1e10 (utils/rendering.py:61) and deltas are scaled by
+  ||dir|| (a no-op since dirs are unit by then, utils/rendering.py:62);
+- transmittance is the exclusive cumprod of (1 - alpha + 1e-10)
+  (utils/rendering.py:68);
+- the second return is **disparity**, not depth:
+  ``disp = 1 / max(1e-10, depth/acc)`` (utils/rendering.py:82-84).
+
+The exclusive cumprod is expressed in log space as an exclusive cumsum —
+an associative scan XLA parallelizes well, and the same decomposition the
+Pallas kernel uses as a running-transmittance carry across sample blocks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CompositeOut(NamedTuple):
+    """Per-ray composited quantities (mirrors the reference 5-tuple return
+    order at utils/rendering.py:85: rgb, disparity, alpha, acc, weights)."""
+
+    rgb: jnp.ndarray  # (B, 3) raw (unclipped) color
+    disp: jnp.ndarray  # (B,) disparity
+    alpha: jnp.ndarray  # (B, N)
+    acc: jnp.ndarray  # (B,) accumulated weight
+    weights: jnp.ndarray  # (B, N)
+    depth: jnp.ndarray  # (B,) weighted mean sample distance (extra output)
+
+
+def composite(
+    rgb_sigma: jnp.ndarray, ts: jnp.ndarray, unit_dirs: jnp.ndarray
+) -> CompositeOut:
+    """Composite per-sample radiance into per-ray color/depth/weights.
+
+    Args:
+      rgb_sigma: (B, N, 4) raw network outputs ``[r, g, b, sigma]``.
+      ts: (B, N) sample distances (ascending).
+      unit_dirs: (B, 3) unit view directions (used only for delta scaling,
+        kept for exact parity with utils/rendering.py:62).
+    """
+    deltas = ts[:, 1:] - ts[:, :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1
+    )
+    deltas = deltas * jnp.linalg.norm(unit_dirs, axis=-1, keepdims=True)
+
+    sigma = rgb_sigma[..., 3]
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * deltas)
+
+    # Exclusive cumprod of (1 - alpha + eps) via exclusive log-cumsum.
+    # The reference's literal ``1 - alpha + 1e-10`` is NOT safe under XLA:
+    # the compiler may reassociate to ``(1 + 1e-10) - alpha`` and constant-
+    # fold ``1 + 1e-10 -> 1.0`` (1e-10 is below f32 ulp at 1.0), making the
+    # argument exactly 0 for opaque samples -> log = -inf -> NaN in the
+    # exclusive cumsum. ``max(1 - alpha, 1e-10)`` is bitwise-equivalent for
+    # every f32 alpha (the +1e-10 only ever mattered when 1-alpha rounded
+    # to 0) and is fusion-proof.
+    log_trans = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+    excl = jnp.cumsum(log_trans, axis=-1) - log_trans
+    transmittance = jnp.exp(excl)
+    weights = alpha * transmittance
+
+    rgb = jnp.sum(weights[..., None] * rgb_sigma[..., :3], axis=1)
+    depth = jnp.sum(weights * ts, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    disp = 1.0 / jnp.maximum(1e-10, depth / acc)
+
+    return CompositeOut(rgb, disp, alpha, acc, weights, depth)

@@ -1,0 +1,261 @@
+"""Ray -> radiance rendering paths.
+
+``render_rays`` is the behavioral equivalent of reference
+utils/rendering.py:13-45 (stratified sample -> MLP -> composite) as one
+pure jnp function: under jit the whole stack — sampling, encoding, nine
+matmuls, compositing — compiles to a single fused XLA program (the
+reference's three-hot-spot pipeline collapsed into one device launch).
+
+``render_rays_hierarchical`` adds the coarse+fine inverse-CDF scheme the
+reference left as a roadmap item (utils/nets.py:45-48 stubs).
+
+``render_image`` / ``render_orbit_video`` are the equivalents of
+utils/rendering.py:88-160: tiled full-image rendering. Unlike the
+reference (which silently drops H*W % batch_size remainder rays,
+utils/rendering.py:100), rays are padded to a whole number of fixed-size
+chunks and the pad is stripped after — every pixel is rendered and every
+chunk has the same static shape, so XLA compiles exactly one chunk program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_simple_tpu.models.nerf import NerfMLP, Params, nerf_apply
+from nerf_simple_tpu.ops.rays import rays_for_poses
+from nerf_simple_tpu.ops.sampling import importance_ts, sample_points, stratified_ts
+from nerf_simple_tpu.ops.volume import CompositeOut, composite
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static render configuration (hashable: safe as a jit static arg).
+
+    Defaults mirror the reference call sites: N=128 hardcoded at
+    utils/rendering.py:102/145, tn=2 / tf=6 defaults at utils/rendering.py:13.
+    """
+
+    N: int = 128  # samples per ray (fine count when hierarchical)
+    N_coarse: int = 0  # >0 enables hierarchical coarse+fine
+    tn: float = 2.0
+    tf: float = 6.0
+    compute_dtype: Any = jnp.float32
+
+
+def render_rays(
+    params: Params,
+    rays: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings = RenderSettings(),
+    model: NerfMLP = NerfMLP(),
+) -> CompositeOut:
+    """Stratified-sample and render a batch of rays (coarse-only path).
+
+    Args:
+      params: MLP params pytree.
+      rays: (B, 6) packed ``[origin | direction]`` (direction unnormalized).
+      key: PRNG key for stratified jitter.
+
+    Returns CompositeOut; ``.rgb`` is raw/unclipped like the reference.
+    """
+    B = rays.shape[0]
+    ts = stratified_ts(key, B, settings.N, settings.tn, settings.tf, rays.dtype)
+    return _render_at_ts(params, rays, ts, settings, model)
+
+
+def _render_at_ts(
+    params: Params,
+    rays: jnp.ndarray,
+    ts: jnp.ndarray,
+    settings: RenderSettings,
+    model: NerfMLP,
+) -> CompositeOut:
+    locs, unit_dirs = sample_points(rays, ts)
+    B, N = ts.shape
+    query = jnp.concatenate(
+        [locs, jnp.broadcast_to(unit_dirs[:, None, :], locs.shape)], axis=-1
+    ).reshape(B * N, 6)
+    out = nerf_apply(
+        params, query, model, compute_dtype=settings.compute_dtype
+    ).reshape(B, N, 4)
+    return composite(out, ts, unit_dirs)
+
+
+def render_rays_hierarchical(
+    params_coarse: Params,
+    params_fine: Params,
+    rays: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings,
+    model: NerfMLP = NerfMLP(),
+    det_fine: bool = False,
+) -> tuple[CompositeOut, CompositeOut]:
+    """Coarse+fine rendering (reference roadmap feature, built per the NeRF
+    paper sec. 5.2): Nc stratified coarse samples -> weight PDF ->
+    N importance samples; the fine net evaluates the sorted union of both
+    sample sets (Nc + N points per ray).
+
+    Returns (coarse_out, fine_out).
+    """
+    assert settings.N_coarse > 0, "hierarchical path needs N_coarse > 0"
+    k_strat, k_imp = jax.random.split(key)
+    B = rays.shape[0]
+    ts_c = stratified_ts(
+        k_strat, B, settings.N_coarse, settings.tn, settings.tf, rays.dtype
+    )
+    coarse_out = _render_at_ts(params_coarse, rays, ts_c, settings, model)
+
+    ts_f = importance_ts(
+        k_imp,
+        ts_c,
+        jax.lax.stop_gradient(coarse_out.weights),
+        settings.N,
+        det=det_fine,
+    )
+    ts_all = jnp.sort(jnp.concatenate([ts_c, ts_f], axis=-1), axis=-1)
+    fine_out = _render_at_ts(params_fine, rays, ts_all, settings, model)
+    return coarse_out, fine_out
+
+
+# ---------------------------------------------------------------------------
+# Tiled full-image rendering.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
+    """Build a jitted fn mapping padded (n_chunks, chunk, 6) rays ->
+    (rgb, disp) with one compiled chunk program scanned over chunks."""
+
+    def one_chunk(carry, inp):
+        params, key = carry
+        rays_c, idx = inp
+        out = render_rays(
+            params, rays_c, jax.random.fold_in(key, idx), settings, model
+        )
+        rgb = jnp.clip(out.rgb, 0.0, 1.0)  # eval-time clip: rendering.py:103
+        return carry, (rgb, out.disp)
+
+    @jax.jit
+    def run(params, rays_chunks, key):
+        n = rays_chunks.shape[0]
+        _, (rgb, disp) = jax.lax.scan(
+            one_chunk,
+            (params, key),
+            (rays_chunks, jnp.arange(n)),
+        )
+        return rgb, disp
+
+    return run
+
+
+def render_rays_chunked(
+    params: Params,
+    rays: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings = RenderSettings(),
+    model: NerfMLP = NerfMLP(),
+    chunk: int = 16384,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Render an arbitrary number of rays in fixed-size padded chunks.
+
+    Returns (rgb clipped to [0,1] (R,3), disparity (R,)) for all R input
+    rays — including the remainder the reference drops
+    (utils/rendering.py:100).
+    """
+    R = rays.shape[0]
+    # Align the chunk to 1024 rays: MXU-friendly tiling, and unaligned
+    # sizes can crash the TPU AOT compiler (observed: a libtpu regalloc
+    # RET_CHECK at chunk=16000 where 16384 compiles fine). The reference's
+    # 16000-ray eval chunk (configs/lego.yaml:18) thus maps to 16384.
+    chunk = max(1024 * (-(-chunk // 1024)), 1024) if R >= 1024 else chunk
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+    # Padded rays have zero direction -> zero norm; make them unit-z so the
+    # normalize in sample_points stays finite (results are stripped anyway).
+    if pad:
+        fixup = jnp.zeros((pad, 6), rays.dtype).at[:, 5].set(-1.0)
+        rays_p = rays_p.at[R:].set(fixup)
+    run = _chunked_render_fn(settings, model, chunk)
+    rgb, disp = run(params, rays_p.reshape(n_chunks, chunk, 6), key)
+    return rgb.reshape(-1, 3)[:R], disp.reshape(-1)[:R]
+
+
+def render_image(
+    params: Params,
+    rays_split: jnp.ndarray,
+    H: int,
+    W: int,
+    im_idx: int,
+    key: jax.Array,
+    settings: RenderSettings = RenderSettings(),
+    model: NerfMLP = NerfMLP(),
+    chunk: int = 16384,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render image ``im_idx`` from a precomputed per-split ray tensor.
+
+    Equivalent of utils/rendering.py:88-113 (which slices the split ray
+    dataset by image index). Returns host numpy (1,H,W,3) rgb in [0,1] and
+    (1,H,W,1) disparity, the reference's TensorBoard-ready shapes.
+    """
+    n = H * W
+    rays = jax.lax.dynamic_slice_in_dim(rays_split, im_idx * n, n, axis=0)
+    rgb, disp = render_rays_chunked(params, rays, key, settings, model, chunk)
+    return (
+        np.asarray(rgb).reshape(1, H, W, 3),
+        np.asarray(disp).reshape(1, H, W, 1),
+    )
+
+
+def render_orbit_video(
+    params: Params,
+    poses: np.ndarray,
+    H: int,
+    W: int,
+    f: float,
+    savepath: str,
+    key: jax.Array,
+    settings: RenderSettings = RenderSettings(),
+    model: NerfMLP = NerfMLP(),
+    chunk: int = 16384,
+    fps: int = 15,
+) -> str:
+    """Render a pose orbit and write an mp4 (equivalent of
+    utils/rendering.py:116-160, reference writes 15fps mp4).
+
+    Note: the reference passes (H, W) as the cv2 frame size
+    (utils/rendering.py:156), which only works for square frames; we pass
+    the correct (W, H).
+
+    Returns the written video path.
+    """
+    import cv2
+
+    rays_all = rays_for_poses(jnp.asarray(poses, jnp.float32), H, W, f)
+    n = H * W
+    os.makedirs(savepath or ".", exist_ok=True)
+    out_path = os.path.join(
+        savepath, f"nerf_rgb{str(time.time())[-10:]}.mp4"
+    )
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (W, H)
+    )
+    for i in range(len(poses)):
+        frame_rays = jax.lax.dynamic_slice_in_dim(rays_all, i * n, n, axis=0)
+        rgb, _ = render_rays_chunked(
+            params, frame_rays, jax.random.fold_in(key, i), settings, model, chunk
+        )
+        img = np.asarray(rgb).reshape(H, W, 3)
+        bgr = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+        writer.write(bgr)
+    writer.release()
+    return out_path

@@ -1,0 +1,103 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_simple_tpu.data.blender import load_blender, _natural_key
+from nerf_simple_tpu.data.dataset import RayDataset, sample_ray_batch
+from nerf_simple_tpu.data.synthetic import write_blender_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scene"))
+    write_blender_scene(d, n_train=4, n_val=2, n_test=2, H=32, W=32)
+    return d
+
+
+def test_natural_sort_key():
+    names = ["r_10.png", "r_2.png", "r_1.png", "R_3.png"]
+    assert sorted(names, key=_natural_key) == [
+        "r_1.png",
+        "r_2.png",
+        "R_3.png",
+        "r_10.png",
+    ]
+
+
+def test_load_blender_shapes_and_focal(scene_dir):
+    data = load_blender(scene_dir, half_res=False)
+    assert set(data.splits) == {"train", "val", "test"}
+    assert data.splits["train"].images.shape == (4, 32, 32, 3)
+    assert data.splits["train"].poses.shape == (4, 4, 4)
+    assert data.H == data.W == 32
+    # f = W / (2 tan(fov/2)) with lego's fov
+    expected_f = 32 / (2 * np.tan(0.6911112070083618 / 2))
+    assert np.isclose(data.f, expected_f, rtol=1e-6)
+    assert data.splits["train"].images.dtype == np.float32
+    assert 0.0 <= data.splits["train"].images.min()
+    assert data.splits["train"].images.max() <= 1.0
+
+
+def test_load_blender_half_res_and_truncation(scene_dir):
+    data = load_blender(scene_dir, half_res=True, num_imgs=2)
+    # num_imgs truncates ALL splits (reference utils/dataload.py:55-61)
+    for s in ("train", "val", "test"):
+        assert len(data.splits[s]) == 2
+    assert data.H == data.W == 16
+    # focal computed AFTER halving (reference utils/dataload.py:101-105)
+    expected_f = 16 / (2 * np.tan(0.6911112070083618 / 2))
+    assert np.isclose(data.f, expected_f, rtol=1e-6)
+
+
+def test_ray_dataset_layout(scene_dir):
+    data = load_blender(scene_dir, half_res=False)
+    rd = RayDataset.from_blender(data)
+    n = 32 * 32
+    assert rd.rays["train"].shape == (4 * n, 6)
+    assert rd.pixels["train"].shape == (4 * n, 3)
+    # camera-major: rows [i*n, (i+1)*n) all share origin = pose_i translation
+    origins = np.asarray(rd.rays["train"][:, :3]).reshape(4, n, 3)
+    for i in range(4):
+        np.testing.assert_allclose(
+            origins[i], np.tile(data.splits["train"].poses[i, :3, 3], (n, 1)),
+            atol=1e-6,
+        )
+    # pixels match images flattened row-major
+    np.testing.assert_allclose(
+        np.asarray(rd.pixels["train"]),
+        data.splits["train"].images.reshape(-1, 3),
+    )
+
+
+def test_sample_ray_batch_pairs_rays_with_pixels(scene_dir):
+    data = load_blender(scene_dir, half_res=True)
+    rd = RayDataset.from_blender(data)
+    key = jax.random.PRNGKey(0)
+    rays_b, pix_b = sample_ray_batch(
+        key, rd.rays["train"], rd.pixels["train"], 64
+    )
+    assert rays_b.shape == (64, 6)
+    assert pix_b.shape == (64, 3)
+    # same key -> same batch (deterministic)
+    rays_b2, pix_b2 = sample_ray_batch(
+        key, rd.rays["train"], rd.pixels["train"], 64
+    )
+    np.testing.assert_array_equal(np.asarray(rays_b), np.asarray(rays_b2))
+    # each sampled ray's pixel matches the dataset pairing
+    all_rays = np.asarray(rd.rays["train"])
+    all_pix = np.asarray(rd.pixels["train"])
+    for r, p in zip(np.asarray(rays_b)[:5], np.asarray(pix_b)[:5]):
+        matches = np.where((all_rays == r).all(axis=1))[0]
+        assert any(np.allclose(all_pix[m], p) for m in matches)
+
+
+def test_synthetic_scene_has_content(scene_dir):
+    data = load_blender(scene_dir, half_res=False)
+    imgs = data.splits["train"].images
+    # scene renders something non-trivial (not all black / not saturated)
+    assert imgs.max() > 0.2
+    assert imgs.mean() < 0.5
+    assert imgs.std() > 0.03

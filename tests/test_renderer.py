@@ -1,0 +1,82 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
+from nerf_simple_tpu.ops.sampling import stratified_ts
+from nerf_simple_tpu.render.renderer import (
+    RenderSettings,
+    render_rays,
+    render_rays_chunked,
+    render_rays_hierarchical,
+)
+from tests.oracle import render_rays_np
+
+
+def _small_setup(seed=0, B=16):
+    model = NerfMLP(Lp=10, Ld=4, H=256)
+    params = init_nerf_params(jax.random.PRNGKey(seed), model)
+    rng = np.random.default_rng(seed)
+    origins = rng.normal(0, 0.1, size=(B, 3))
+    dirs = rng.normal(size=(B, 3))  # deliberately unnormalized
+    rays = jnp.asarray(np.concatenate([origins, dirs], -1), jnp.float32)
+    return model, params, rays
+
+
+def test_render_rays_matches_full_pipeline_oracle():
+    model, params, rays = _small_setup(B=8)
+    settings = RenderSettings(N=32, tn=2.0, tf=6.0)
+    key = jax.random.PRNGKey(42)
+    out = render_rays(params, rays, key, settings, model)
+
+    # oracle renders at the exact same sample distances
+    ts = np.asarray(stratified_ts(key, 8, 32, 2.0, 6.0)).astype(np.float64)
+    params64 = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    o_rgb, o_disp, o_alpha, o_acc, o_w, _ = render_rays_np(
+        params64, np.asarray(rays, np.float64), ts
+    )
+    np.testing.assert_allclose(np.asarray(out.rgb), o_rgb, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.weights), o_w, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.acc), o_acc, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.disp), o_disp, rtol=1e-3)
+
+
+def test_chunked_render_covers_remainder_rays():
+    model, params, rays = _small_setup(B=30)  # 30 % 8 != 0
+    settings = RenderSettings(N=16)
+    key = jax.random.PRNGKey(0)
+    rgb, disp = render_rays_chunked(params, rays, key, settings, model, chunk=8)
+    assert rgb.shape == (30, 3)
+    assert disp.shape == (30,)
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+
+def test_hierarchical_shapes_and_finiteness():
+    model, params, rays = _small_setup(B=8)
+    params_fine = init_nerf_params(jax.random.PRNGKey(9), model)
+    settings = RenderSettings(N=32, N_coarse=16)
+    coarse, fine = render_rays_hierarchical(
+        params, params_fine, rays, jax.random.PRNGKey(1), settings, model
+    )
+    assert coarse.weights.shape == (8, 16)
+    # fine evaluates the union of coarse + importance samples
+    assert fine.weights.shape == (8, 16 + 32)
+    assert np.isfinite(np.asarray(fine.rgb)).all()
+
+
+def test_hierarchical_is_differentiable():
+    model, params, rays = _small_setup(B=4)
+    params_fine = init_nerf_params(jax.random.PRNGKey(9), model)
+    settings = RenderSettings(N=8, N_coarse=8)
+
+    def loss(pc, pf):
+        c, f = render_rays_hierarchical(
+            pc, pf, rays, jax.random.PRNGKey(1), settings, model
+        )
+        return jnp.mean(c.rgb**2) + jnp.mean(f.rgb**2)
+
+    gc, gf = jax.grad(loss, argnums=(0, 1))(params, params_fine)
+    leaves = jax.tree.leaves(gc) + jax.tree.leaves(gf)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

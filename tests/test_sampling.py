@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_simple_tpu.ops.sampling import importance_ts, sample_points, stratified_ts
+
+
+def test_stratified_bounds_and_stratification():
+    key = jax.random.PRNGKey(0)
+    B, N, tn, tf = 256, 64, 2.0, 6.0
+    ts = np.asarray(stratified_ts(key, B, N, tn, tf))
+    assert ts.shape == (B, N)
+    edges = np.linspace(tn, tf, N + 1)
+    # exactly one sample per bin, in bin order
+    assert (ts >= edges[:-1] - 1e-6).all()
+    assert (ts <= edges[1:] + 1e-6).all()
+    # sorted by construction
+    assert (np.diff(ts, axis=-1) > 0).all()
+
+
+def test_stratified_is_deterministic_per_key():
+    key = jax.random.PRNGKey(7)
+    a = stratified_ts(key, 8, 16, 2.0, 6.0)
+    b = stratified_ts(key, 8, 16, 2.0, 6.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_points_uses_unnormalized_dirs():
+    # reference quirk: locs = o + d_raw * t with unnormalized d
+    rays = jnp.array([[0.0, 0.0, 0.0, 2.0, 0.0, 0.0]])  # |d| = 2
+    ts = jnp.array([[1.0, 3.0]])
+    locs, unit = sample_points(rays, ts)
+    np.testing.assert_allclose(
+        np.asarray(locs), [[[2.0, 0, 0], [6.0, 0, 0]]], atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(unit), [[1.0, 0, 0]], atol=1e-6)
+
+
+def test_importance_concentrates_on_high_weight_bins():
+    key = jax.random.PRNGKey(1)
+    B, Nc = 4, 64
+    ts_c = jnp.broadcast_to(jnp.linspace(2.0, 6.0, Nc), (B, Nc))
+    # all weight in samples near t=4.0
+    w = jnp.exp(-((ts_c - 4.0) ** 2) / 0.01)
+    ts_f = np.asarray(importance_ts(key, ts_c, w, 128))
+    assert ts_f.shape == (B, 128)
+    assert (np.diff(ts_f, axis=-1) >= 0).all()
+    assert (np.abs(ts_f - 4.0) < 0.5).mean() > 0.95
+
+
+def test_importance_det_quantiles_match_numpy_invcdf():
+    # deterministic mode vs a numpy inverse-CDF reference
+    B, Nc, Nf = 2, 32, 64
+    rng = np.random.default_rng(3)
+    ts_c = np.sort(rng.uniform(2, 6, size=(B, Nc)), axis=-1).astype(np.float32)
+    w = rng.uniform(0.0, 1.0, size=(B, Nc)).astype(np.float32)
+
+    ours = np.asarray(
+        importance_ts(jax.random.PRNGKey(0), jnp.asarray(ts_c), jnp.asarray(w), Nf, det=True)
+    )
+
+    mids = 0.5 * (ts_c[:, 1:] + ts_c[:, :-1])
+    ww = w[:, 1:-1] + 1e-5
+    pdf = ww / ww.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((B, 1)), np.cumsum(pdf, -1)], -1)
+    u = np.broadcast_to(np.linspace(0, 1, Nf), (B, Nf))
+    ref = np.zeros((B, Nf))
+    for b in range(B):
+        for j in range(Nf):
+            idx = np.searchsorted(cdf[b], u[b, j], side="right")
+            lo = np.clip(idx - 1, 0, cdf.shape[1] - 1)
+            hi = np.clip(idx, 0, cdf.shape[1] - 1)
+            clo, chi = cdf[b, lo], cdf[b, hi]
+            mlo = mids[b, np.clip(lo, 0, Nc - 2)]
+            mhi = mids[b, np.clip(hi, 0, Nc - 2)]
+            denom = chi - clo if chi - clo >= 1e-8 else 1.0
+            ref[b, j] = mlo + (u[b, j] - clo) / denom * (mhi - mlo)
+    ref = np.sort(ref, -1)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
