@@ -1,0 +1,81 @@
+"""Headline benchmark: training throughput at the reference batch shape.
+
+Measures steady-state training rays/sec on the flagship coarse-only NeRF
+at the reference's exact shape — 4096 rays x Nf=128 samples per iteration
+(configs/lego.yaml:6,12) — on whatever accelerator JAX provides (the real
+TPU chip under the driver; falls back to CPU elsewhere).
+
+Baseline: the reference trains lego 10k iters in ~30 min on its GPU
+(README.md:16) = ~5.6 it/s = ~22.9K rays/s. ``vs_baseline`` is the speedup
+over that number.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+
+BASELINE_RAYS_PER_SEC = 10_000 / (30 * 60) * 4096  # ~22,756
+
+
+def main() -> None:
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.models.nerf import NerfMLP
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    cfg = TrainConfig(
+        datapath="bench",
+        Nf=128,
+        num_iters=10_000,
+        batch_size=4096,
+        steps_per_call=20,  # 50 triggers a pathological TPU compile-time blowup
+        compute_dtype="bf16",
+        ckpt_loss=10**9,
+        ckpt_images=10**9,
+        ckpt_model=10**9,
+    )
+    model = NerfMLP()
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step_fn = build_train_step(cfg, model)
+
+    # synthetic HBM-resident ray dataset at the lego half-res scale
+    # (25 images x 400 x 400 rays)
+    n_rays = 4_000_000
+    rays = jax.random.normal(jax.random.PRNGKey(1), (n_rays, 6))
+    pixels = jax.random.uniform(jax.random.PRNGKey(2), (n_rays, 3))
+    key = jax.random.PRNGKey(3)
+
+    # warmup / compile
+    state, losses = step_fn(state, rays, pixels, key)
+    jax.block_until_ready(losses)
+
+    iters = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 15.0:
+        state, losses = step_fn(state, rays, pixels, key)
+        jax.block_until_ready(losses)
+        iters += cfg.steps_per_call
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = cfg.batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_4096x128",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

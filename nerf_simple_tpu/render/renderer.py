@@ -48,6 +48,12 @@ class RenderSettings:
     tn: float = 2.0
     tf: float = 6.0
     compute_dtype: Any = jnp.float32
+    # Max sample rows per MLP call; larger batches are lax.map'd in equal
+    # chunks. Identical math — purely a program-structure knob: a single
+    # 524288-row fwd+bwd MLP program trips a libtpu regalloc RET_CHECK
+    # (live_range_finder.cc:29) on v5e, while <=262144-row programs
+    # compile fine, and chunking also caps activation HBM footprint.
+    max_mlp_rows: int = 262144
 
 
 def render_rays(
@@ -83,10 +89,23 @@ def _render_at_ts(
     query = jnp.concatenate(
         [locs, jnp.broadcast_to(unit_dirs[:, None, :], locs.shape)], axis=-1
     ).reshape(B * N, 6)
-    out = nerf_apply(
-        params, query, model, compute_dtype=settings.compute_dtype
-    ).reshape(B, N, 4)
-    return composite(out, ts, unit_dirs)
+
+    rows = B * N
+    k = 1
+    while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
+        k *= 2
+    if k > 1:
+        out = jax.lax.map(
+            lambda q: nerf_apply(
+                params, q, model, compute_dtype=settings.compute_dtype
+            ),
+            query.reshape(k, rows // k, 6),
+        )
+    else:
+        out = nerf_apply(
+            params, query, model, compute_dtype=settings.compute_dtype
+        )
+    return composite(out.reshape(B, N, 4), ts, unit_dirs)
 
 
 def render_rays_hierarchical(
