@@ -35,6 +35,7 @@ def main() -> None:
         Nf=128,
         num_iters=10_000,
         batch_size=4096,
+        backend="pallas",  # fused VMEM-resident MLP kernel
         steps_per_call=20,  # 50 triggers a pathological TPU compile-time blowup
         compute_dtype="bf16",
         ckpt_loss=10**9,
@@ -52,18 +53,19 @@ def main() -> None:
     pixels = jax.random.uniform(jax.random.PRNGKey(2), (n_rays, 3))
     key = jax.random.PRNGKey(3)
 
-    # warmup / compile
+    # warmup / compile; the float() read is a real device sync
+    # (block_until_ready is a no-op on some tunneled backends)
     state, losses = step_fn(state, rays, pixels, key)
-    jax.block_until_ready(losses)
+    _ = float(losses[-1])
 
-    iters = 0
+    n_calls = 20
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < 15.0:
-        state, losses = step_fn(state, rays, pixels, key)
-        jax.block_until_ready(losses)
-        iters += cfg.steps_per_call
+    for i in range(n_calls):
+        state, losses = step_fn(state, rays, pixels, jax.random.fold_in(key, i))
+    _ = float(losses[-1])  # sync: all chained steps complete
     dt = time.perf_counter() - t0
 
+    iters = n_calls * cfg.steps_per_call
     rays_per_sec = cfg.batch_size * iters / dt
     print(
         json.dumps(

@@ -46,6 +46,8 @@ class TrainConfig:
     hierarchical: bool = False
     # "f32" (parity) or "bf16" (MXU fast path)
     compute_dtype: str = "f32"
+    # "xla" (oracle path) or "pallas" (fused VMEM-resident MLP kernel)
+    backend: str = "xla"
     # steps fused into one jitted lax.scan call (dispatch amortization)
     steps_per_call: int = 20
     # data-parallel chips; 0/1 = single chip, -1 = all local devices
@@ -87,6 +89,7 @@ class TestConfig:
     N_samples: int = 128  # hardcoded 128 in the reference (rendering.py:102)
     Nc: int = 0  # >0 = hierarchical eval
     compute_dtype: str = "f32"
+    backend: str = "xla"
     seed: int = 0
     orbit_radius: float = 4.0  # hardcoded r=4 at test.py:33
     dataset: str = "blender"

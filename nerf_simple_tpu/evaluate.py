@@ -78,6 +78,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
+        backend=cfg.backend,
     )
     key = jax.random.PRNGKey(cfg.seed)
 

@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the render hot path."""
+
+from nerf_simple_tpu.kernels.fused_mlp import (
+    FusedWeights,
+    pack_weights,
+    fused_mlp_forward,
+    fused_mlp,
+)
+
+__all__ = ["FusedWeights", "pack_weights", "fused_mlp_forward", "fused_mlp"]

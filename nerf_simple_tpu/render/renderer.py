@@ -54,6 +54,10 @@ class RenderSettings:
     # (live_range_finder.cc:29) on v5e, while <=262144-row programs
     # compile fine, and chunking also caps activation HBM footprint.
     max_mlp_rows: int = 262144
+    # "xla": layer-by-layer jnp MLP (the correctness oracle).
+    # "pallas": fully-fused VMEM-resident MLP kernel (kernels/fused_mlp.py)
+    # — ~2x faster fwd+bwd on v5e; flagship-architecture only.
+    backend: str = "xla"
 
 
 def render_rays(
@@ -90,6 +94,10 @@ def _render_at_ts(
         [locs, jnp.broadcast_to(unit_dirs[:, None, :], locs.shape)], axis=-1
     ).reshape(B * N, 6)
 
+    if settings.backend == "pallas":
+        out = _fused_mlp_rows(params, query, settings, model)
+        return composite(out.reshape(B, N, 4), ts, unit_dirs)
+
     rows = B * N
     k = 1
     while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
@@ -106,6 +114,31 @@ def _render_at_ts(
             params, query, model, compute_dtype=settings.compute_dtype
         )
     return composite(out.reshape(B, N, 4), ts, unit_dirs)
+
+
+def _fused_mlp_rows(
+    params: Params, query: jnp.ndarray, settings: RenderSettings, model: NerfMLP
+) -> jnp.ndarray:
+    """Evaluate the MLP on (rows, 6) queries via the fused Pallas kernel.
+
+    Handles layout (feature-major transpose), lane padding to the kernel
+    tile, and weight repacking; gradients flow to ``params`` through
+    pack_weights' (differentiable) permutation/transposition.
+    """
+    from nerf_simple_tpu.kernels.fused_mlp import fused_mlp, pack_weights
+
+    assert (model.Lp, model.Ld, model.H) == (10, 4, 256), (
+        "pallas backend supports the flagship NerfMLP(10, 4, 256); "
+        "use backend='xla' for other architectures"
+    )
+    rows = query.shape[0]
+    tile = 1024 if rows % 1024 == 0 else 128
+    rows_p = -(-rows // tile) * tile
+    xT = jnp.zeros((8, rows_p), jnp.float32)
+    xT = xT.at[:6, :rows].set(query.T)
+    wts = pack_weights(params)
+    outT = fused_mlp(wts, xT, tile, settings.compute_dtype)
+    return outT[:4, :rows].T  # (rows, 4) = [r, g, b, sigma]
 
 
 def render_rays_hierarchical(

@@ -96,7 +96,11 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
 
     step_fn = build_train_step(cfg, model, mesh)
     eval_settings = RenderSettings(
-        N=cfg.Nf, tn=cfg.tn, tf=cfg.tf, compute_dtype=cfg.render_dtype
+        N=cfg.Nf,
+        tn=cfg.tn,
+        tf=cfg.tf,
+        compute_dtype=cfg.render_dtype,
+        backend=cfg.backend,
     )
 
     def render_and_log(split: str, ii: int, i: int) -> None:

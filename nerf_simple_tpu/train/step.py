@@ -89,6 +89,7 @@ def build_train_step(
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
+        backend=cfg.backend,
     )
 
     def loss_fn(params, rays_b, pix_b, key):

@@ -1,0 +1,71 @@
+"""End-to-end pallas backend vs xla backend through the public render API
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
+from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+
+
+def test_pallas_render_matches_xla_render():
+    model = NerfMLP()
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rng = np.random.default_rng(0)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (16, 3)), rng.normal(size=(16, 3))], -1
+        ),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(1)
+    xla_out = render_rays(
+        params, rays, key, RenderSettings(N=16, backend="xla"), model
+    )
+    with pltpu.force_tpu_interpret_mode():
+        pl_out = render_rays(
+            params, rays, key, RenderSettings(N=16, backend="pallas"), model
+        )
+    np.testing.assert_allclose(
+        np.asarray(pl_out.rgb), np.asarray(xla_out.rgb), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_out.weights), np.asarray(xla_out.weights), atol=1e-4
+    )
+
+
+def test_pallas_train_grads_match_xla():
+    """Full training-loss gradients agree between backends."""
+    model = NerfMLP()
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rng = np.random.default_rng(1)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (8, 3)), rng.normal(size=(8, 3))], -1
+        ),
+        jnp.float32,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (8, 3)), jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    def loss(p, backend):
+        out = render_rays(
+            p, rays, key, RenderSettings(N=16, backend=backend), model
+        )
+        return jnp.mean((out.rgb - gt) ** 2)
+
+    g_xla = jax.grad(lambda p: loss(p, "xla"))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(lambda p: loss(p, "pallas"))(params)
+
+    for layer in g_xla:
+        for k in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(g_xla[layer][k]),
+                np.asarray(g_pl[layer][k]),
+                atol=2e-4,
+                rtol=2e-3,
+                err_msg=f"{layer}/{k}",
+            )
