@@ -73,6 +73,10 @@ class BlenderData:
     H: int
     W: int
     f: float
+    # set by the LLFF loader (data/llff.py); Blender scenes keep defaults
+    ndc: bool = False
+    near: float = 2.0
+    far: float = 6.0
 
     @property
     def cam_params(self) -> list:

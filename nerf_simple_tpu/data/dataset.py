@@ -48,6 +48,10 @@ class RayDataset:
         for name, split in data.splits.items():
             poses = jnp.asarray(split.poses)
             r = rays_for_poses(poses, data.H, data.W, data.f)
+            if getattr(data, "ndc", False):
+                from nerf_simple_tpu.ops.rays import ndc_rays
+
+                r = ndc_rays(r, data.H, data.W, data.f, near=1.0)
             p = jnp.asarray(split.images.reshape(-1, 3))
             if sharding is not None:
                 r = jax.device_put(r, sharding)

@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the render hot path."""
 
-from nerf_simple_tpu.kernels.fused_mlp import (
+from nerf_simple_tpu.kernels.mlp import (
     FusedWeights,
     pack_weights,
     fused_mlp_forward,

@@ -65,6 +65,33 @@ def rays_for_poses(poses: jnp.ndarray, H: int, W: int, f: float) -> jnp.ndarray:
     return jnp.concatenate([origins, world_dirs], axis=-1).reshape(-1, 6)
 
 
+def ndc_rays(
+    rays: jnp.ndarray, H: int, W: int, f: float, near: float = 1.0
+) -> jnp.ndarray:
+    """Warp packed ``[origin | direction]`` rays to NDC space (NeRF paper
+    appendix C) for forward-facing LLFF scenes.
+
+    No reference implementation exists (LLFF/NDC is a roadmap item,
+    reference README.md:53); this is the standard projective warp: shift
+    each origin to the near plane (z = -near), then map the view frustum
+    to the [-1,1]^2 x [0,1] cube so t in [0, 1] spans near..infinity.
+    """
+    o, d = rays[:, :3], rays[:, 3:]
+    # shift origins onto the near plane
+    t = -(near + o[:, 2]) / d[:, 2]
+    o = o + t[:, None] * d
+
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    o0 = -f / (W / 2.0) * ox / oz
+    o1 = -f / (H / 2.0) * oy / oz
+    o2 = 1.0 + 2.0 * near / oz
+    d0 = -f / (W / 2.0) * (dx / dz - ox / oz)
+    d1 = -f / (H / 2.0) * (dy / dz - oy / oz)
+    d2 = -2.0 * near / oz
+    return jnp.stack([o0, o1, o2, d0, d1, d2], axis=-1)
+
+
 # --- Spherical ("dome orbit") pose synthesis: reference utils/xyz.py:55-91.
 # Host-side numpy: poses are tiny, built once per render job.
 

@@ -125,7 +125,7 @@ def _fused_mlp_rows(
     tile, and weight repacking; gradients flow to ``params`` through
     pack_weights' (differentiable) permutation/transposition.
     """
-    from nerf_simple_tpu.kernels.fused_mlp import fused_mlp, pack_weights
+    from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights
 
     assert (model.Lp, model.Ld, model.H) == (10, 4, 256), (
         "pallas backend supports the flagship NerfMLP(10, 4, 256); "

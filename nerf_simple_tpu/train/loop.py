@@ -75,6 +75,11 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         mesh = make_mesh(cfg.num_data_shards)
 
     data = _load_dataset(cfg)
+    if getattr(data, "ndc", False):
+        # NDC sampling spans the warped frustum: t in [0, 1]
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, tn=0.0, tf=1.0)
     rd = RayDataset.from_blender(data)
     rays = rd.rays["train"]
     pixels = rd.pixels["train"]

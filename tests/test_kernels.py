@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_simple_tpu.kernels.fused_mlp import (
+from nerf_simple_tpu.kernels.mlp import (
     fused_mlp,
     fused_mlp_forward,
     pack_weights,
