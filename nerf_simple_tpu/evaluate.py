@@ -33,9 +33,10 @@ from nerf_simple_tpu.render.renderer import (
 from nerf_simple_tpu.train.metrics import img_mse, img_psnr
 
 
-def load_params(loadpath: str):
+def load_params(loadpath: str, keep_hierarchy: bool = False):
     """Load eval params from an npz export or an Orbax checkpoint dir.
-    For hierarchical checkpoints, returns the fine net."""
+    For hierarchical checkpoints, returns the fine net unless
+    ``keep_hierarchy`` (set when eval itself renders coarse+fine)."""
     if loadpath.endswith(".npz"):
         from nerf_simple_tpu.train.checkpoint import import_params_npz
 
@@ -54,7 +55,7 @@ def load_params(loadpath: str):
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path))
         params = restored["params"] if "params" in restored else restored
-    if "fine" in params:
+    if "fine" in params and not keep_hierarchy:
         params = params["fine"]
     return jax.tree.map(jnp.asarray, params)
 
@@ -71,7 +72,14 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     model = NerfMLP()
-    params = load_params(cfg.loadpath)
+    params = load_params(cfg.loadpath, keep_hierarchy=cfg.Nc > 0)
+    if cfg.Nc > 0 and not (
+        isinstance(params, dict) and "coarse" in params
+    ):
+        raise ValueError(
+            "Nc > 0 requests hierarchical eval but the checkpoint has no "
+            "coarse/fine nets"
+        )
     settings = RenderSettings(
         N=cfg.N_samples,
         N_coarse=cfg.Nc,

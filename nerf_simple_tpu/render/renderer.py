@@ -190,9 +190,16 @@ def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
     def one_chunk(carry, inp):
         params, key = carry
         rays_c, idx = inp
-        out = render_rays(
-            params, rays_c, jax.random.fold_in(key, idx), settings, model
-        )
+        k = jax.random.fold_in(key, idx)
+        if settings.N_coarse > 0:
+            # hierarchical eval: params = {"coarse", "fine"}; deterministic
+            # quantile importance samples for reproducible frames
+            _, out = render_rays_hierarchical(
+                params["coarse"], params["fine"], rays_c, k, settings, model,
+                det_fine=True,
+            )
+        else:
+            out = render_rays(params, rays_c, k, settings, model)
         rgb = jnp.clip(out.rgb, 0.0, 1.0)  # eval-time clip: rendering.py:103
         return carry, (rgb, out.disp)
 

@@ -47,9 +47,8 @@ def _load_dataset(cfg: TrainConfig):
 
 
 def _eval_params(cfg: TrainConfig, state: TrainState):
-    """Params used for eval rendering: fine net when hierarchical."""
-    if cfg.hierarchical:
-        return state.params["fine"]
+    """Params used for eval rendering (full coarse+fine dict when
+    hierarchical — the renderer runs the two-pass path)."""
     return state.params
 
 
@@ -102,6 +101,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     step_fn = build_train_step(cfg, model, mesh)
     eval_settings = RenderSettings(
         N=cfg.Nf,
+        N_coarse=cfg.Nc if cfg.hierarchical else 0,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,

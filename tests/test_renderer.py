@@ -80,3 +80,22 @@ def test_hierarchical_is_differentiable():
     leaves = jax.tree.leaves(gc) + jax.tree.leaves(gf)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_hierarchical_chunked_image_render():
+    from nerf_simple_tpu.render.renderer import render_rays_chunked
+
+    model, params_c, rays = _small_setup(B=20)
+    params_f = init_nerf_params(jax.random.PRNGKey(11), model)
+    settings = RenderSettings(N=16, N_coarse=8)
+    rgb, disp = render_rays_chunked(
+        {"coarse": params_c, "fine": params_f},
+        rays,
+        jax.random.PRNGKey(5),
+        settings,
+        model,
+        chunk=8,
+    )
+    assert rgb.shape == (20, 3)
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert np.isfinite(np.asarray(disp)).all()

@@ -164,3 +164,22 @@ def test_npz_export_import_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(params[layer]["w"]), back[layer]["w"]
         )
+
+
+def test_nan_guard_catches_poisoned_input(tiny_scene):
+    import jax.numpy as jnp
+    from nerf_simple_tpu.utils.guards import assert_finite, checked
+    from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+    from nerf_simple_tpu.models.nerf import init_nerf_params
+
+    params = init_nerf_params(jax.random.PRNGKey(0))
+    bad_rays = jnp.full((8, 6), jnp.nan)
+
+    fn = checked(
+        lambda p, r, k: render_rays(p, r, k, RenderSettings(N=8)).rgb
+    )
+    with pytest.raises(Exception):
+        fn(params, bad_rays, jax.random.PRNGKey(1))
+
+    with pytest.raises(ValueError, match="non-finite"):
+        assert_finite({"x": np.array([1.0, np.nan])}, "params")
