@@ -282,7 +282,13 @@ def _forward_tile(x, wts: FusedWeights, Sx, Sd, consts, dtype):
     out = jnp.where(rows < 3, rgb8, 0.0) + jnp.where(
         rows == 3, pltpu.roll(sig8, 3, axis=0), 0.0
     )
-    residuals = (posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, feat, hc)
+    # Residuals stored in the compute dtype: the backward kernel only uses
+    # them as (re-cast-anyway) matmul operands and relu masks, and bf16
+    # storage halves backward VMEM — letting larger tiles fit.
+    residuals = tuple(
+        r.astype(dtype)
+        for r in (posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, feat, hc)
+    )
     return out, residuals
 
 
@@ -355,6 +361,11 @@ def fused_mlp_forward(
 # ---------------------------------------------------------------------------
 
 
+def _relu_mask(h):
+    """relu derivative as f32 (Mosaic lacks bf16 compare on v5e)."""
+    return (h.astype(jnp.float32) > 0).astype(jnp.float32)
+
+
 def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     """Per tile: recompute fwd activations in VMEM, backprop, accumulate
     weight/bias grads across the grid into the outputs (same block every
@@ -398,7 +409,7 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     # color1
     dWc1 = mmT_acc(g_rgb8, hc)
     dbc1 = dbias(g_rgb8)
-    g_hc = mTg(wts.Wc1, g_rgb8) * (hc > 0)
+    g_hc = mTg(wts.Wc1, g_rgb8) * _relu_mask(hc)
     # color0 (two halves)
     dWcf = mmT_acc(g_hc, feat)
     dWcd = mmT_acc(g_hc, posd)
@@ -410,32 +421,32 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     dWfs_s = mmT_acc(g_sig8, h7)  # (8, H)
     dWfs = jnp.concatenate([dWfs_f, dWfs_s], axis=0)
     dbfs = jnp.concatenate([dbias(g_feat), dbias(g_sig8)], axis=0)
-    g_h7 = (mTg(wts.Wfs[:H], g_feat) + mTg(wts.Wfs[H:], g_sig8)) * (h7 > 0)
+    g_h7 = (mTg(wts.Wfs[:H], g_feat) + mTg(wts.Wfs[H:], g_sig8)) * _relu_mask(h7)
     # post layers
     dWp1 = mmT_acc(g_h7, h6)
     dbp1 = dbias(g_h7)
-    g_h6 = mTg(wts.Wp1, g_h7) * (h6 > 0)
+    g_h6 = mTg(wts.Wp1, g_h7) * _relu_mask(h6)
     dWp0 = mmT_acc(g_h6, h5)
     dbp0 = dbias(g_h6)
-    g_h5 = mTg(wts.Wp0, g_h6) * (h5 > 0)
+    g_h5 = mTg(wts.Wp0, g_h6) * _relu_mask(h5)
     # skip layer
     dWsh = mmT_acc(g_h5, h4)
     dWsx = mmT_acc(g_h5, posx)
     dbs = dbias(g_h5)
-    g_h4 = mTg(wts.Wsh, g_h5) * (h4 > 0)
+    g_h4 = mTg(wts.Wsh, g_h5) * _relu_mask(h4)
     # trunk
     dWt4 = mmT_acc(g_h4, h3)
     dbt4 = dbias(g_h4)
-    g_h3 = mTg(wts.Wt4, g_h4) * (h3 > 0)
+    g_h3 = mTg(wts.Wt4, g_h4) * _relu_mask(h3)
     dWt3 = mmT_acc(g_h3, h2)
     dbt3 = dbias(g_h3)
-    g_h2 = mTg(wts.Wt3, g_h3) * (h2 > 0)
+    g_h2 = mTg(wts.Wt3, g_h3) * _relu_mask(h2)
     dWt2 = mmT_acc(g_h2, h1)
     dbt2 = dbias(g_h2)
-    g_h1 = mTg(wts.Wt2, g_h2) * (h1 > 0)
+    g_h1 = mTg(wts.Wt2, g_h2) * _relu_mask(h1)
     dWt1 = mmT_acc(g_h1, h0)
     dbt1 = dbias(g_h1)
-    g_h0 = mTg(wts.Wt1, g_h1) * (h0 > 0)
+    g_h0 = mTg(wts.Wt1, g_h1) * _relu_mask(h0)
     dW1 = mmT_acc(g_h0, posx)
     db1 = dbias(g_h0)
     # (no gradient w.r.t. x needed: rays/ts carry no trainable state)
@@ -523,7 +534,7 @@ def _fused_mlp_fwd(wts, xT, tile_rows, compute_dtype):
 
 def _fused_mlp_bwd_rule(tile_rows, compute_dtype, res, g):
     wts, xT = res
-    bwd_tile = min(tile_rows, 512)  # bwd holds more live buffers
+    bwd_tile = min(tile_rows, 1024)  # bf16 residuals fit 1024-wide tiles
     dw = _fused_mlp_bwd(wts, xT, g, bwd_tile, compute_dtype)
     return dw, jnp.zeros_like(xT)
 

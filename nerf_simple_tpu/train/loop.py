@@ -137,11 +137,25 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     meter = Throughput()
     start = int(state.step)
     n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
-    for _ in range(n_chunks):
-        chunk_start = int(state.step)
+    for c in range(n_chunks):
+        chunk_start = start + c * cfg.steps_per_call
         state, losses = step_fn(state, rays, pixels, k_train)
-        losses = np.asarray(losses)  # syncs; (steps_per_call,)
-        meter.tick(cfg.steps_per_call, cfg.steps_per_call * cfg.batch_size)
+        # Only synchronize with the device when this chunk crosses a
+        # logging/checkpoint boundary — otherwise chunks stay enqueued and
+        # the device never idles waiting on the host (each sync costs a
+        # full tunnel round trip).
+        spc = cfg.steps_per_call
+        boundary = (
+            any((chunk_start + j) % cfg.ckpt_loss == 0 for j in range(spc))
+            or any((chunk_start + j) % cfg.ckpt_images == 0 for j in range(spc))
+            or any((chunk_start + j) % cfg.ckpt_model == 0 for j in range(spc))
+            or c == n_chunks - 1
+        )
+        if not boundary:
+            continue
+        losses = np.asarray(losses)  # device sync
+        meter.tick(chunk_start + spc - meter.iters - start,
+                   (chunk_start + spc - meter.iters - start) * cfg.batch_size)
 
         for j, loss in enumerate(losses):
             i = chunk_start + j
@@ -158,7 +172,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
                     f"{meter.rays_per_sec:,.0f} rays/s"
                 )
 
-        i_last = int(state.step) - 1
+        i_last = chunk_start + spc - 1
         if any((chunk_start + j) % cfg.ckpt_images == 0 for j in range(len(losses))):
             for ii in cfg.val_idxs:
                 render_and_log("train", ii, i_last)
