@@ -44,6 +44,9 @@ class TrainConfig:
     honor_lr_init: bool = False
     # hierarchical coarse+fine sampling (reference roadmap item)
     hierarchical: bool = False
+    # train-time Gaussian sigma-noise regularizer std (reference TODO at
+    # utils/rendering.py:63); 0.0 = off
+    sigma_noise: float = 0.0
     # "f32" (parity) or "bf16" (MXU fast path)
     compute_dtype: str = "f32"
     # "xla" (oracle path) or "pallas" (fused VMEM-resident MLP kernel)
@@ -60,6 +63,9 @@ class TrainConfig:
     # resume from latest checkpoint in savepath/exp_name if present
     resume: bool = False
     log_dir: str = "logs"
+    # if set, capture a jax.profiler device trace of the first few chunks
+    # into this directory (view with TensorBoard / Perfetto)
+    profile_dir: str = ""
 
     @property
     def render_dtype(self):

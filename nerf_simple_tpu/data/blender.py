@@ -121,7 +121,10 @@ def load_blender(
             ]
         img_paths.sort(key=_natural_key)
 
-        n = len(img_paths) if num_imgs < 0 else num_imgs
+        # num_imgs truncates every split (reference utils/dataload.py:55-61);
+        # clamped to what exists (the reference would IndexError on splits
+        # smaller than num_imgs — lego has >=100 everywhere so it never hit)
+        n = len(img_paths) if num_imgs < 0 else min(num_imgs, len(img_paths))
         imgs, poses = [], []
         for i in range(n):
             img = _imread_rgb(img_paths[i])

@@ -90,7 +90,28 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     )
     key = jax.random.PRNGKey(cfg.seed)
 
-    data = load_blender(cfg.datapath, cfg.half_res)
+    if cfg.dataset == "llff":
+        from nerf_simple_tpu.data.llff import load_llff
+
+        data = load_llff(cfg.datapath, factor=cfg.llff_factor, ndc=cfg.ndc)
+    elif cfg.dataset == "tiny_nerf":
+        from nerf_simple_tpu.data.tiny_nerf import load_tiny_nerf
+
+        data = load_tiny_nerf(cfg.datapath)
+    else:
+        data = load_blender(cfg.datapath, cfg.half_res)
+    if getattr(data, "ndc", False):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, tn=0.0, tf=1.0)
+        settings = RenderSettings(
+            N=cfg.N_samples,
+            N_coarse=cfg.Nc,
+            tn=0.0,
+            tf=1.0,
+            compute_dtype=cfg.render_dtype,
+            backend=cfg.backend,
+        )
     rd = RayDataset.from_blender(data)
 
     if cfg.animation:

@@ -58,6 +58,10 @@ class RenderSettings:
     # "pallas": fully-fused VMEM-resident MLP kernel (kernels/fused_mlp.py)
     # — ~2x faster fwd+bwd on v5e; flagship-architecture only.
     backend: str = "xla"
+    # std of Gaussian noise added to raw sigma during training — the
+    # regularizer the reference left as a TODO (utils/rendering.py:63;
+    # original NeRF sec. A). 0.0 = off (reference behavior).
+    sigma_noise: float = 0.0
 
 
 def render_rays(
@@ -78,7 +82,10 @@ def render_rays(
     """
     B = rays.shape[0]
     ts = stratified_ts(key, B, settings.N, settings.tn, settings.tf, rays.dtype)
-    return _render_at_ts(params, rays, ts, settings, model)
+    # noise key derived by fold_in so the ts stream is unchanged whether or
+    # not the regularizer is enabled (parity when sigma_noise == 0)
+    noise_key = jax.random.fold_in(key, 1) if settings.sigma_noise > 0 else None
+    return _render_at_ts(params, rays, ts, settings, model, noise_key)
 
 
 def _render_at_ts(
@@ -87,6 +94,7 @@ def _render_at_ts(
     ts: jnp.ndarray,
     settings: RenderSettings,
     model: NerfMLP,
+    noise_key: jax.Array | None = None,
 ) -> CompositeOut:
     locs, unit_dirs = sample_points(rays, ts)
     B, N = ts.shape
@@ -96,24 +104,27 @@ def _render_at_ts(
 
     if settings.backend == "pallas":
         out = _fused_mlp_rows(params, query, settings, model)
-        return composite(out.reshape(B, N, 4), ts, unit_dirs)
-
-    rows = B * N
-    k = 1
-    while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
-        k *= 2
-    if k > 1:
-        out = jax.lax.map(
-            lambda q: nerf_apply(
-                params, q, model, compute_dtype=settings.compute_dtype
-            ),
-            query.reshape(k, rows // k, 6),
-        )
     else:
-        out = nerf_apply(
-            params, query, model, compute_dtype=settings.compute_dtype
-        )
-    return composite(out.reshape(B, N, 4), ts, unit_dirs)
+        rows = B * N
+        k = 1
+        while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
+            k *= 2
+        if k > 1:
+            out = jax.lax.map(
+                lambda q: nerf_apply(
+                    params, q, model, compute_dtype=settings.compute_dtype
+                ),
+                query.reshape(k, rows // k, 6),
+            )
+        else:
+            out = nerf_apply(
+                params, query, model, compute_dtype=settings.compute_dtype
+            )
+    out = out.reshape(B, N, 4)
+    if noise_key is not None and settings.sigma_noise > 0:
+        noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
+        out = out.at[..., 3].add(noise)
+    return composite(out, ts, unit_dirs)
 
 
 def _fused_mlp_rows(

@@ -43,6 +43,10 @@ def _load_dataset(cfg: TrainConfig):
         from nerf_simple_tpu.data.llff import load_llff
 
         return load_llff(cfg.datapath, factor=cfg.llff_factor, ndc=cfg.ndc)
+    if cfg.dataset == "tiny_nerf":
+        from nerf_simple_tpu.data.tiny_nerf import load_tiny_nerf
+
+        return load_tiny_nerf(cfg.datapath)
     return load_blender(cfg.datapath, cfg.half_res, cfg.num_train_imgs)
 
 
@@ -137,6 +141,17 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     meter = Throughput()
     start = int(state.step)
     n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
+    if cfg.profile_dir:
+        # capture chunks 1-2 (post-compile) as a device trace
+        from nerf_simple_tpu.utils.profiling import trace_context
+
+        state, losses = step_fn(state, rays, pixels, k_train)
+        np.asarray(losses)
+        with trace_context(cfg.profile_dir):
+            state, losses = step_fn(state, rays, pixels, k_train)
+            np.asarray(losses)
+        start = int(state.step)
+        n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
     for c in range(n_chunks):
         chunk_start = start + c * cfg.steps_per_call
         state, losses = step_fn(state, rays, pixels, k_train)

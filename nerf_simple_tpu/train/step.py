@@ -90,6 +90,7 @@ def build_train_step(
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
         backend=cfg.backend,
+        sigma_noise=cfg.sigma_noise,
     )
 
     def loss_fn(params, rays_b, pix_b, key):

@@ -101,3 +101,23 @@ def test_synthetic_scene_has_content(scene_dir):
     assert imgs.max() > 0.2
     assert imgs.mean() < 0.5
     assert imgs.std() > 0.03
+
+
+def test_tiny_nerf_npz_loader(tmp_path):
+    from nerf_simple_tpu.data.tiny_nerf import load_tiny_nerf
+
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "tiny_nerf_data.npz")
+    np.savez(
+        p,
+        images=rng.uniform(0, 1, (106, 20, 20, 3)).astype(np.float32),
+        poses=np.tile(np.eye(4, dtype=np.float32), (106, 1, 1)),
+        focal=np.float64(25.0),
+    )
+    data = load_tiny_nerf(p)
+    assert len(data.splits["train"]) == 100
+    assert len(data.splits["val"]) == 3
+    assert len(data.splits["test"]) == 3
+    assert data.H == data.W == 20 and data.f == 25.0
+    rd = RayDataset.from_blender(data)
+    assert rd.rays["train"].shape == (100 * 400, 6)

@@ -99,3 +99,20 @@ def test_hierarchical_chunked_image_render():
     assert rgb.shape == (20, 3)
     assert np.isfinite(np.asarray(rgb)).all()
     assert np.isfinite(np.asarray(disp)).all()
+
+
+def test_sigma_noise_regularizer():
+    model, params, rays = _small_setup(B=8)
+    key = jax.random.PRNGKey(3)
+    base = render_rays(params, rays, key, RenderSettings(N=16), model)
+    # sigma_noise=0 must be bit-identical to the default (parity)
+    off = render_rays(
+        params, rays, key, RenderSettings(N=16, sigma_noise=0.0), model
+    )
+    np.testing.assert_array_equal(np.asarray(base.rgb), np.asarray(off.rgb))
+    # enabling noise changes weights but keeps the same ts stream
+    on = render_rays(
+        params, rays, key, RenderSettings(N=16, sigma_noise=1.0), model
+    )
+    assert not np.allclose(np.asarray(on.weights), np.asarray(base.weights))
+    assert np.isfinite(np.asarray(on.rgb)).all()
