@@ -38,6 +38,33 @@ class CompositeOut(NamedTuple):
     depth: jnp.ndarray  # (B,) weighted mean sample distance (extra output)
 
 
+def composite_T(
+    rgb_sigma_T: jnp.ndarray, ts: jnp.ndarray, unit_dirs: jnp.ndarray
+) -> CompositeOut:
+    """``composite`` on channel-major inputs: (4, B, N) ``[r, g, b, sigma]``.
+
+    Used by the Pallas render path, whose fused kernel is feature-major —
+    this avoids materializing a (B*N, 4) minor-dim-4 transpose of the
+    kernel output. Math identical to ``composite`` (same tests cover both).
+    """
+    sigma = rgb_sigma_T[3]  # (B, N)
+    deltas = ts[:, 1:] - ts[:, :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1
+    )
+    deltas = deltas * jnp.linalg.norm(unit_dirs, axis=-1, keepdims=True)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * deltas)
+    log_trans = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+    excl = jnp.cumsum(log_trans, axis=-1) - log_trans
+    weights = alpha * jnp.exp(excl)
+
+    rgb = jnp.einsum("bn,cbn->bc", weights, rgb_sigma_T[:3])
+    depth = jnp.sum(weights * ts, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    disp = 1.0 / jnp.maximum(1e-10, depth / acc)
+    return CompositeOut(rgb, disp, alpha, acc, weights, depth)
+
+
 def composite(
     rgb_sigma: jnp.ndarray, ts: jnp.ndarray, unit_dirs: jnp.ndarray
 ) -> CompositeOut:

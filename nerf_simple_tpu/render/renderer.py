@@ -32,7 +32,7 @@ import numpy as np
 from nerf_simple_tpu.models.nerf import NerfMLP, Params, nerf_apply
 from nerf_simple_tpu.ops.rays import rays_for_poses
 from nerf_simple_tpu.ops.sampling import importance_ts, sample_points, stratified_ts
-from nerf_simple_tpu.ops.volume import CompositeOut, composite
+from nerf_simple_tpu.ops.volume import CompositeOut, composite, composite_T
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,30 +96,38 @@ def _render_at_ts(
     model: NerfMLP,
     noise_key: jax.Array | None = None,
 ) -> CompositeOut:
-    locs, unit_dirs = sample_points(rays, ts)
     B, N = ts.shape
+    if settings.backend == "pallas":
+        # feature-major path: build the kernel's x^T directly from the
+        # (B, N) ray/sample structure — no (B*N, 6) transpose ever exists
+        outT = _fused_mlp_bn(params, rays, ts, settings, model)  # (4,B,N)
+        if noise_key is not None and settings.sigma_noise > 0:
+            noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
+            outT = outT.at[3].add(noise)
+        dirs = rays[:, 3:]
+        unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        return composite_T(outT, ts, unit_dirs)
+
+    locs, unit_dirs = sample_points(rays, ts)
     query = jnp.concatenate(
         [locs, jnp.broadcast_to(unit_dirs[:, None, :], locs.shape)], axis=-1
     ).reshape(B * N, 6)
 
-    if settings.backend == "pallas":
-        out = _fused_mlp_rows(params, query, settings, model)
+    rows = B * N
+    k = 1
+    while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
+        k *= 2
+    if k > 1:
+        out = jax.lax.map(
+            lambda q: nerf_apply(
+                params, q, model, compute_dtype=settings.compute_dtype
+            ),
+            query.reshape(k, rows // k, 6),
+        )
     else:
-        rows = B * N
-        k = 1
-        while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
-            k *= 2
-        if k > 1:
-            out = jax.lax.map(
-                lambda q: nerf_apply(
-                    params, q, model, compute_dtype=settings.compute_dtype
-                ),
-                query.reshape(k, rows // k, 6),
-            )
-        else:
-            out = nerf_apply(
-                params, query, model, compute_dtype=settings.compute_dtype
-            )
+        out = nerf_apply(
+            params, query, model, compute_dtype=settings.compute_dtype
+        )
     out = out.reshape(B, N, 4)
     if noise_key is not None and settings.sigma_noise > 0:
         noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
@@ -127,13 +135,20 @@ def _render_at_ts(
     return composite(out, ts, unit_dirs)
 
 
-def _fused_mlp_rows(
-    params: Params, query: jnp.ndarray, settings: RenderSettings, model: NerfMLP
+def _fused_mlp_bn(
+    params: Params,
+    rays: jnp.ndarray,
+    ts: jnp.ndarray,
+    settings: RenderSettings,
+    model: NerfMLP,
 ) -> jnp.ndarray:
-    """Evaluate the MLP on (rows, 6) queries via the fused Pallas kernel.
+    """Evaluate the fused Pallas MLP over a (B, N) ray/sample grid.
 
-    Handles layout (feature-major transpose), lane padding to the kernel
-    tile, and weight repacking; gradients flow to ``params`` through
+    Builds the kernel's feature-major x^T (8, B*N) directly from the ray
+    structure — rows 0..2 sample xyz (unnormalized-dir placement, the
+    reference quirk at utils/rendering.py:31-36), rows 3..5 unit view dir
+    — so no (rows, 6)-shaped minor-dim transpose is ever materialized.
+    Returns channel-major (4, B, N); gradients flow to ``params`` through
     pack_weights' (differentiable) permutation/transposition.
     """
     from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights
@@ -142,14 +157,24 @@ def _fused_mlp_rows(
         "pallas backend supports the flagship NerfMLP(10, 4, 256); "
         "use backend='xla' for other architectures"
     )
-    rows = query.shape[0]
+    B, N = ts.shape
+    oT = rays[:, :3].T  # (3, B) — tiny transposes
+    dT = rays[:, 3:].T  # (3, B)
+    unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
+    locs_T = oT[:, :, None] + dT[:, :, None] * ts[None, :, :]  # (3, B, N)
+    dirs_T = jnp.broadcast_to(unitT[:, :, None], (3, B, N))
+    x = jnp.concatenate(
+        [locs_T, dirs_T, jnp.zeros((2, B, N), rays.dtype)], axis=0
+    ).reshape(8, B * N)
+
+    rows = B * N
     tile = 1024 if rows % 1024 == 0 else 128
     rows_p = -(-rows // tile) * tile
-    xT = jnp.zeros((8, rows_p), jnp.float32)
-    xT = xT.at[:6, :rows].set(query.T)
+    if rows_p != rows:
+        x = jnp.pad(x, ((0, 0), (0, rows_p - rows)))
     wts = pack_weights(params)
-    outT = fused_mlp(wts, xT, tile, settings.compute_dtype)
-    return outT[:4, :rows].T  # (rows, 4) = [r, g, b, sigma]
+    outT = fused_mlp(wts, x, tile, settings.compute_dtype)
+    return outT[:4, :rows].reshape(4, B, N)
 
 
 def render_rays_hierarchical(
