@@ -105,18 +105,49 @@ def build_train_step(
         out = render_rays(params, rays_b, key, settings, model)
         return jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
 
-    def one_iter(state: TrainState, rays, pixels, key):
+    def _loss_and_grads_single(params, rays, pixels, key):
         k_sel, k_render = jax.random.split(key)
         idx = jax.random.randint(k_sel, (cfg.batch_size,), 0, rays.shape[0])
-        if mesh is not None:
-            idx = jax.lax.with_sharding_constraint(
-                idx, NamedSharding(mesh, P("data"))
-            )
         rays_b = rays[idx]
         pix_b = pixels[idx]
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, rays_b, pix_b, k_render
+        return jax.value_and_grad(loss_fn)(params, rays_b, pix_b, k_render)
+
+    if mesh is not None:
+        # SPMD data parallelism via shard_map: each chip samples its own
+        # B/n_shards rays (per-shard fold_in key stream), computes the
+        # local loss/grad, and the psum rides ICI. Explicit shard_map
+        # (rather than a sharding constraint + auto-partitioning) because
+        # the fused Pallas kernel is a custom call XLA cannot partition.
+        # Semantics: the global batch is the union of per-shard draws —
+        # distributionally identical to the single-chip sampler.
+        from jax import shard_map
+
+        n_data = mesh.shape["data"]
+        assert cfg.batch_size % n_data == 0, (cfg.batch_size, n_data)
+        shard_B = cfg.batch_size // n_data
+
+        def _shard_fn(params, rays, pixels, key):
+            shard = jax.lax.axis_index("data")
+            k_sel, k_render = jax.random.split(jax.random.fold_in(key, shard))
+            idx = jax.random.randint(k_sel, (shard_B,), 0, rays.shape[0])
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, rays[idx], pixels[idx], k_render
+            )
+            # equal shard sizes -> pmean of shard means == global mean
+            return jax.lax.pmean((loss, grads), "data")
+
+        _loss_and_grads = shard_map(
+            _shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
         )
+    else:
+        _loss_and_grads = _loss_and_grads_single
+
+    def one_iter(state: TrainState, rays, pixels, key):
+        loss, grads = _loss_and_grads(state.params, rays, pixels, key)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

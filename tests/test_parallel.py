@@ -48,39 +48,60 @@ def test_shard_batch_places_leading_axis():
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
 
 
-def test_1_vs_8_device_training_equivalence():
-    """Same seed, same data: training on an 8-device mesh must produce the
-    same params as single-device training (gradient all-reduce correctness).
-    """
+def test_8_device_grads_equal_mean_of_shard_grads():
+    """The sharded step's psum'd gradient must equal the mean of the
+    per-shard gradients computed manually on a single device with the same
+    per-shard key streams (all-reduce correctness, exact semantics)."""
+    import optax
+
+    from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+    from nerf_simple_tpu.train.step import make_optimizer
+
     model = NerfMLP(H=32)
-    cfg = _cfg()
+    cfg = _cfg(steps_per_call=1, batch_size=64)
     rays = jax.random.normal(jax.random.PRNGKey(1), (512, 6))
     pixels = jax.random.uniform(jax.random.PRNGKey(2), (512, 3))
     key = jax.random.PRNGKey(3)
 
-    # single device
-    state1 = make_train_state(jax.random.PRNGKey(0), cfg, model)
-    step1 = build_train_step(cfg, model, donate=False)
-    state1, losses1 = step1(state1, rays, pixels, key)
-
-    # 8-device mesh, replicated inputs, sharded batch inside the step
     mesh = make_mesh()
     rep = replicated_sharding(mesh)
-    state8 = make_train_state(jax.random.PRNGKey(0), cfg, model)
-    state8 = jax.device_put(state8, rep)
+    state0 = make_train_state(jax.random.PRNGKey(0), cfg, model)
     step8 = build_train_step(cfg, model, mesh=mesh, donate=False)
     state8, losses8 = step8(
-        jax.device_put(state8, rep),
+        jax.device_put(state0, rep),
         jax.device_put(rays, rep),
         jax.device_put(pixels, rep),
         key,
     )
 
-    np.testing.assert_allclose(
-        np.asarray(losses1), np.asarray(losses8), rtol=2e-4
-    )
+    # replicate the sharded math by hand on one device
+    settings = RenderSettings(N=cfg.Nf, tn=cfg.tn, tf=cfg.tf)
+
+    def loss_fn(params, rays_b, pix_b, k):
+        out = render_rays(params, rays_b, k, settings, model)
+        return jnp.mean((out.rgb - pix_b) ** 2)
+
+    k_iter = jax.random.fold_in(key, 0)  # scan body folds in the step id
+    shard_B = cfg.batch_size // 8
+    losses, grads = [], []
+    for shard in range(8):
+        k_sel, k_render = jax.random.split(jax.random.fold_in(k_iter, shard))
+        idx = jax.random.randint(k_sel, (shard_B,), 0, rays.shape[0])
+        l, g = jax.value_and_grad(loss_fn)(
+            state0.params, rays[idx], pixels[idx], k_render
+        )
+        losses.append(l)
+        grads.append(g)
+    mean_loss = np.mean([float(l) for l in losses])
+    mean_grads = jax.tree.map(lambda *g: sum(g) / 8.0, *grads)
+
+    np.testing.assert_allclose(float(losses8[0]), mean_loss, rtol=2e-5)
+
+    opt = make_optimizer(cfg)
+    updates, _ = opt.update(mean_grads, state0.opt_state, state0.params)
+    expect_params = optax.apply_updates(state0.params, updates)
     for a, b in zip(
-        jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)
+        jax.tree.leaves(expect_params), jax.tree.leaves(state8.params)
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3
@@ -120,3 +141,46 @@ def test_graft_entry_fn_jits():
     rgb, disp, acc = jax.jit(fn)(*args)
     assert rgb.shape == (1024, 3)
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_sharded_pallas_render_runs():
+    """The fused kernel invoked inside shard_map on a 2-device mesh
+    (interpret mode on CPU): the custom call partitions explicitly and
+    produces the same result as the unsharded call. (The full sharded
+    fwd+bwd train step is exercised on real hardware; interpret-mode
+    backward across shards is too slow for CI.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.models.nerf import init_nerf_params
+    from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+
+    model = NerfMLP()  # pallas path requires the flagship arch
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rays = jax.random.normal(jax.random.PRNGKey(1), (32, 6))
+    key = jax.random.PRNGKey(2)
+    settings = RenderSettings(N=8, backend="pallas")
+    mesh = make_mesh(num_data=2)
+
+    def fn(params, rays):
+        # per-shard independent render of the local ray block
+        return render_rays(params, rays, key, settings, model).rgb
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        rgb_sharded = np.asarray(sharded(params, rays))
+        # oracle: render each half separately (same per-shard key)
+        rgb_a = np.asarray(
+            render_rays(params, rays[:16], key, settings, model).rgb
+        )
+        rgb_b = np.asarray(
+            render_rays(params, rays[16:], key, settings, model).rgb
+        )
+    np.testing.assert_allclose(
+        rgb_sharded, np.concatenate([rgb_a, rgb_b]), atol=1e-5
+    )
