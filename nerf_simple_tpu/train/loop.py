@@ -140,6 +140,16 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
 
     meter = Throughput()
     start = int(state.step)
+    # exact num_iters: full steps_per_call chunks + one remainder chunk
+    # (the remainder compiles a second, shorter scan once)
+    remainder = (cfg.num_iters - start) % cfg.steps_per_call
+    rem_step_fn = None
+    if remainder:
+        import dataclasses as _dc
+
+        rem_step_fn = build_train_step(
+            _dc.replace(cfg, steps_per_call=remainder), model, mesh
+        )
     n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
     if cfg.profile_dir:
         # capture chunks 1-2 (post-compile) as a device trace
@@ -154,12 +164,17 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
     for c in range(n_chunks):
         chunk_start = start + c * cfg.steps_per_call
-        state, losses = step_fn(state, rays, pixels, k_train)
+        last = c == n_chunks - 1
+        if last and remainder:
+            state, losses = rem_step_fn(state, rays, pixels, k_train)
+            spc = remainder
+        else:
+            state, losses = step_fn(state, rays, pixels, k_train)
+            spc = cfg.steps_per_call
         # Only synchronize with the device when this chunk crosses a
         # logging/checkpoint boundary — otherwise chunks stay enqueued and
         # the device never idles waiting on the host (each sync costs a
         # full tunnel round trip).
-        spc = cfg.steps_per_call
         boundary = (
             any((chunk_start + j) % cfg.ckpt_loss == 0 for j in range(spc))
             or any((chunk_start + j) % cfg.ckpt_images == 0 for j in range(spc))

@@ -183,3 +183,31 @@ def test_nan_guard_catches_poisoned_input(tiny_scene):
 
     with pytest.raises(ValueError, match="non-finite"):
         assert_finite({"x": np.array([1.0, np.nan])}, "params")
+
+
+def test_train_driver_exact_num_iters(tiny_scene, tmp_path):
+    """num_iters not divisible by steps_per_call stops at exactly
+    num_iters (the last chunk is a shorter compiled scan)."""
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.train.loop import train
+
+    scene = str(tmp_path / "scene")
+    write_blender_scene(scene, n_train=2, n_val=1, n_test=1, H=16, W=16)
+    cfg = TrainConfig(
+        datapath=scene,
+        savepath=str(tmp_path / "models"),
+        exp_name="exact",
+        Nf=4,
+        num_iters=23,  # 2 chunks of 10 + remainder 3
+        batch_size=32,
+        steps_per_call=10,
+        half_res=False,
+        num_train_imgs=-1,
+        ckpt_loss=1000,
+        ckpt_images=10**9,
+        ckpt_model=10**9,
+        val_idxs=(0,),
+        log_dir=str(tmp_path / "logs"),
+    )
+    state = train(cfg)
+    assert int(state.step) == 23
