@@ -26,9 +26,15 @@ from nerf_simple_tpu.train.step import TrainState
 
 
 def save_checkpoint(direc: str, state: TrainState) -> str:
-    """Save full train state; returns the checkpoint path."""
+    """Save full train state; returns the checkpoint path. Overwrites an
+    existing checkpoint at the same step (re-running an experiment with the
+    same savepath/exp_name must not crash)."""
+    import shutil
+
     step = int(state.step)
     path = os.path.abspath(os.path.join(direc, f"ckpt_{step}"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state))
     ckptr.wait_until_finished()
