@@ -378,14 +378,23 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     assert len(grad_refs) == _N_W
 
     x = x_ref[:]
-    out, res = _forward_tile(x, wts, Sx, Sd, consts, dtype)
-    posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, feat, hc = res
+    _, res = _forward_tile(x, wts, Sx, Sd, consts, dtype)
 
     g = g_ref[:]  # (8, TR) f32: rows 0..2 d_rgb, row 3 d_sigma
     rows_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
     g_rgb8 = jnp.where(rows_i < 3, g, 0.0)  # feeds Wc1 backprop
     # sigma grad back at fs row H: build (8, TR) with row 0 = d_sigma
     g_sig8 = jnp.where(rows_i == 0, pltpu.roll(g, 5, axis=0), 0.0)
+
+    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype)
+    _accumulate_grads(grad_refs, grads)
+
+
+def _backprop_tile(wts, res, g_rgb8, g_sig8, dtype) -> FusedWeights:
+    """Backprop through the MLP given per-sample output cotangents
+    (g_rgb8 rows 0..2, g_sig8 row 0) and saved activations ``res``.
+    Returns this tile's weight-gradient contribution."""
+    posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, feat, hc = res
 
     def mmT_acc(gout, act):  # dW = gout @ act^T   (contract over rows)
         return jax.lax.dot_general(
@@ -451,7 +460,7 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     db1 = dbias(g_h0)
     # (no gradient w.r.t. x needed: rays/ts carry no trainable state)
 
-    grads = FusedWeights(
+    return FusedWeights(
         W1=dW1, b1=db1,
         Wt1=dWt1, bt1=dbt1, Wt2=dWt2, bt2=dbt2,
         Wt3=dWt3, bt3=dbt3, Wt4=dWt4, bt4=dbt4,
@@ -462,6 +471,9 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
         Wc1=dWc1, bc1=dbc1,
     )
 
+
+def _accumulate_grads(grad_refs, grads) -> None:
+    """Revisited-block accumulation: init on grid step 0, add after."""
     is_first = pl.program_id(0) == 0
     for gref, gval in zip(grad_refs, grads):
         @pl.when(is_first)
@@ -540,3 +552,175 @@ def _fused_mlp_bwd_rule(tile_rows, compute_dtype, res, g):
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused training kernel: fwd + compositing + MSE grad + bwd in ONE
+# kernel — activations stay in VMEM between forward and backward, deleting
+# the backward pass's forward recompute (~25% of training FLOPs).
+# ---------------------------------------------------------------------------
+#
+# Tile structure: tile_rows = R rays x N samples, samples contiguous on the
+# lane axis (N lanes per ray segment). Compositing is done with segmented
+# lane operations:
+#   - segmented inclusive cumsum: Hillis-Steele shifts masked at segment
+#     boundaries (log2(N) steps of pltpu.roll);
+#   - per-ray reductions / broadcasts: contractions with a constant 0/1
+#     segment matrix ST (R, tile) on the MXU.
+#
+# The loss is the reference's raw-color MSE (train.py:52): per-ray
+# sum_c (rgb_c - gt_c)^2 / (3B), accumulated across the grid into a
+# dedicated output block. Gradients w.r.t. ts/rays are not materialized
+# (no trainable state there).
+
+
+def _seg_cumsum(x, segpos, N):
+    """Inclusive cumsum along lanes within length-N segments. x: (1, T)."""
+    s = 1
+    while s < N:
+        shifted = pltpu.roll(x, s, axis=1)
+        x = x + jnp.where(segpos >= s, shifted, 0.0)
+        s *= 2
+    return x
+
+
+def _train_kernel(dtype, N, scale, x16_ref, *refs):
+    wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
+    Sx = refs[_N_W][:]
+    Sd = refs[_N_W + 1][:]
+    consts = tuple(r[:] for r in refs[_N_W + 2 : _N_W + 8])
+    ST = refs[_N_W + 8][:]  # (R, tile) 0/1 segment matrix
+    grad_refs = refs[_N_W + 9 : _N_W + 9 + _N_W]
+    loss_ref = refs[_N_W + 9 + _N_W]
+
+    x16 = x16_ref[:]
+    x8 = x16[:8]
+    out8, res = _forward_tile(x8, wts, Sx, Sd, consts, dtype)
+
+    tile = x16.shape[1]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    segpos = lane1 % N
+
+    # --- compositing forward (ops/volume.py math, segmented on lanes) ---
+    ts = x16[6:7, :]  # (1, tile)
+    sig = out8[3:4, :]
+    ts_next = pltpu.roll(ts, tile - 1, axis=1)  # value at lane+1
+    delta = jnp.where(segpos == N - 1, 1e10, ts_next - ts)
+    sp = jax.nn.softplus(sig)
+    alpha = 1.0 - jnp.exp(-sp * delta)
+    m = jnp.maximum(1.0 - alpha, 1e-10)
+    logm = jnp.log(m)
+    excl = _seg_cumsum(logm, segpos, N) - logm
+    T = jnp.exp(excl)
+    w = alpha * T  # (1, tile)
+
+    def dotT(a, b):  # (8, tile) x (R, tile) -> (8, R), contract lanes
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    rgbw = jnp.where(rows_i < 3, out8 * w, 0.0)
+    rgb_ray = dotT(rgbw, ST)  # (8, R), rows 0..2
+    gt8 = x16[8:16, :]  # rows 0..2 = gt broadcast per sample
+    head = (segpos == 0).astype(jnp.float32)
+    gt_ray = dotT(jnp.where(rows_i < 3, gt8 * head, 0.0), ST)
+
+    err = rgb_ray - gt_ray  # (8, R), rows 0..2 valid
+    loss_tile = jnp.sum(err * err) * scale
+
+    # --- loss gradient back to per-sample rgb/sigma ---
+    d_rgb_ray = 2.0 * scale * err  # rows 0..2
+    d_rgb_b = jax.lax.dot_general(  # (8, R) @ (R, tile) -> (8, tile)
+        d_rgb_ray, ST, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g_rgb8 = jnp.where(rows_i < 3, w * d_rgb_b, 0.0)
+
+    prod = jnp.where(rows_i < 3, out8 * d_rgb_b, 0.0)
+    d_w = jnp.sum(prod, axis=0, keepdims=True)  # (1, tile)
+
+    y = d_w * w
+    y8 = jnp.where(rows_i == 0, jnp.broadcast_to(y, (8, tile)), 0.0)
+    tot = dotT(y8, ST)  # (8, R) row 0 = per-ray total
+    tot_b = jax.lax.dot_general(
+        tot, ST, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0:1, :]
+    suffix = tot_b - _seg_cumsum(y, segpos, N)  # sum over i > k
+    d_alpha = d_w * T - jnp.where(1.0 - alpha > 1e-10, suffix / m, 0.0)
+    d_sigma = (
+        d_alpha * jnp.exp(-sp * delta) * delta * jax.nn.sigmoid(sig)
+    )  # (1, tile)
+    g_sig8 = jnp.where(
+        rows_i == 0, jnp.broadcast_to(d_sigma, (8, tile)), 0.0
+    )
+
+    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype)
+    _accumulate_grads(grad_refs, grads)
+
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    loss_block = jnp.where((rows8 == 0) & (cols_i == 0), loss_tile, 0.0)
+    _accumulate_grads([loss_ref], [loss_block])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "tile_rows", "compute_dtype")
+)
+def fused_train_step(
+    wts: FusedWeights,
+    x16: jnp.ndarray,
+    N: int,
+    tile_rows: int = 1024,
+    compute_dtype: Any = jnp.bfloat16,
+) -> tuple[jnp.ndarray, FusedWeights]:
+    """One fused fwd+composite+MSE-grad+bwd pass.
+
+    Args:
+      wts: pack_weights output.
+      x16: (16, B*N) f32 — rows 0..2 sample xyz, 3..5 unit view dirs,
+        6 ts, 7 zero, 8..10 gt color broadcast per sample, 11..15 zero.
+        B*N must be a multiple of tile_rows and tile_rows of N.
+      N: samples per ray.
+
+    Returns:
+      (loss scalar, weight gradients in kernel layout).
+    """
+    rows = x16.shape[1]
+    assert tile_rows % N == 0 and rows % tile_rows == 0, (rows, tile_rows, N)
+    R = tile_rows // N
+    B = rows // N
+    grid = (rows // tile_rows,)
+    scale = 1.0 / (3.0 * B)
+
+    Sx, mxr, mxs, mxc = _spread_and_masks_x()
+    Sd, mdr, mds, mdc = _spread_and_masks_d()
+    lane = np.arange(tile_rows)
+    ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
+    extras = [Sx, Sd, mxr, mxs, mxc, mdr, mds, mdc, ST]
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [pl.BlockSpec((16, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        + [full(w) for w in wts]
+        + [full(e) for e in extras]
+    )
+    out_specs = tuple(full(w) for w in wts) + (
+        pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts
+    ) + (jax.ShapeDtypeStruct((8, 128), jnp.float32),)
+
+    outs = pl.pallas_call(
+        functools.partial(_train_kernel, compute_dtype, N, scale),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(x16, *wts, *[jnp.asarray(e) for e in extras])
+    return outs[-1][0, 0], FusedWeights(*outs[:-1])

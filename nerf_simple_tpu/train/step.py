@@ -105,12 +105,61 @@ def build_train_step(
         out = render_rays(params, rays_b, key, settings, model)
         return jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
 
+    def _make_core(batch_rows: int):
+        """(loss, grads) for one sampled batch. Uses the single fused
+        fwd+composite+MSE+bwd kernel when eligible (flagship arch, plain
+        coarse MSE path, tile-divisible shapes) — it skips the backward
+        pass's forward recompute, ~25% of training FLOPs."""
+        N = cfg.Nf
+        tile = N * max(1, 1024 // N)
+        fused_ok = (
+            cfg.backend == "pallas"
+            and not cfg.hierarchical
+            and cfg.sigma_noise == 0.0
+            and (model.Lp, model.Ld, model.H) == (10, 4, 256)
+            and tile % N == 0
+            and (batch_rows * N) % tile == 0
+        )
+        if not fused_ok:
+            return lambda params, rays_b, pix_b, key: jax.value_and_grad(
+                loss_fn
+            )(params, rays_b, pix_b, key)
+
+        from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
+        from nerf_simple_tpu.ops.sampling import stratified_ts
+
+        def core(params, rays_b, pix_b, key):
+            B = rays_b.shape[0]
+            ts = stratified_ts(key, B, N, cfg.tn, cfg.tf, rays_b.dtype)
+            oT = rays_b[:, :3].T
+            dT = rays_b[:, 3:].T
+            unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
+            locs_T = oT[:, :, None] + dT[:, :, None] * ts[None]
+            x16 = jnp.concatenate(
+                [
+                    locs_T,
+                    jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+                    ts[None],
+                    jnp.zeros((1, B, N), rays_b.dtype),
+                    jnp.broadcast_to(pix_b.T[:, :, None], (3, B, N)),
+                    jnp.zeros((5, B, N), rays_b.dtype),
+                ],
+                axis=0,
+            ).reshape(16, B * N)
+            wts, vjp_fn = jax.vjp(pack_weights, params)
+            loss, dwts = fused_train_step(
+                wts, x16, N, tile, cfg.render_dtype
+            )
+            return loss, vjp_fn(dwts)[0]
+
+        return core
+
     def _loss_and_grads_single(params, rays, pixels, key):
         k_sel, k_render = jax.random.split(key)
         idx = jax.random.randint(k_sel, (cfg.batch_size,), 0, rays.shape[0])
         rays_b = rays[idx]
         pix_b = pixels[idx]
-        return jax.value_and_grad(loss_fn)(params, rays_b, pix_b, k_render)
+        return _make_core(cfg.batch_size)(params, rays_b, pix_b, k_render)
 
     if mesh is not None:
         # SPMD data parallelism via shard_map: each chip samples its own
@@ -126,11 +175,13 @@ def build_train_step(
         assert cfg.batch_size % n_data == 0, (cfg.batch_size, n_data)
         shard_B = cfg.batch_size // n_data
 
+        shard_core = _make_core(shard_B)
+
         def _shard_fn(params, rays, pixels, key):
             shard = jax.lax.axis_index("data")
             k_sel, k_render = jax.random.split(jax.random.fold_in(key, shard))
             idx = jax.random.randint(k_sel, (shard_B,), 0, rays.shape[0])
-            loss, grads = jax.value_and_grad(loss_fn)(
+            loss, grads = shard_core(
                 params, rays[idx], pixels[idx], k_render
             )
             # equal shard sizes -> pmean of shard means == global mean

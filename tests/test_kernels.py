@@ -90,3 +90,74 @@ def test_fused_backward_matches_autodiff():
                 a, b, atol=5e-3, rtol=1e-3,
                 err_msg=f"grad mismatch at {layer}/{k}",
             )
+
+
+def test_fused_train_step_matches_xla_loss_and_grads():
+    """The single-kernel fwd+composite+MSE+bwd pass must reproduce the
+    XLA pipeline's loss and parameter gradients (f32, interpret mode)."""
+    from nerf_simple_tpu.kernels.mlp import fused_train_step
+    from nerf_simple_tpu.ops.sampling import sample_points, stratified_ts
+    from nerf_simple_tpu.ops.volume import composite
+
+    B, N, tile = 8, 16, 128  # rows = 128 = 1 tile of R=8 rays
+    model = NerfMLP()
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rng = np.random.default_rng(5)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (B, 3)), rng.normal(size=(B, 3))], -1
+        ),
+        jnp.float32,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
+    ts = stratified_ts(jax.random.PRNGKey(1), B, N, 2.0, 6.0)
+
+    # XLA reference at the same ts
+    def xla_loss(p):
+        locs, unit = sample_points(rays, ts)
+        q = jnp.concatenate(
+            [locs, jnp.broadcast_to(unit[:, None, :], locs.shape)], -1
+        ).reshape(B * N, 6)
+        out = nerf_apply(p, q, model).reshape(B, N, 4)
+        comp = composite(out, ts, unit)
+        return jnp.mean((comp.rgb - gt) ** 2)
+
+    ref_loss, ref_grads = jax.value_and_grad(xla_loss)(params)
+
+    # kernel path
+    oT = rays[:, :3].T
+    dT = rays[:, 3:].T
+    unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
+    locs_T = oT[:, :, None] + dT[:, :, None] * ts[None]
+    x16 = jnp.concatenate(
+        [
+            locs_T,
+            jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+            ts[None],
+            jnp.zeros((1, B, N)),
+            jnp.broadcast_to(gt.T[:, :, None], (3, B, N)),
+            jnp.zeros((5, B, N)),
+        ],
+        axis=0,
+    ).reshape(16, B * N)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern_loss_grads(p):
+        wts, vjp_fn = jax.vjp(pack_weights, p)
+        loss, dwts = fused_train_step(wts, x16, N, tile, jnp.float32)
+        return loss, vjp_fn(dwts)[0]
+
+    with pltpu.force_tpu_interpret_mode():
+        k_loss, k_grads = kern_loss_grads(params)
+
+    np.testing.assert_allclose(float(k_loss), float(ref_loss), rtol=1e-4)
+    for layer in ref_grads:
+        for kk in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(k_grads[layer][kk]),
+                np.asarray(ref_grads[layer][kk]),
+                atol=1e-5,
+                rtol=2e-3,
+                err_msg=f"{layer}/{kk}",
+            )
