@@ -5,6 +5,13 @@ from nerf_simple_tpu.kernels.mlp import (
     pack_weights,
     fused_mlp_forward,
     fused_mlp,
+    fused_train_step,
 )
 
-__all__ = ["FusedWeights", "pack_weights", "fused_mlp_forward", "fused_mlp"]
+__all__ = [
+    "FusedWeights",
+    "pack_weights",
+    "fused_mlp_forward",
+    "fused_mlp",
+    "fused_train_step",
+]

@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_simple_tpu.models.nerf import NerfMLP, Params
+from nerf_simple_tpu.models.nerf import Params
 
 # Fixed flagship architecture constants (NerfMLP(Lp=10, Ld=4, H=256)).
 LP, LD, H = 10, 4, 256

@@ -27,10 +27,10 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from nerf_simple_tpu.config import TrainConfig
-from nerf_simple_tpu.models.nerf import NerfMLP, Params
+from nerf_simple_tpu.models.nerf import NerfMLP
 from nerf_simple_tpu.render.renderer import (
     RenderSettings,
     render_rays,
