@@ -82,3 +82,27 @@ def sample_ray_batch(
     """
     idx = jax.random.randint(key, (batch_size,), 0, rays.shape[0])
     return rays[idx], pixels[idx]
+
+
+def sample_ray_batch_from_images(
+    key: jax.Array,
+    rays: jnp.ndarray,
+    pixels: jnp.ndarray,
+    im_idxs: tuple[int, ...],
+    rays_per_image: int,
+    batch_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample a batch restricted to the given image indices.
+
+    Equivalent of RayGenerator.select_imgs (utils/dataload.py:155-179 —
+    the reference's commented-out single-image training mode,
+    train.py:48), jit-safe: draw a random image from ``im_idxs`` and a
+    random pixel within it per batch element.
+    """
+    k_img, k_pix = jax.random.split(key)
+    im = jnp.asarray(im_idxs)[
+        jax.random.randint(k_img, (batch_size,), 0, len(im_idxs))
+    ]
+    pix = jax.random.randint(k_pix, (batch_size,), 0, rays_per_image)
+    idx = im * rays_per_image + pix
+    return rays[idx], pixels[idx]

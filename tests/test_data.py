@@ -121,3 +121,20 @@ def test_tiny_nerf_npz_loader(tmp_path):
     assert data.H == data.W == 20 and data.f == 25.0
     rd = RayDataset.from_blender(data)
     assert rd.rays["train"].shape == (100 * 400, 6)
+
+
+def test_sample_ray_batch_from_images(scene_dir):
+    from nerf_simple_tpu.data.dataset import sample_ray_batch_from_images
+
+    data = load_blender(scene_dir, half_res=False)
+    rd = RayDataset.from_blender(data)
+    n = 32 * 32
+    key = jax.random.PRNGKey(0)
+    rays_b, pix_b = sample_ray_batch_from_images(
+        key, rd.rays["train"], rd.pixels["train"], (1, 3), n, 256
+    )
+    assert rays_b.shape == (256, 6)
+    # every sampled ray's origin matches pose 1 or pose 3
+    origins = {tuple(np.round(p, 5)) for p in data.splits["train"].poses[[1, 3], :3, 3]}
+    for o in np.asarray(rays_b[:, :3]):
+        assert tuple(np.round(o, 5)) in origins
