@@ -584,7 +584,7 @@ def _seg_cumsum(x, segpos, N):
     return x
 
 
-def _train_kernel(dtype, N, scale, x16_ref, *refs):
+def _train_kernel(dtype, N, scale, want_w, x16_ref, *refs):
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
@@ -592,6 +592,7 @@ def _train_kernel(dtype, N, scale, x16_ref, *refs):
     ST = refs[_N_W + 8][:]  # (R, tile) 0/1 segment matrix
     grad_refs = refs[_N_W + 9 : _N_W + 9 + _N_W]
     loss_ref = refs[_N_W + 9 + _N_W]
+    w_ref = refs[_N_W + 10 + _N_W] if want_w else None
 
     x16 = x16_ref[:]
     x8 = x16[:8]
@@ -665,9 +666,14 @@ def _train_kernel(dtype, N, scale, x16_ref, *refs):
     loss_block = jnp.where((rows8 == 0) & (cols_i == 0), loss_tile, 0.0)
     _accumulate_grads([loss_ref], [loss_block])
 
+    if want_w:
+        # per-sample compositing weights (row 0) — consumed by the
+        # hierarchical path's inverse-CDF importance sampler
+        w_ref[:] = jnp.where(rows_i == 0, jnp.broadcast_to(w, (8, tile)), 0.0)
+
 
 @functools.partial(
-    jax.jit, static_argnames=("N", "tile_rows", "compute_dtype")
+    jax.jit, static_argnames=("N", "tile_rows", "compute_dtype", "out_weights")
 )
 def fused_train_step(
     wts: FusedWeights,
@@ -675,7 +681,8 @@ def fused_train_step(
     N: int,
     tile_rows: int = 1024,
     compute_dtype: Any = jnp.bfloat16,
-) -> tuple[jnp.ndarray, FusedWeights]:
+    out_weights: bool = False,
+):
     """One fused fwd+composite+MSE-grad+bwd pass.
 
     Args:
@@ -684,9 +691,11 @@ def fused_train_step(
         6 ts, 7 zero, 8..10 gt color broadcast per sample, 11..15 zero.
         B*N must be a multiple of tile_rows and tile_rows of N.
       N: samples per ray.
+      out_weights: also return the per-sample compositing weights (B, N)
+        (used by the hierarchical path to drive importance sampling).
 
     Returns:
-      (loss scalar, weight gradients in kernel layout).
+      (loss scalar, weight gradients in kernel layout[, weights (B, N)]).
     """
     rows = x16.shape[1]
     assert tile_rows % N == 0 and rows % tile_rows == 0, (rows, tile_rows, N)
@@ -715,12 +724,25 @@ def fused_train_step(
     out_shape = tuple(
         jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts
     ) + (jax.ShapeDtypeStruct((8, 128), jnp.float32),)
+    if out_weights:
+        out_specs = out_specs + (
+            pl.BlockSpec(
+                (8, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        )
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((8, rows), jnp.float32),
+        )
 
     outs = pl.pallas_call(
-        functools.partial(_train_kernel, compute_dtype, N, scale),
+        functools.partial(_train_kernel, compute_dtype, N, scale, out_weights),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
     )(x16, *wts, *[jnp.asarray(e) for e in extras])
+    if out_weights:
+        loss = outs[_N_W][0, 0]
+        w_bn = outs[-1][0, :].reshape(B, N)
+        return loss, FusedWeights(*outs[:_N_W]), w_bn
     return outs[-1][0, 0], FusedWeights(*outs[:-1])

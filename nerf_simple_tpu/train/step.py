@@ -105,20 +105,52 @@ def build_train_step(
         out = render_rays(params, rays_b, key, settings, model)
         return jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
 
+    def _pick_tile(N: int, batch_rows: int) -> int | None:
+        """Largest power-of-two rays-per-tile R with N*R <= 1024 and
+        R | batch_rows; None if no valid tiling exists."""
+        R = 1
+        while R * 2 * N <= 1024 and batch_rows % (R * 2) == 0:
+            R *= 2
+        if batch_rows % R:
+            return None
+        return R * N
+
+    def _build_x16(rays_b, ts, pix_b):
+        B, N = ts.shape
+        oT = rays_b[:, :3].T
+        dT = rays_b[:, 3:].T
+        unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
+        locs_T = oT[:, :, None] + dT[:, :, None] * ts[None]
+        return jnp.concatenate(
+            [
+                locs_T,
+                jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+                ts[None],
+                jnp.zeros((1, B, N), rays_b.dtype),
+                jnp.broadcast_to(pix_b.T[:, :, None], (3, B, N)),
+                jnp.zeros((5, B, N), rays_b.dtype),
+            ],
+            axis=0,
+        ).reshape(16, B * N)
+
     def _make_core(batch_rows: int):
         """(loss, grads) for one sampled batch. Uses the single fused
-        fwd+composite+MSE+bwd kernel when eligible (flagship arch, plain
-        coarse MSE path, tile-divisible shapes) — it skips the backward
-        pass's forward recompute, ~25% of training FLOPs."""
-        N = cfg.Nf
-        tile = N * max(1, 1024 // N)
+        fwd+composite+MSE+bwd kernel when eligible (flagship arch, MSE
+        loss, tile-divisible shapes) — it skips the backward pass's
+        forward recompute, ~25% of training FLOPs. The hierarchical path
+        runs TWO fused passes (coarse with a weights output feeding the
+        importance sampler, fine on the sorted union), whose gradient sum
+        exactly equals the generic coarse+fine loss gradient."""
+        tile_f = _pick_tile(cfg.Nf, batch_rows)
+        tile_c = _pick_tile(cfg.Nc, batch_rows) if cfg.hierarchical else 1
+        tile_u = (
+            _pick_tile(cfg.Nc + cfg.Nf, batch_rows) if cfg.hierarchical else 1
+        )
         fused_ok = (
             cfg.backend == "pallas"
-            and not cfg.hierarchical
             and cfg.sigma_noise == 0.0
             and (model.Lp, model.Ld, model.H) == (10, 4, 256)
-            and tile % N == 0
-            and (batch_rows * N) % tile == 0
+            and None not in (tile_f, tile_c, tile_u)
         )
         if not fused_ok:
             return lambda params, rays_b, pix_b, key: jax.value_and_grad(
@@ -126,29 +158,52 @@ def build_train_step(
             )(params, rays_b, pix_b, key)
 
         from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
-        from nerf_simple_tpu.ops.sampling import stratified_ts
+        from nerf_simple_tpu.ops.sampling import importance_ts, stratified_ts
+
+        if cfg.hierarchical:
+
+            def core(params, rays_b, pix_b, key):
+                B = rays_b.shape[0]
+                k_strat, k_imp = jax.random.split(key)
+                ts_c = stratified_ts(
+                    k_strat, B, cfg.Nc, cfg.tn, cfg.tf, rays_b.dtype
+                )
+                wts_c, vjp_c = jax.vjp(pack_weights, params["coarse"])
+                loss_c, dwts_c, w_c = fused_train_step(
+                    wts_c,
+                    _build_x16(rays_b, ts_c, pix_b),
+                    cfg.Nc,
+                    tile_c,
+                    cfg.render_dtype,
+                    out_weights=True,
+                )
+                ts_f = importance_ts(k_imp, ts_c, w_c, cfg.Nf)
+                ts_all = jnp.sort(
+                    jnp.concatenate([ts_c, ts_f], axis=-1), axis=-1
+                )
+                wts_f, vjp_f = jax.vjp(pack_weights, params["fine"])
+                loss_f, dwts_f = fused_train_step(
+                    wts_f,
+                    _build_x16(rays_b, ts_all, pix_b),
+                    cfg.Nc + cfg.Nf,
+                    tile_u,
+                    cfg.render_dtype,
+                )
+                return loss_c + loss_f, {
+                    "coarse": vjp_c(dwts_c)[0],
+                    "fine": vjp_f(dwts_f)[0],
+                }
+
+            return core
 
         def core(params, rays_b, pix_b, key):
-            B = rays_b.shape[0]
-            ts = stratified_ts(key, B, N, cfg.tn, cfg.tf, rays_b.dtype)
-            oT = rays_b[:, :3].T
-            dT = rays_b[:, 3:].T
-            unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
-            locs_T = oT[:, :, None] + dT[:, :, None] * ts[None]
-            x16 = jnp.concatenate(
-                [
-                    locs_T,
-                    jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
-                    ts[None],
-                    jnp.zeros((1, B, N), rays_b.dtype),
-                    jnp.broadcast_to(pix_b.T[:, :, None], (3, B, N)),
-                    jnp.zeros((5, B, N), rays_b.dtype),
-                ],
-                axis=0,
-            ).reshape(16, B * N)
+            ts = stratified_ts(
+                key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
+            )
             wts, vjp_fn = jax.vjp(pack_weights, params)
             loss, dwts = fused_train_step(
-                wts, x16, N, tile, cfg.render_dtype
+                wts, _build_x16(rays_b, ts, pix_b), cfg.Nf, tile_f,
+                cfg.render_dtype,
             )
             return loss, vjp_fn(dwts)[0]
 

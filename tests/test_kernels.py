@@ -161,3 +161,43 @@ def test_fused_train_step_matches_xla_loss_and_grads():
                 rtol=2e-3,
                 err_msg=f"{layer}/{kk}",
             )
+
+
+def test_fused_hierarchical_train_matches_generic():
+    """The two-pass fused hierarchical core must match the generic
+    (autodiff) hierarchical loss and gradients (f32, interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    rng = np.random.default_rng(7)
+    rays = jnp.asarray(
+        np.concatenate([rng.normal(0, 0.1, (8, 3)), rng.normal(size=(8, 3))], -1),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng.uniform(0, 1, (8, 3)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def run(backend):
+        cfg = TrainConfig(
+            datapath="x", Nf=16, Nc=8, hierarchical=True, num_iters=100,
+            batch_size=8, steps_per_call=1, backend=backend,
+            compute_dtype="f32",
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+        )
+        model = NerfMLP()
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False)
+        state, losses = step(state, rays, pixels, key)
+        return float(losses[0]), state.params
+
+    loss_gen, params_gen = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        loss_fused, params_fused = run("pallas")
+
+    np.testing.assert_allclose(loss_fused, loss_gen, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(params_gen), jax.tree.leaves(params_fused)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
+        )
