@@ -55,8 +55,22 @@ def main() -> None:
 
     # warmup / compile; the float() read is a real device sync
     # (block_until_ready is a no-op on some tunneled backends)
-    state, losses = step_fn(state, rays, pixels, key)
-    _ = float(losses[-1])
+    try:
+        state, losses = step_fn(state, rays, pixels, key)
+        _ = float(losses[-1])
+    except Exception as e:  # pragma: no cover - environment fallback
+        print(
+            f"# pallas backend failed ({type(e).__name__}); "
+            "falling back to xla",
+            file=__import__("sys").stderr,
+        )
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, backend="xla")
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step_fn = build_train_step(cfg, model)
+        state, losses = step_fn(state, rays, pixels, key)
+        _ = float(losses[-1])
 
     n_calls = 20
     t0 = time.perf_counter()
