@@ -53,8 +53,13 @@ from nerf_simple_tpu.models.nerf import Params
 LP, LD, H = 10, 4, 256
 CX = 6 * LP + 3  # 63
 CD = 6 * LD + 3  # 27
-FX = 64  # padded posx features
-FD = 32  # padded posd features
+# Encoded-feature layouts use 8-row-aligned raw/sin/cos BLOCKS so the
+# kernel evaluates sin on the sin block and cos on the cos block only
+# (half the transcendentals of an interleaved layout, and no row masks):
+#   posx: rows 0..7 raw xyz (3) + pad, 8..39 sin (30) + pad, 40..71 cos
+#   posd: rows 0..7 raw dir (3) + pad, 8..23 sin (12) + pad, 24..39 cos
+FX = 72  # padded posx features
+FD = 40  # padded posd features
 FS = H + 8  # feature matmul rows: 256 feature + 1 sigma + 7 pad
 
 
@@ -69,10 +74,17 @@ def _perm_x() -> np.ndarray:
     perm[0:3] = [0, 1, 2]
     for c in range(3):
         for i in range(LP):
-            perm[3 + 10 * c + i] = 3 + 20 * c + 2 * i
-            perm[33 + 10 * c + i] = 3 + 20 * c + 2 * i + 1
-    perm[63] = 0  # pad row (weight row zeroed)
+            perm[8 + 10 * c + i] = 3 + 20 * c + 2 * i
+            perm[40 + 10 * c + i] = 3 + 20 * c + 2 * i + 1
     return perm
+
+
+def _valid_x() -> np.ndarray:
+    v = np.zeros(FX, np.float32)
+    v[0:3] = 1
+    v[8:38] = 1
+    v[40:70] = 1
+    return v
 
 
 def _perm_d() -> np.ndarray:
@@ -80,46 +92,42 @@ def _perm_d() -> np.ndarray:
     perm[0:3] = [0, 1, 2]
     for c in range(3):
         for i in range(LD):
-            perm[3 + 4 * c + i] = 3 + 8 * c + 2 * i
-            perm[15 + 4 * c + i] = 3 + 8 * c + 2 * i + 1
-    perm[27:] = 0  # pad rows
+            perm[8 + 4 * c + i] = 3 + 8 * c + 2 * i
+            perm[24 + 4 * c + i] = 3 + 8 * c + 2 * i + 1
     return perm
 
 
-def _spread_and_masks_x():
-    """Sx (FX, 8): ang = Sx @ x  (x rows 0..2 = locs). Masks (FX, 1)."""
+def _valid_d() -> np.ndarray:
+    v = np.zeros(FD, np.float32)
+    v[0:3] = 1
+    v[8:20] = 1
+    v[24:36] = 1
+    return v
+
+
+def _spread_x() -> np.ndarray:
+    """Sx (FX, 8): ang = Sx @ x (x rows 0..2 = locs). Raw rows carry the
+    coordinate itself; sin/cos rows carry 2^i * coord."""
     Sx = np.zeros((FX, 8), np.float32)
-    m_raw = np.zeros((FX, 1), np.float32)
-    m_sin = np.zeros((FX, 1), np.float32)
-    m_cos = np.zeros((FX, 1), np.float32)
     for j in range(3):
         Sx[j, j] = 1.0
-        m_raw[j] = 1.0
     for c in range(3):
         for i in range(LP):
-            Sx[3 + 10 * c + i, c] = 2.0**i
-            m_sin[3 + 10 * c + i] = 1.0
-            Sx[33 + 10 * c + i, c] = 2.0**i
-            m_cos[33 + 10 * c + i] = 1.0
-    return Sx, m_raw, m_sin, m_cos
+            Sx[8 + 10 * c + i, c] = 2.0**i
+            Sx[40 + 10 * c + i, c] = 2.0**i
+    return Sx
 
 
-def _spread_and_masks_d():
-    """Sd (FD, 8): ang = Sd @ x  (x rows 3..5 = view dirs)."""
+def _spread_d() -> np.ndarray:
+    """Sd (FD, 8): ang = Sd @ x (x rows 3..5 = view dirs)."""
     Sd = np.zeros((FD, 8), np.float32)
-    m_raw = np.zeros((FD, 1), np.float32)
-    m_sin = np.zeros((FD, 1), np.float32)
-    m_cos = np.zeros((FD, 1), np.float32)
     for j in range(3):
         Sd[j, 3 + j] = 1.0
-        m_raw[j] = 1.0
     for c in range(3):
         for i in range(LD):
-            Sd[3 + 4 * c + i, 3 + c] = 2.0**i
-            m_sin[3 + 4 * c + i] = 1.0
-            Sd[15 + 4 * c + i, 3 + c] = 2.0**i
-            m_cos[15 + 4 * c + i] = 1.0
-    return Sd, m_raw, m_sin, m_cos
+            Sd[8 + 4 * c + i, 3 + c] = 2.0**i
+            Sd[24 + 4 * c + i, 3 + c] = 2.0**i
+    return Sd
 
 
 class FusedWeights(NamedTuple):
@@ -156,6 +164,7 @@ def pack_weights(params: Params, dtype=jnp.float32) -> FusedWeights:
     """Repack models/nerf.py params into kernel layout (transpose, permute
     encoding rows, pad to aligned feature counts, fold heads together)."""
     px, pd = _perm_x(), _perm_d()
+    vx, vd = _valid_x(), _valid_d()
 
     def T(w):
         return jnp.asarray(w, dtype).T
@@ -166,22 +175,12 @@ def pack_weights(params: Params, dtype=jnp.float32) -> FusedWeights:
             b = jnp.pad(b, (0, pad_to - b.shape[0]))
         return b[:, None]
 
-    def perm_pad(w, perm, fpad):
-        # w: (C, out) reference-order rows -> kernel-order (fpad, out)
+    def perm_pad(w, perm, valid):
+        # w: (C, out) reference-order rows -> kernel-order (len(perm), out);
+        # pad rows (perm maps them to row 0) are zeroed via the valid mask
         w = jnp.asarray(w, dtype)
-        out = w[jnp.asarray(perm)]
-        # zero pad rows (perm maps them to row 0; mask them off)
-        valid = jnp.asarray(
-            [1.0 if _valid_row(i, perm, w.shape[0]) else 0.0 for i in range(fpad)],
-            dtype,
-        )
-        return (out * valid[:, None]).T  # (outF, fpad)
-
-    def _valid_row(i, perm, c):
-        # rows beyond the real feature count are pads
-        if perm is px:
-            return i < 63
-        return i < 27
+        out = w[jnp.asarray(perm)] * jnp.asarray(valid, dtype)[:, None]
+        return out.T  # (outF, fpad)
 
     w = params
     skip_w = jnp.asarray(w["skip"]["w"], dtype)  # (H+CX, H)
@@ -213,7 +212,7 @@ def pack_weights(params: Params, dtype=jnp.float32) -> FusedWeights:
     )[:, None]
 
     return FusedWeights(
-        W1=perm_pad(w["trunk0"]["w"], px, FX),
+        W1=perm_pad(w["trunk0"]["w"], px, vx),
         b1=bias(w["trunk0"]["b"]),
         Wt1=T(w["trunk1"]["w"]),
         bt1=bias(w["trunk1"]["b"]),
@@ -224,7 +223,7 @@ def pack_weights(params: Params, dtype=jnp.float32) -> FusedWeights:
         Wt4=T(w["trunk4"]["w"]),
         bt4=bias(w["trunk4"]["b"]),
         Wsh=skip_w[:H].T,
-        Wsx=perm_pad(skip_w[H:], px, FX),
+        Wsx=perm_pad(skip_w[H:], px, vx),
         bs=bias(w["skip"]["b"]),
         Wp0=T(w["post0"]["w"]),
         bp0=bias(w["post0"]["b"]),
@@ -233,7 +232,7 @@ def pack_weights(params: Params, dtype=jnp.float32) -> FusedWeights:
         Wfs=Wfs,
         bfs=bfs,
         Wcf=color0_w[:H].T,
-        Wcd=perm_pad(color0_w[H:], pd, FD),
+        Wcd=perm_pad(color0_w[H:], pd, vd),
         bc0=bias(w["color0"]["b"]),
         Wc1=Wc1,
         bc1=bc1,
@@ -249,19 +248,26 @@ def _mm(a, b, dtype):
     )
 
 
-def _encode(x, Sx, Sd, consts, dtype):
-    """x: (8, TR) f32 -> posx (FX, TR), posd (FD, TR)."""
-    mxr, mxs, mxc, mdr, mds, mdc = consts
+def _encode(x, Sx, Sd, dtype):
+    """x: (8, TR) f32 -> posx (FX, TR), posd (FD, TR).
+
+    Aligned raw/sin/cos row blocks: sin and cos each run on only their own
+    32/16-row slice (pad rows evaluate to garbage under zeroed weight
+    columns — harmless)."""
     ang_x = _mm(Sx, x, jnp.float32)  # full precision angles
-    posx = mxs * jnp.sin(ang_x) + mxc * jnp.cos(ang_x) + mxr * ang_x
+    posx = jnp.concatenate(
+        [ang_x[0:8], jnp.sin(ang_x[8:40]), jnp.cos(ang_x[40:72])], axis=0
+    )
     ang_d = _mm(Sd, x, jnp.float32)
-    posd = mds * jnp.sin(ang_d) + mdc * jnp.cos(ang_d) + mdr * ang_d
+    posd = jnp.concatenate(
+        [ang_d[0:8], jnp.sin(ang_d[8:24]), jnp.cos(ang_d[24:40])], axis=0
+    )
     return posx.astype(dtype), posd.astype(dtype)
 
 
-def _forward_tile(x, wts: FusedWeights, Sx, Sd, consts, dtype):
+def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype):
     """Shared fwd math: x (8, TR) -> (out (8, TR), residuals for bwd)."""
-    posx, posd = _encode(x, Sx, Sd, consts, dtype)
+    posx, posd = _encode(x, Sx, Sd, dtype)
     relu = lambda v: jnp.maximum(v, 0.0)
 
     h0 = relu(_mm(wts.W1, posx, dtype) + wts.b1)
@@ -296,13 +302,12 @@ _N_W = len(FusedWeights._fields)
 
 
 def _fwd_kernel(dtype, x_ref, *refs):
-    # refs: _N_W weight refs, Sx, Sd, 6 mask refs, out_ref
+    # refs: _N_W weight refs, Sx, Sd, out_ref
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
-    consts = tuple(r[:] for r in refs[_N_W + 2 : _N_W + 8])
-    out_ref = refs[_N_W + 8]
-    out, _ = _forward_tile(x_ref[:], wts, Sx, Sd, consts, dtype)
+    out_ref = refs[_N_W + 2]
+    out, _ = _forward_tile(x_ref[:], wts, Sx, Sd, dtype)
     out_ref[:] = out
 
 
@@ -327,9 +332,7 @@ def fused_mlp_forward(
     assert rows % tile_rows == 0, (rows, tile_rows)
     grid = (rows // tile_rows,)
 
-    Sx, mxr, mxs, mxc = _spread_and_masks_x()
-    Sd, mdr, mds, mdc = _spread_and_masks_d()
-    extras = [Sx, Sd, mxr, mxs, mxc, mdr, mds, mdc]
+    extras = [_spread_x(), _spread_d()]
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -373,12 +376,11 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
-    consts = tuple(r[:] for r in refs[_N_W + 2 : _N_W + 8])
-    grad_refs = refs[_N_W + 8 :]
+    grad_refs = refs[_N_W + 2 :]
     assert len(grad_refs) == _N_W
 
     x = x_ref[:]
-    _, res = _forward_tile(x, wts, Sx, Sd, consts, dtype)
+    _, res = _forward_tile(x, wts, Sx, Sd, dtype)
 
     g = g_ref[:]  # (8, TR) f32: rows 0..2 d_rgb, row 3 d_sigma
     rows_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
@@ -497,9 +499,7 @@ def _fused_mlp_bwd(
     assert rows % tile_rows == 0
     grid = (rows // tile_rows,)
 
-    Sx, mxr, mxs, mxc = _spread_and_masks_x()
-    Sd, mdr, mds, mdc = _spread_and_masks_d()
-    extras = [Sx, Sd, mxr, mxs, mxc, mdr, mds, mdc]
+    extras = [_spread_x(), _spread_d()]
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -588,15 +588,14 @@ def _train_kernel(dtype, N, scale, want_w, x16_ref, *refs):
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
-    consts = tuple(r[:] for r in refs[_N_W + 2 : _N_W + 8])
-    ST = refs[_N_W + 8][:]  # (R, tile) 0/1 segment matrix
-    grad_refs = refs[_N_W + 9 : _N_W + 9 + _N_W]
-    loss_ref = refs[_N_W + 9 + _N_W]
-    w_ref = refs[_N_W + 10 + _N_W] if want_w else None
+    ST = refs[_N_W + 2][:]  # (R, tile) 0/1 segment matrix
+    grad_refs = refs[_N_W + 3 : _N_W + 3 + _N_W]
+    loss_ref = refs[_N_W + 3 + _N_W]
+    w_ref = refs[_N_W + 4 + _N_W] if want_w else None
 
     x16 = x16_ref[:]
     x8 = x16[:8]
-    out8, res = _forward_tile(x8, wts, Sx, Sd, consts, dtype)
+    out8, res = _forward_tile(x8, wts, Sx, Sd, dtype)
 
     tile = x16.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
@@ -704,11 +703,9 @@ def fused_train_step(
     grid = (rows // tile_rows,)
     scale = 1.0 / (3.0 * B)
 
-    Sx, mxr, mxs, mxc = _spread_and_masks_x()
-    Sd, mdr, mds, mdc = _spread_and_masks_d()
     lane = np.arange(tile_rows)
     ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
-    extras = [Sx, Sd, mxr, mxs, mxc, mdr, mds, mdc, ST]
+    extras = [_spread_x(), _spread_d(), ST]
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
