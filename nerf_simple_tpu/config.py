@@ -47,6 +47,9 @@ class TrainConfig:
     # train-time Gaussian sigma-noise regularizer std (reference TODO at
     # utils/rendering.py:63); 0.0 = off
     sigma_noise: float = 0.0
+    # composite RGBA onto white at load (original-NeRF convention; the
+    # reference drops alpha). Off = reference behavior.
+    white_bkgd: bool = False
     # "f32" (parity) or "bf16" (MXU fast path)
     compute_dtype: str = "f32"
     # "xla" (oracle path) or "pallas" (fused VMEM-resident MLP kernel)

@@ -37,9 +37,21 @@ def _natural_key(s: str):
     ]
 
 
-def _imread_rgb(path: str) -> np.ndarray:
+def _imread_rgb(path: str, white_bkgd: bool = False) -> np.ndarray:
     import cv2
 
+    if white_bkgd:
+        # original-NeRF behavior: composite RGBA onto white. The reference
+        # cannot do this (cv2.imread default drops alpha,
+        # utils/dataload.py:66) — opt-in extension.
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.shape[-1] == 4:
+            rgb = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2RGB) / 255.0
+            a = img[..., 3:4] / 255.0
+            return rgb * a + (1.0 - a)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB) / 255.0
     img = cv2.imread(path)  # drops alpha, matching the reference
     if img is None:
         raise FileNotFoundError(path)
@@ -88,6 +100,7 @@ def load_blender(
     half_res: bool = True,
     num_imgs: int = -1,
     load_test_maps: bool = False,
+    white_bkgd: bool = False,
 ) -> BlenderData:
     """Load a nerf_synthetic-format scene directory.
 
@@ -99,6 +112,8 @@ def load_blender(
       load_test_maps: also load test-split depth/normal maps (the reference
         loads them unconditionally at full res; here opt-in since they are
         unused by training/eval).
+      white_bkgd: composite RGBA onto white (original-NeRF convention; the
+        reference drops alpha and cannot — opt-in extension).
     """
     transforms = {}
     for split in ("train", "val", "test"):
@@ -127,7 +142,7 @@ def load_blender(
         n = len(img_paths) if num_imgs < 0 else min(num_imgs, len(img_paths))
         imgs, poses = [], []
         for i in range(n):
-            img = _imread_rgb(img_paths[i])
+            img = _imread_rgb(img_paths[i], white_bkgd)
             if half_res:
                 img = _half(img)
             imgs.append(img.astype(np.float32))

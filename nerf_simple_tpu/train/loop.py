@@ -47,7 +47,10 @@ def _load_dataset(cfg: TrainConfig):
         from nerf_simple_tpu.data.tiny_nerf import load_tiny_nerf
 
         return load_tiny_nerf(cfg.datapath)
-    return load_blender(cfg.datapath, cfg.half_res, cfg.num_train_imgs)
+    return load_blender(
+        cfg.datapath, cfg.half_res, cfg.num_train_imgs,
+        white_bkgd=cfg.white_bkgd,
+    )
 
 
 def _eval_params(cfg: TrainConfig, state: TrainState):

@@ -138,3 +138,40 @@ def test_sample_ray_batch_from_images(scene_dir):
     origins = {tuple(np.round(p, 5)) for p in data.splits["train"].poses[[1, 3], :3, 3]}
     for o in np.asarray(rays_b[:, :3]):
         assert tuple(np.round(o, 5)) in origins
+
+
+def test_white_bkgd_compositing(tmp_path):
+    import cv2
+    import json as _json
+
+    d = str(tmp_path / "rgba")
+    for split in ("train", "val", "test"):
+        os.makedirs(os.path.join(d, split))
+        # RGBA image: left half opaque red, right half fully transparent
+        img = np.zeros((8, 8, 4), np.uint8)
+        img[:, :4] = [0, 0, 255, 255]  # BGR(A): red opaque
+        img[:, 4:] = [0, 255, 0, 0]  # green but alpha 0
+        cv2.imwrite(os.path.join(d, split, "r_0.png"), img)
+        with open(os.path.join(d, f"transforms_{split}.json"), "w") as fh:
+            _json.dump(
+                {
+                    "camera_angle_x": 0.69,
+                    "frames": [
+                        {"file_path": f"./{split}/r_0",
+                         "transform_matrix": np.eye(4).tolist()}
+                    ],
+                },
+                fh,
+            )
+    ref = load_blender(d, half_res=False)  # reference behavior: alpha dropped
+    np.testing.assert_allclose(
+        ref.splits["train"].images[0, 0, 6], [0, 1, 0], atol=1e-6
+    )
+    white = load_blender(d, half_res=False, white_bkgd=True)
+    # transparent half becomes white; opaque half stays red
+    np.testing.assert_allclose(
+        white.splits["train"].images[0, 0, 6], [1, 1, 1], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        white.splits["train"].images[0, 0, 1], [1, 0, 0], atol=1e-6
+    )
