@@ -743,3 +743,102 @@ def fused_train_step(
         w_bn = outs[-1][0, :].reshape(B, N)
         return loss, FusedWeights(*outs[:_N_W]), w_bn
     return outs[-1][0, 0], FusedWeights(*outs[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Fused render kernel (eval path): fwd MLP + compositing in one kernel.
+# Outputs per-ray rgb/depth/acc packed at ray-segment head lanes; the
+# caller strides them out ([..., ::N]). No backward (eval only).
+# ---------------------------------------------------------------------------
+
+
+def _render_kernel(dtype, N, x16_ref, *refs):
+    wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
+    Sx = refs[_N_W][:]
+    Sd = refs[_N_W + 1][:]
+    ST = refs[_N_W + 2][:]
+    out_ref = refs[_N_W + 3]
+
+    x16 = x16_ref[:]
+    out8, _ = _forward_tile(x16[:8], wts, Sx, Sd, dtype)
+
+    tile = x16.shape[1]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    segpos = lane1 % N
+
+    ts = x16[6:7, :]
+    sig = out8[3:4, :]
+    ts_next = pltpu.roll(ts, tile - 1, axis=1)
+    delta = jnp.where(segpos == N - 1, 1e10, ts_next - ts)
+    sp = jax.nn.softplus(sig)
+    alpha = 1.0 - jnp.exp(-sp * delta)
+    m = jnp.maximum(1.0 - alpha, 1e-10)
+    logm = jnp.log(m)
+    excl = _seg_cumsum(logm, segpos, N) - logm
+    w = alpha * jnp.exp(excl)
+
+    def dotT(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    rgb_ray = dotT(jnp.where(rows_i < 3, out8 * w, 0.0), ST)  # rows 0..2
+    wts_row = jnp.where(rows_i == 0, jnp.broadcast_to(w, (8, tile)), 0.0)
+    depth_ray = pltpu.roll(
+        dotT(wts_row * jnp.broadcast_to(ts, (8, tile)), ST), 3, axis=0
+    )  # per-ray sum(w*t) moved to row 3
+    acc_ray = pltpu.roll(dotT(wts_row, ST), 4, axis=0)  # row 4
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, rgb_ray.shape, 0)
+    ray_vals = (
+        jnp.where(rows_r < 3, rgb_ray, 0.0)
+        + jnp.where(rows_r == 3, depth_ray, 0.0)
+        + jnp.where(rows_r == 4, acc_ray, 0.0)
+    )  # (8, R)
+    # broadcast per segment, keep only the head lane of each ray
+    back = jax.lax.dot_general(
+        ray_vals, ST, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = jnp.where(segpos == 0, back, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "tile_rows", "compute_dtype")
+)
+def fused_render(
+    wts: FusedWeights,
+    x16: jnp.ndarray,
+    N: int,
+    tile_rows: int = 1024,
+    compute_dtype: Any = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused fwd+composite render. x16 as in fused_train_step (rows 8..15
+    unused). Returns (8, rows) with per-ray values at lanes ray*N:
+    rows 0..2 raw rgb, 3 depth, 4 acc."""
+    rows = x16.shape[1]
+    assert tile_rows % N == 0 and rows % tile_rows == 0
+    R = tile_rows // N
+    grid = (rows // tile_rows,)
+    lane = np.arange(tile_rows)
+    ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
+    extras = [_spread_x(), _spread_d(), ST]
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [pl.BlockSpec((16, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        + [full(w) for w in wts]
+        + [full(e) for e in extras]
+    )
+    return pl.pallas_call(
+        functools.partial(_render_kernel, compute_dtype, N),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, rows), jnp.float32),
+    )(x16, *wts, *[jnp.asarray(e) for e in extras])

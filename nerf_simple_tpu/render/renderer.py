@@ -62,6 +62,12 @@ class RenderSettings:
     # regularizer the reference left as a TODO (utils/rendering.py:63;
     # original NeRF sec. A). 0.0 = off (reference behavior).
     sigma_noise: float = 0.0
+    # Use the all-in-one fused render kernel (MLP + compositing) for eval.
+    # Measured SLOWER than fwd-kernel + XLA compositing on v5e (854 vs
+    # 784 ms per 800x800x128 frame: in-kernel compositing serializes with
+    # the MXU, while XLA's overlaps with the next chunk) — off by default,
+    # kept for hardware where kernel-launch overhead dominates.
+    fused_eval: bool = False
 
 
 def render_rays(
@@ -218,15 +224,67 @@ def render_rays_hierarchical(
 # ---------------------------------------------------------------------------
 
 
+def _fused_render_tile_for(settings: RenderSettings, chunk: int) -> int:
+    """Ray tile for the fused eval render kernel, or 0 if ineligible."""
+    if (
+        not settings.fused_eval
+        or settings.backend != "pallas"
+        or settings.N_coarse > 0
+    ):
+        return 0
+    N = settings.N
+    R = 1
+    while R * 2 * N <= 1024 and chunk % (R * 2) == 0:
+        R *= 2
+    if chunk % R:
+        return 0
+    return R * N
+
+
 @functools.lru_cache(maxsize=32)
 def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
     """Build a jitted fn mapping padded (n_chunks, chunk, 6) rays ->
     (rgb, disp) with one compiled chunk program scanned over chunks."""
 
+    fused_tile = (
+        _fused_render_tile_for(settings, chunk)
+        if (model.Lp, model.Ld, model.H) == (10, 4, 256)
+        else 0
+    )
+
+    def fused_chunk(params, rays_c, k):
+        from nerf_simple_tpu.kernels.mlp import fused_render, pack_weights
+        from nerf_simple_tpu.ops.sampling import stratified_ts
+
+        B, N = rays_c.shape[0], settings.N
+        ts = stratified_ts(k, B, N, settings.tn, settings.tf, rays_c.dtype)
+        oT = rays_c[:, :3].T
+        dT = rays_c[:, 3:].T
+        unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
+        locs_T = oT[:, :, None] + dT[:, :, None] * ts[None]
+        x16 = jnp.concatenate(
+            [
+                locs_T,
+                jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+                ts[None],
+                jnp.zeros((9, B, N), rays_c.dtype),
+            ],
+            axis=0,
+        ).reshape(16, B * N)
+        out = fused_render(
+            pack_weights(params), x16, N, fused_tile, settings.compute_dtype
+        )
+        heads = out[:, ::N]  # (8, B): rgb rows 0..2, depth 3, acc 4
+        rgb = jnp.clip(heads[:3].T, 0.0, 1.0)
+        disp = 1.0 / jnp.maximum(1e-10, heads[3] / heads[4])
+        return rgb, disp
+
     def one_chunk(carry, inp):
         params, key = carry
         rays_c, idx = inp
         k = jax.random.fold_in(key, idx)
+        if fused_tile:
+            return carry, fused_chunk(params, rays_c, k)
         if settings.N_coarse > 0:
             # hierarchical eval: params = {"coarse", "fine"}; deterministic
             # quantile importance samples for reproducible frames

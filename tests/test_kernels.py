@@ -201,3 +201,43 @@ def test_fused_hierarchical_train_matches_generic():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
         )
+
+
+def test_fused_render_matches_generic_chunked():
+    """Fused eval render (fwd+composite in kernel) vs the generic chunked
+    path: identical rgb/disparity (interpret mode, f32)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_chunked,
+    )
+
+    model = NerfMLP()
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rng = np.random.default_rng(9)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (32, 3)), rng.normal(size=(32, 3))], -1
+        ),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(1)
+
+    # generic path: xla backend (same ts since same key)
+    rgb_ref, disp_ref = render_rays_chunked(
+        params, rays, key, RenderSettings(N=16, backend="xla",
+                                          compute_dtype=jnp.float32),
+        model, chunk=16,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        rgb_f, disp_f = render_rays_chunked(
+            params, rays, key, RenderSettings(N=16, backend="pallas",
+                                              compute_dtype=jnp.float32,
+                                              fused_eval=True),
+            model, chunk=16,
+        )
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_ref), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(disp_f), np.asarray(disp_ref), rtol=2e-3
+    )
