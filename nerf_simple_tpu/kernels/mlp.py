@@ -14,17 +14,18 @@ Design notes (see pallas_guide.md for the hardware model):
 
 - **Feature-major (transposed) layout.** Activations are (features, rows)
   with rows on the 128-wide lane axis and features on sublanes: every
-  feature count in this net (64, 256, 264, 128, 32, 8) is sublane-aligned,
+  feature count in this net (72, 256, 264, 128, 40, 8) is sublane-aligned,
   and the sample-row axis (thousands) gives long, aligned lanes. The
   caller passes x^T (8, rows) and gets out^T (8, rows).
 
 - **Encoding as a spread matmul.** gamma's per-channel/per-frequency
   layout is produced WITHOUT reshapes or gathers: ``ang = S @ x`` with a
   constant (F, 8) "spread" matrix placing ``2^i * channel_c`` in each
-  encoded row, then ``enc = m_sin*sin(ang) + m_cos*cos(ang) + m_raw*ang``
-  with constant row masks. Correctness vs the reference feature ORDER is
-  restored by permuting the first-layer weight ROWS on the host
-  (``x P^T (P W) == x W``) — see pack_weights.
+  encoded row, then sin/cos evaluated on their own 8-row-aligned blocks
+  (half the transcendentals of an interleaved layout; no row masks).
+  Correctness vs the reference feature ORDER is restored by permuting the
+  first-layer weight ROWS on the host (``x P^T (P W) == x W``) — see
+  pack_weights.
 
 - **Concats become split matmuls.** The skip layer's ``[h | posx] @ W``
   is ``Wh @ h + Wx @ posx`` (reference utils/nets.py:21,38), the color

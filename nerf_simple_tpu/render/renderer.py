@@ -55,7 +55,7 @@ class RenderSettings:
     # compile fine, and chunking also caps activation HBM footprint.
     max_mlp_rows: int = 262144
     # "xla": layer-by-layer jnp MLP (the correctness oracle).
-    # "pallas": fully-fused VMEM-resident MLP kernel (kernels/fused_mlp.py)
+    # "pallas": fully-fused VMEM-resident MLP kernel (kernels/mlp.py)
     # — ~2x faster fwd+bwd on v5e; flagship-architecture only.
     backend: str = "xla"
     # std of Gaussian noise added to raw sigma during training — the
