@@ -69,7 +69,8 @@ def _perm_x() -> np.ndarray:
 
     Reference layout (utils/xyz.py:33, interleaved sin/cos per channel):
       0..2 raw; 3 + 20c + 2i = sin(2^i ch_c); 3 + 20c + 2i + 1 = cos.
-    Kernel layout: 0..2 raw; 3 + 10c + i = sin; 33 + 10c + i = cos; 63 pad.
+    Kernel layout (8-aligned blocks): 0..2 raw (+pad to 8);
+      8 + 10c + i = sin; 40 + 10c + i = cos; rest pad.
     """
     perm = np.zeros(FX, np.int64)
     perm[0:3] = [0, 1, 2]
