@@ -211,3 +211,22 @@ def test_train_driver_exact_num_iters(tiny_scene, tmp_path):
     )
     state = train(cfg)
     assert int(state.step) == 23
+
+
+def test_training_is_bitwise_deterministic(tiny_scene):
+    """Same seed + same data -> bit-identical parameters (the reference
+    has no seed control at all; we guarantee full determinism)."""
+    cfg = _tiny_cfg(steps_per_call=5, num_iters=10)
+    model = NerfMLP()
+    rays, pixels = tiny_scene.rays["train"], tiny_scene.pixels["train"]
+
+    def run():
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False)
+        for i in range(2):
+            state, _ = step(state, rays, pixels, jax.random.PRNGKey(1))
+        return state.params
+
+    a, b = run(), run()
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
