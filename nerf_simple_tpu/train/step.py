@@ -14,10 +14,20 @@ replicate by default for parity, fixable via honor_lr_init) and is
 multiplied by ``exp(ln(lr_final/lr_init)/num_iters)`` after every step
 (train.py:39,56-57), i.e. lr(i) = lr0 * decay^i.
 
-Data parallelism: pass ``mesh`` and the step shards the sampled batch's
-leading axis over the ``data`` axis with a sharding constraint; params and
-the HBM-resident ray dataset stay replicated, so every matmul is local and
-the gradient all-reduce is the only collective XLA inserts (over ICI).
+Data parallelism: pass ``mesh`` and the step runs under an explicit
+``shard_map`` — each chip draws its own B/n ray sub-batch, computes the
+local loss/grad (through either backend; the fused Pallas kernels are
+custom calls XLA cannot auto-partition), and the gradient ``pmean`` is the
+only collective, riding ICI. Params and the HBM-resident ray dataset stay
+replicated; the optimizer update runs replicated outside the shard_map.
+
+The hot path uses a SINGLE fused Pallas kernel per iteration
+(kernels/mlp.py::fused_train_step): forward MLP, volume compositing, the
+MSE loss gradient, and the full backward run per ray-tile with
+activations live in VMEM — no backward recompute, no activation HBM
+traffic. Hierarchical runs two fused passes (coarse emits the importance
+weights). Ineligible configs (non-flagship arch, sigma-noise,
+indivisible shapes) fall back to autodiff over the render path.
 """
 
 from __future__ import annotations
