@@ -1,7 +1,11 @@
-.PHONY: test bench quickstart smoke
+.PHONY: test fast bench quickstart smoke
 
 test:
 	python -m pytest tests/ -q
+
+# default CI run: skips @pytest.mark.slow e2e fixtures (< 5 min CPU)
+fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

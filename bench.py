@@ -36,7 +36,7 @@ def main() -> None:
         num_iters=10_000,
         batch_size=4096,
         backend="pallas",  # fused VMEM-resident MLP kernel
-        steps_per_call=160,  # fused-kernel scan compiles fine at this length  # the fused-kernel scan compiles fine at this length
+        steps_per_call=160,  # fused-kernel scan compiles fine at this length
         compute_dtype="bf16",
         ckpt_loss=10**9,
         ckpt_images=10**9,

@@ -11,6 +11,7 @@ default to reference-compatible behavior.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any
 
 import yaml
@@ -69,6 +70,42 @@ class TrainConfig:
     # if set, capture a jax.profiler device trace of the first few chunks
     # into this directory (view with TensorBoard / Perfetto)
     profile_dir: str = ""
+    # wrap the train step with checkify NaN/Inf/OOB guards
+    # (utils/guards.checked); any non-finite value raises host-side with a
+    # location instead of silently poisoning training. Debug-only: adds
+    # overhead and disables buffer donation.
+    debug_nan: bool = False
+
+    def __post_init__(self):
+        if self.batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {self.batch_size}")
+        if self.Nf <= 0:
+            raise ValueError(f"Nf must be positive, got {self.Nf}")
+        if self.hierarchical and self.Nc <= 0:
+            raise ValueError(
+                f"hierarchical=True needs Nc > 0 coarse samples, got Nc={self.Nc}"
+            )
+        if self.compute_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"compute_dtype must be 'f32' or 'bf16', got {self.compute_dtype!r}"
+            )
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(
+                f"backend must be 'xla' or 'pallas', got {self.backend!r}"
+            )
+        if self.num_data_shards > 1 and self.batch_size % self.num_data_shards:
+            raise ValueError(
+                f"batch_size={self.batch_size} must be divisible by "
+                f"num_data_shards={self.num_data_shards} (each chip draws an "
+                f"equal ray sub-batch); pick batch_size="
+                f"{-(-self.batch_size // self.num_data_shards) * self.num_data_shards}"
+            )
+        if self.num_iters <= 0:
+            raise ValueError(f"num_iters must be positive, got {self.num_iters}")
+        if self.steps_per_call <= 0:
+            raise ValueError(
+                f"steps_per_call must be positive, got {self.steps_per_call}"
+            )
 
     @property
     def render_dtype(self):
@@ -112,12 +149,27 @@ class TestConfig:
         return jnp.bfloat16 if self.compute_dtype == "bf16" else jnp.float32
 
 
+# keys legitimately present in a full reference YAML but not fields of the
+# config being built (train dicts carry the nested test section and vice
+# versa) — never warn about these
+_CROSS_SECTION_KEYS = {"test_params"}
+
+
 def _filter_kwargs(cls, d: dict[str, Any]) -> dict[str, Any]:
     names = {f.name for f in dataclasses.fields(cls)}
     out = {}
     for k, v in d.items():
         if k in names:
             out[k] = tuple(v) if isinstance(v, list) else v
+        elif k not in _CROSS_SECTION_KEYS:
+            # a typo'd key (e.g. "heirarchical") silently reverting to a
+            # default is a classic footgun — surface it loudly
+            warnings.warn(
+                f"unknown config key {k!r} ignored by {cls.__name__} "
+                f"(check for typos; known keys: "
+                f"{', '.join(sorted(names))})",
+                stacklevel=3,
+            )
     return out
 
 

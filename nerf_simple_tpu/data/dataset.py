@@ -67,6 +67,26 @@ class RayDataset:
         return self.rays[split].shape[0]
 
 
+def apply_dataset_bounds(cfg, data):
+    """Return ``cfg`` with tn/tf matched to the dataset's sampling space.
+
+    - NDC datasets (LLFF with ndc=True): rays are warped at dataset build,
+      so sampling spans the warped frustum t in [0, 1];
+    - non-NDC datasets carrying their own depth bounds (LLFF
+      poses_bounds): sample the scene's actual near..far range instead of
+      the Blender default [2, 6] — unless the user explicitly overrode
+      tn/tf in the config (any value other than the 2.0/6.0 defaults).
+
+    Shared by the train and eval drivers so the two can never disagree.
+    ``cfg`` is any dataclass with ``tn``/``tf`` fields (Train/TestConfig).
+    """
+    if getattr(data, "ndc", False):
+        return dataclasses.replace(cfg, tn=0.0, tf=1.0)
+    if getattr(data, "near", None) is not None and (cfg.tn, cfg.tf) == (2.0, 6.0):
+        return dataclasses.replace(cfg, tn=float(data.near), tf=float(data.far))
+    return cfg
+
+
 def sample_ray_batch(
     key: jax.Array,
     rays: jnp.ndarray,

@@ -26,14 +26,7 @@ import os
 import numpy as np
 
 from nerf_simple_tpu.data.blender import BlenderData, BlenderSplit, _natural_key
-
-
-def _view_matrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    vec2 = z / np.linalg.norm(z)
-    vec0 = np.cross(up, vec2)
-    vec0 = vec0 / np.linalg.norm(vec0)
-    vec1 = np.cross(vec2, vec0)
-    return np.stack([vec0, vec1, vec2, pos], axis=1)  # (3, 4)
+from nerf_simple_tpu.ops.rays import view_matrix
 
 
 def _recenter_poses(poses: np.ndarray) -> np.ndarray:
@@ -42,7 +35,7 @@ def _recenter_poses(poses: np.ndarray) -> np.ndarray:
     z = poses[:, :3, 2].sum(0)
     up = poses[:, :3, 1].sum(0)
     c2w = np.concatenate(
-        [_view_matrix(z, up, center), np.array([[0, 0, 0, 1.0]])], axis=0
+        [view_matrix(z, up, center), np.array([[0, 0, 0, 1.0]])], axis=0
     )
     return np.linalg.inv(c2w) @ poses
 
@@ -124,4 +117,7 @@ def load_llff(
     data.ndc = ndc
     data.near = float(bounds.min()) if not ndc else 1.0
     data.far = float(bounds.max())
+    # world-space depth bounds regardless of NDC (spiral-path focus depth)
+    data.world_near = float(bounds.min())
+    data.world_far = float(bounds.max())
     return data

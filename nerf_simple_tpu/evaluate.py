@@ -13,6 +13,7 @@ directory (full TrainState) or a ``params_*.npz`` flat export — the
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any
 
@@ -100,22 +101,29 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         data = load_tiny_nerf(cfg.datapath)
     else:
         data = load_blender(cfg.datapath, cfg.half_res)
-    if getattr(data, "ndc", False):
-        import dataclasses as _dc
+    from nerf_simple_tpu.data.dataset import apply_dataset_bounds
 
-        cfg = _dc.replace(cfg, tn=0.0, tf=1.0)
-        settings = RenderSettings(
-            N=cfg.N_samples,
-            N_coarse=cfg.Nc,
-            tn=0.0,
-            tf=1.0,
-            compute_dtype=cfg.render_dtype,
-            backend=cfg.backend,
-        )
+    cfg = apply_dataset_bounds(cfg, data)
+    settings = dataclasses.replace(settings, tn=cfg.tn, tf=cfg.tf)
     rd = RayDataset.from_blender(data)
 
     if cfg.animation:
-        poses = orbit_poses(cfg.orbit_radius, -cfg.theta, cfg.num_poses)
+        if cfg.dataset == "llff":
+            # forward-facing capture: a dome orbit leaves the pose cone the
+            # scene was shot from — use the standard LLFF spiral path, and
+            # warp the animation rays exactly like the training rays
+            from nerf_simple_tpu.ops.rays import spiral_poses
+
+            poses = spiral_poses(
+                data.splits["train"].poses,
+                near=float(getattr(data, "world_near", 1.0)),
+                far=float(getattr(data, "world_far", 2.0)),
+                n_poses=cfg.num_poses,
+            )
+            apply_ndc = bool(getattr(data, "ndc", False))
+        else:
+            poses = orbit_poses(cfg.orbit_radius, -cfg.theta, cfg.num_poses)
+            apply_ndc = False
         out = render_orbit_video(
             params,
             poses,
@@ -127,6 +135,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             settings,
             model,
             chunk=cfg.batch_size,
+            apply_ndc=apply_ndc,
         )
         print(f"wrote {out}")
         return

@@ -14,7 +14,8 @@ Design notes (see pallas_guide.md for the hardware model):
 
 - **Feature-major (transposed) layout.** Activations are (features, rows)
   with rows on the 128-wide lane axis and features on sublanes: every
-  feature count in this net (72, 256, 264, 128, 40, 8) is sublane-aligned,
+  feature count is padded sublane-aligned (72, 256, 264, 128, 40, 8 for
+  the flagship NerfMLP(10, 4, 256); derived from (Lp, Ld, H) in general),
   and the sample-row axis (thousands) gives long, aligned lanes. The
   caller passes x^T (8, rows) and gets out^T (8, rows).
 
@@ -48,88 +49,108 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_simple_tpu.models.nerf import Params
+from nerf_simple_tpu.models.nerf import NerfMLP, Params
 
-# Fixed flagship architecture constants (NerfMLP(Lp=10, Ld=4, H=256)).
-LP, LD, H = 10, 4, 256
-CX = 6 * LP + 3  # 63
-CD = 6 * LD + 3  # 27
-# Encoded-feature layouts use 8-row-aligned raw/sin/cos BLOCKS so the
-# kernel evaluates sin on the sin block and cos on the cos block only
-# (half the transcendentals of an interleaved layout, and no row masks):
+# Default architecture: the flagship NerfMLP(Lp=10, Ld=4, H=256). Every
+# public entry point takes an optional ``model`` and derives its layout
+# from (Lp, Ld, H) — e.g. for the flagship:
 #   posx: rows 0..7 raw xyz (3) + pad, 8..39 sin (30) + pad, 40..71 cos
 #   posd: rows 0..7 raw dir (3) + pad, 8..23 sin (12) + pad, 24..39 cos
-FX = 72  # padded posx features
-FD = 40  # padded posd features
-FS = H + 8  # feature matmul rows: 256 feature + 1 sigma + 7 pad
+FLAGSHIP = NerfMLP()
 
 
-def _perm_x() -> np.ndarray:
-    """kernel-row -> reference posx feature index (see module docstring).
+def supported(model: NerfMLP) -> bool:
+    """Can the fused kernels run this architecture? Needs sublane-aligned
+    widths: H and H//2 multiples of 8 (so H % 16 == 0) and L >= 1."""
+    return model.H % 16 == 0 and model.H >= 16 and model.Lp >= 1 and model.Ld >= 1
+
+
+def _ceil8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _sin_block(L: int) -> int:
+    """Rows in the (8-aligned) sin block: 3 channels x L frequencies."""
+    return _ceil8(3 * L)
+
+
+def _enc_rows(L: int) -> int:
+    """Padded encoded-feature rows: 8 raw + sin block + cos block."""
+    return 8 + 2 * _sin_block(L)
+
+
+def _fx(model: NerfMLP) -> int:
+    return _enc_rows(model.Lp)
+
+
+def _fd(model: NerfMLP) -> int:
+    return _enc_rows(model.Ld)
+
+
+def _perm(L: int) -> np.ndarray:
+    """kernel-row -> reference encoded-feature index.
 
     Reference layout (utils/xyz.py:33, interleaved sin/cos per channel):
-      0..2 raw; 3 + 20c + 2i = sin(2^i ch_c); 3 + 20c + 2i + 1 = cos.
+      0..2 raw; 3 + 2L*c + 2i = sin(2^i ch_c); 3 + 2L*c + 2i + 1 = cos.
     Kernel layout (8-aligned blocks): 0..2 raw (+pad to 8);
-      8 + 10c + i = sin; 40 + 10c + i = cos; rest pad.
+      8 + L*c + i = sin; 8 + sinblock + L*c + i = cos; rest pad.
     """
-    perm = np.zeros(FX, np.int64)
+    sb = _sin_block(L)
+    perm = np.zeros(_enc_rows(L), np.int64)
     perm[0:3] = [0, 1, 2]
     for c in range(3):
-        for i in range(LP):
-            perm[8 + 10 * c + i] = 3 + 20 * c + 2 * i
-            perm[40 + 10 * c + i] = 3 + 20 * c + 2 * i + 1
+        for i in range(L):
+            perm[8 + L * c + i] = 3 + 2 * L * c + 2 * i
+            perm[8 + sb + L * c + i] = 3 + 2 * L * c + 2 * i + 1
     return perm
 
 
-def _valid_x() -> np.ndarray:
-    v = np.zeros(FX, np.float32)
+def _valid(L: int) -> np.ndarray:
+    sb = _sin_block(L)
+    v = np.zeros(_enc_rows(L), np.float32)
     v[0:3] = 1
-    v[8:38] = 1
-    v[40:70] = 1
+    v[8 : 8 + 3 * L] = 1
+    v[8 + sb : 8 + sb + 3 * L] = 1
     return v
 
 
-def _perm_d() -> np.ndarray:
-    perm = np.zeros(FD, np.int64)
-    perm[0:3] = [0, 1, 2]
-    for c in range(3):
-        for i in range(LD):
-            perm[8 + 4 * c + i] = 3 + 8 * c + 2 * i
-            perm[24 + 4 * c + i] = 3 + 8 * c + 2 * i + 1
-    return perm
-
-
-def _valid_d() -> np.ndarray:
-    v = np.zeros(FD, np.float32)
-    v[0:3] = 1
-    v[8:20] = 1
-    v[24:36] = 1
-    return v
-
-
-def _spread_x() -> np.ndarray:
-    """Sx (FX, 8): ang = Sx @ x (x rows 0..2 = locs). Raw rows carry the
-    coordinate itself; sin/cos rows carry 2^i * coord."""
-    Sx = np.zeros((FX, 8), np.float32)
+def _spread(L: int, col0: int) -> np.ndarray:
+    """S (_enc_rows(L), 8): ang = S @ x. Raw rows carry the coordinate
+    itself; sin/cos rows carry 2^i * coord. ``col0`` selects the x rows
+    holding the coordinates (0 for sample xyz, 3 for view dirs)."""
+    sb = _sin_block(L)
+    S = np.zeros((_enc_rows(L), 8), np.float32)
     for j in range(3):
-        Sx[j, j] = 1.0
+        S[j, col0 + j] = 1.0
     for c in range(3):
-        for i in range(LP):
-            Sx[8 + 10 * c + i, c] = 2.0**i
-            Sx[40 + 10 * c + i, c] = 2.0**i
-    return Sx
+        for i in range(L):
+            S[8 + L * c + i, col0 + c] = 2.0**i
+            S[8 + sb + L * c + i, col0 + c] = 2.0**i
+    return S
 
 
-def _spread_d() -> np.ndarray:
-    """Sd (FD, 8): ang = Sd @ x (x rows 3..5 = view dirs)."""
-    Sd = np.zeros((FD, 8), np.float32)
-    for j in range(3):
-        Sd[j, 3 + j] = 1.0
-    for c in range(3):
-        for i in range(LD):
-            Sd[8 + 4 * c + i, 3 + c] = 2.0**i
-            Sd[24 + 4 * c + i, 3 + c] = 2.0**i
-    return Sd
+def _perm_x(model: NerfMLP = FLAGSHIP) -> np.ndarray:
+    return _perm(model.Lp)
+
+
+def _valid_x(model: NerfMLP = FLAGSHIP) -> np.ndarray:
+    return _valid(model.Lp)
+
+
+def _perm_d(model: NerfMLP = FLAGSHIP) -> np.ndarray:
+    return _perm(model.Ld)
+
+
+def _valid_d(model: NerfMLP = FLAGSHIP) -> np.ndarray:
+    return _valid(model.Ld)
+
+
+def _spread_x(model: NerfMLP = FLAGSHIP) -> np.ndarray:
+    return _spread(model.Lp, 0)
+
+
+def _spread_d(model: NerfMLP = FLAGSHIP) -> np.ndarray:
+    return _spread(model.Ld, 3)
 
 
 class FusedWeights(NamedTuple):
@@ -162,11 +183,17 @@ class FusedWeights(NamedTuple):
     bc1: jnp.ndarray
 
 
-def pack_weights(params: Params, dtype=jnp.float32) -> FusedWeights:
+def pack_weights(
+    params: Params, dtype=jnp.float32, model: NerfMLP = FLAGSHIP
+) -> FusedWeights:
     """Repack models/nerf.py params into kernel layout (transpose, permute
     encoding rows, pad to aligned feature counts, fold heads together)."""
-    px, pd = _perm_x(), _perm_d()
-    vx, vd = _valid_x(), _valid_d()
+    assert supported(model), (
+        f"fused kernels need H % 16 == 0, H >= 16; got {model}"
+    )
+    H = model.H
+    px, pd = _perm_x(model), _perm_d(model)
+    vx, vd = _valid_x(model), _valid_d(model)
 
     def T(w):
         return jnp.asarray(w, dtype).T
@@ -250,26 +277,38 @@ def _mm(a, b, dtype):
     )
 
 
-def _encode(x, Sx, Sd, dtype):
+def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
     """x: (8, TR) f32 -> posx (FX, TR), posd (FD, TR).
 
     Aligned raw/sin/cos row blocks: sin and cos each run on only their own
-    32/16-row slice (pad rows evaluate to garbage under zeroed weight
+    block slice (pad rows evaluate to garbage under zeroed weight
     columns — harmless)."""
+    sbx, sbd = _sin_block(model.Lp), _sin_block(model.Ld)
     ang_x = _mm(Sx, x, jnp.float32)  # full precision angles
     posx = jnp.concatenate(
-        [ang_x[0:8], jnp.sin(ang_x[8:40]), jnp.cos(ang_x[40:72])], axis=0
+        [
+            ang_x[0:8],
+            jnp.sin(ang_x[8 : 8 + sbx]),
+            jnp.cos(ang_x[8 + sbx : 8 + 2 * sbx]),
+        ],
+        axis=0,
     )
     ang_d = _mm(Sd, x, jnp.float32)
     posd = jnp.concatenate(
-        [ang_d[0:8], jnp.sin(ang_d[8:24]), jnp.cos(ang_d[24:40])], axis=0
+        [
+            ang_d[0:8],
+            jnp.sin(ang_d[8 : 8 + sbd]),
+            jnp.cos(ang_d[8 + sbd : 8 + 2 * sbd]),
+        ],
+        axis=0,
     )
     return posx.astype(dtype), posd.astype(dtype)
 
 
-def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype):
+def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
     """Shared fwd math: x (8, TR) -> (out (8, TR), residuals for bwd)."""
-    posx, posd = _encode(x, Sx, Sd, dtype)
+    H = model.H
+    posx, posd = _encode(x, Sx, Sd, dtype, model)
     relu = lambda v: jnp.maximum(v, 0.0)
 
     h0 = relu(_mm(wts.W1, posx, dtype) + wts.b1)
@@ -303,22 +342,25 @@ def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype):
 _N_W = len(FusedWeights._fields)
 
 
-def _fwd_kernel(dtype, x_ref, *refs):
+def _fwd_kernel(dtype, model, x_ref, *refs):
     # refs: _N_W weight refs, Sx, Sd, out_ref
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
     out_ref = refs[_N_W + 2]
-    out, _ = _forward_tile(x_ref[:], wts, Sx, Sd, dtype)
+    out, _ = _forward_tile(x_ref[:], wts, Sx, Sd, dtype, model)
     out_ref[:] = out
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_rows", "compute_dtype", "model")
+)
 def fused_mlp_forward(
     wts: FusedWeights,
     xT: jnp.ndarray,
     tile_rows: int = 1024,
     compute_dtype: Any = jnp.bfloat16,
+    model: NerfMLP = FLAGSHIP,
 ) -> jnp.ndarray:
     """Run the fused MLP forward.
 
@@ -334,7 +376,7 @@ def fused_mlp_forward(
     assert rows % tile_rows == 0, (rows, tile_rows)
     grid = (rows // tile_rows,)
 
-    extras = [_spread_x(), _spread_d()]
+    extras = [_spread_x(model), _spread_d(model)]
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -353,7 +395,7 @@ def fused_mlp_forward(
     )
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, compute_dtype),
+        functools.partial(_fwd_kernel, compute_dtype, model),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -371,7 +413,7 @@ def _relu_mask(h):
     return (h.astype(jnp.float32) > 0).astype(jnp.float32)
 
 
-def _bwd_kernel(dtype, x_ref, g_ref, *refs):
+def _bwd_kernel(dtype, model, x_ref, g_ref, *refs):
     """Per tile: recompute fwd activations in VMEM, backprop, accumulate
     weight/bias grads across the grid into the outputs (same block every
     step — revisited-block accumulation)."""
@@ -382,7 +424,7 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     assert len(grad_refs) == _N_W
 
     x = x_ref[:]
-    _, res = _forward_tile(x, wts, Sx, Sd, dtype)
+    _, res = _forward_tile(x, wts, Sx, Sd, dtype, model)
 
     g = g_ref[:]  # (8, TR) f32: rows 0..2 d_rgb, row 3 d_sigma
     rows_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
@@ -390,14 +432,17 @@ def _bwd_kernel(dtype, x_ref, g_ref, *refs):
     # sigma grad back at fs row H: build (8, TR) with row 0 = d_sigma
     g_sig8 = jnp.where(rows_i == 0, pltpu.roll(g, 5, axis=0), 0.0)
 
-    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype)
+    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype, model)
     _accumulate_grads(grad_refs, grads)
 
 
-def _backprop_tile(wts, res, g_rgb8, g_sig8, dtype) -> FusedWeights:
+def _backprop_tile(
+    wts, res, g_rgb8, g_sig8, dtype, model: NerfMLP = FLAGSHIP
+) -> FusedWeights:
     """Backprop through the MLP given per-sample output cotangents
     (g_rgb8 rows 0..2, g_sig8 row 0) and saved activations ``res``.
     Returns this tile's weight-gradient contribution."""
+    H = model.H
     posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, feat, hc = res
 
     def mmT_acc(gout, act):  # dW = gout @ act^T   (contract over rows)
@@ -489,19 +534,22 @@ def _accumulate_grads(grad_refs, grads) -> None:
             gref[:] = gref[:] + gval
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_rows", "compute_dtype", "model")
+)
 def _fused_mlp_bwd(
     wts: FusedWeights,
     xT: jnp.ndarray,
     gT: jnp.ndarray,
     tile_rows: int = 512,
     compute_dtype: Any = jnp.bfloat16,
+    model: NerfMLP = FLAGSHIP,
 ) -> FusedWeights:
     rows = xT.shape[1]
     assert rows % tile_rows == 0
     grid = (rows // tile_rows,)
 
-    extras = [_spread_x(), _spread_d()]
+    extras = [_spread_x(model), _spread_d(model)]
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -518,7 +566,7 @@ def _fused_mlp_bwd(
     )
 
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, compute_dtype),
+        functools.partial(_bwd_kernel, compute_dtype, model),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -528,28 +576,29 @@ def _fused_mlp_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4)
 )
 def fused_mlp(
     wts: FusedWeights,
     xT: jnp.ndarray,
     tile_rows: int = 1024,
     compute_dtype: Any = jnp.bfloat16,
+    model: NerfMLP = FLAGSHIP,
 ) -> jnp.ndarray:
     """Differentiable fused MLP (gradients w.r.t. weights only; xT is
     treated as non-differentiable input — ray geometry carries no params)."""
-    return fused_mlp_forward(wts, xT, tile_rows, compute_dtype)
+    return fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model)
 
 
-def _fused_mlp_fwd(wts, xT, tile_rows, compute_dtype):
-    out = fused_mlp_forward(wts, xT, tile_rows, compute_dtype)
+def _fused_mlp_fwd(wts, xT, tile_rows, compute_dtype, model=FLAGSHIP):
+    out = fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model)
     return out, (wts, xT)
 
 
-def _fused_mlp_bwd_rule(tile_rows, compute_dtype, res, g):
+def _fused_mlp_bwd_rule(tile_rows, compute_dtype, model, res, g):
     wts, xT = res
     bwd_tile = min(tile_rows, 1024)  # bf16 residuals fit 1024-wide tiles
-    dw = _fused_mlp_bwd(wts, xT, g, bwd_tile, compute_dtype)
+    dw = _fused_mlp_bwd(wts, xT, g, bwd_tile, compute_dtype, model)
     return dw, jnp.zeros_like(xT)
 
 
@@ -586,7 +635,7 @@ def _seg_cumsum(x, segpos, N):
     return x
 
 
-def _train_kernel(dtype, N, scale, want_w, x16_ref, *refs):
+def _train_kernel(dtype, N, scale, want_w, model, x16_ref, *refs):
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
@@ -597,7 +646,7 @@ def _train_kernel(dtype, N, scale, want_w, x16_ref, *refs):
 
     x16 = x16_ref[:]
     x8 = x16[:8]
-    out8, res = _forward_tile(x8, wts, Sx, Sd, dtype)
+    out8, res = _forward_tile(x8, wts, Sx, Sd, dtype, model)
 
     tile = x16.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
@@ -659,7 +708,7 @@ def _train_kernel(dtype, N, scale, want_w, x16_ref, *refs):
         rows_i == 0, jnp.broadcast_to(d_sigma, (8, tile)), 0.0
     )
 
-    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype)
+    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype, model)
     _accumulate_grads(grad_refs, grads)
 
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -674,7 +723,8 @@ def _train_kernel(dtype, N, scale, want_w, x16_ref, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("N", "tile_rows", "compute_dtype", "out_weights")
+    jax.jit,
+    static_argnames=("N", "tile_rows", "compute_dtype", "out_weights", "model"),
 )
 def fused_train_step(
     wts: FusedWeights,
@@ -683,6 +733,7 @@ def fused_train_step(
     tile_rows: int = 1024,
     compute_dtype: Any = jnp.bfloat16,
     out_weights: bool = False,
+    model: NerfMLP = FLAGSHIP,
 ):
     """One fused fwd+composite+MSE-grad+bwd pass.
 
@@ -707,7 +758,7 @@ def fused_train_step(
 
     lane = np.arange(tile_rows)
     ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
-    extras = [_spread_x(), _spread_d(), ST]
+    extras = [_spread_x(model), _spread_d(model), ST]
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -734,7 +785,9 @@ def fused_train_step(
         )
 
     outs = pl.pallas_call(
-        functools.partial(_train_kernel, compute_dtype, N, scale, out_weights),
+        functools.partial(
+            _train_kernel, compute_dtype, N, scale, out_weights, model
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -754,7 +807,7 @@ def fused_train_step(
 # ---------------------------------------------------------------------------
 
 
-def _render_kernel(dtype, N, x16_ref, *refs):
+def _render_kernel(dtype, N, model, x16_ref, *refs):
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
@@ -762,7 +815,7 @@ def _render_kernel(dtype, N, x16_ref, *refs):
     out_ref = refs[_N_W + 3]
 
     x16 = x16_ref[:]
-    out8, _ = _forward_tile(x16[:8], wts, Sx, Sd, dtype)
+    out8, _ = _forward_tile(x16[:8], wts, Sx, Sd, dtype, model)
 
     tile = x16.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
@@ -807,7 +860,7 @@ def _render_kernel(dtype, N, x16_ref, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("N", "tile_rows", "compute_dtype")
+    jax.jit, static_argnames=("N", "tile_rows", "compute_dtype", "model")
 )
 def fused_render(
     wts: FusedWeights,
@@ -815,6 +868,7 @@ def fused_render(
     N: int,
     tile_rows: int = 1024,
     compute_dtype: Any = jnp.bfloat16,
+    model: NerfMLP = FLAGSHIP,
 ) -> jnp.ndarray:
     """Fused fwd+composite render. x16 as in fused_train_step (rows 8..15
     unused). Returns (8, rows) with per-ray values at lanes ray*N:
@@ -825,7 +879,7 @@ def fused_render(
     grid = (rows // tile_rows,)
     lane = np.arange(tile_rows)
     ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
-    extras = [_spread_x(), _spread_d(), ST]
+    extras = [_spread_x(model), _spread_d(model), ST]
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -836,7 +890,7 @@ def fused_render(
         + [full(e) for e in extras]
     )
     return pl.pallas_call(
-        functools.partial(_render_kernel, compute_dtype, N),
+        functools.partial(_render_kernel, compute_dtype, N, model),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

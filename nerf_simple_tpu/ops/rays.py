@@ -129,3 +129,65 @@ def orbit_poses(r: float, theta_deg: float, n_phi: int = 40) -> np.ndarray:
     is included, so first and last frames coincide)."""
     phis = np.linspace(0.0, 360.0, n_phi)
     return np.stack([spherical_to_pose(r, theta_deg, p) for p in phis])
+
+
+def view_matrix(z: np.ndarray, up: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Camera-to-world 3x4 from a view direction, up hint and position
+    ([right | up | back | pos] columns, NeRF convention)."""
+    vec2 = z / np.linalg.norm(z)
+    vec0 = np.cross(up, vec2)
+    vec0 = vec0 / np.linalg.norm(vec0)
+    vec1 = np.cross(vec2, vec0)
+    return np.stack([vec0, vec1, vec2, pos], axis=1)
+
+
+def spiral_poses(
+    poses: np.ndarray,
+    near: float,
+    far: float,
+    n_poses: int = 120,
+    n_rots: int = 2,
+    zrate: float = 0.5,
+    rad_percentile: float = 90.0,
+    focus_weight: float = 0.75,
+) -> np.ndarray:
+    """Forward-facing spiral camera path for LLFF scenes.
+
+    The reference's only animation is the spherical dome orbit
+    (utils/xyz.py:83-91), which is geometrically wrong for forward-facing
+    captures — the orbit leaves the narrow pose cone the scene was shot
+    from. This is the standard LLFF spiral: cameras sweep an ellipse
+    around the average pose (radii = ``rad_percentile`` of the training
+    camera offsets) with a gentle z oscillation, all looking at a common
+    focus point at the harmonic-weighted depth between near and far.
+
+    Args:
+      poses: (P, 4, 4) or (P, 3, 4) c2w training poses (recentered, as
+        produced by data/llff.py — the average pose is ~identity).
+      near/far: scene depth bounds (post-rescale, i.e. ``data.near/far``).
+
+    Returns (n_poses, 4, 4) c2w matrices.
+    """
+    poses = np.asarray(poses, np.float64)
+    # average camera frame (the spiral's coordinate system)
+    center = poses[:, :3, 3].mean(0)
+    z_avg = poses[:, :3, 2].sum(0)
+    up = poses[:, :3, 1].sum(0)
+    c2w = view_matrix(z_avg, up, center)  # (3, 4)
+
+    # focus depth: harmonic blend biased toward the far bound
+    focal = 1.0 / ((1.0 - focus_weight) / near + focus_weight / far)
+    rads = np.percentile(np.abs(poses[:, :3, 3] - center), rad_percentile, 0)
+
+    out = []
+    for theta in np.linspace(0.0, 2.0 * np.pi * n_rots, n_poses, endpoint=False):
+        offset = rads * np.array(
+            [np.cos(theta), -np.sin(theta), -np.sin(theta * zrate)]
+        )
+        pos = center + c2w[:3, :3] @ offset
+        look = center + c2w[:3, :3] @ np.array([0.0, 0.0, -focal])
+        z = pos - look  # camera +z points backward (away from the scene)
+        m = np.eye(4)
+        m[:3, :4] = view_matrix(z, up, pos)
+        out.append(m)
+    return np.stack(out).astype(np.float32)

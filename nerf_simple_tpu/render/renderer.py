@@ -157,10 +157,10 @@ def _fused_mlp_bn(
     Returns channel-major (4, B, N); gradients flow to ``params`` through
     pack_weights' (differentiable) permutation/transposition.
     """
-    from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights
+    from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights, supported
 
-    assert (model.Lp, model.Ld, model.H) == (10, 4, 256), (
-        "pallas backend supports the flagship NerfMLP(10, 4, 256); "
+    assert supported(model), (
+        f"pallas backend needs H % 16 == 0, H >= 16 (got {model}); "
         "use backend='xla' for other architectures"
     )
     B, N = ts.shape
@@ -178,8 +178,8 @@ def _fused_mlp_bn(
     rows_p = -(-rows // tile) * tile
     if rows_p != rows:
         x = jnp.pad(x, ((0, 0), (0, rows_p - rows)))
-    wts = pack_weights(params)
-    outT = fused_mlp(wts, x, tile, settings.compute_dtype)
+    wts = pack_weights(params, model=model)
+    outT = fused_mlp(wts, x, tile, settings.compute_dtype, model)
     return outT[:4, :rows].reshape(4, B, N)
 
 
@@ -246,9 +246,11 @@ def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
     """Build a jitted fn mapping padded (n_chunks, chunk, 6) rays ->
     (rgb, disp) with one compiled chunk program scanned over chunks."""
 
+    from nerf_simple_tpu.kernels.mlp import supported as _kernel_supported
+
     fused_tile = (
         _fused_render_tile_for(settings, chunk)
-        if (model.Lp, model.Ld, model.H) == (10, 4, 256)
+        if _kernel_supported(model)
         else 0
     )
 
@@ -272,7 +274,12 @@ def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
             axis=0,
         ).reshape(16, B * N)
         out = fused_render(
-            pack_weights(params), x16, N, fused_tile, settings.compute_dtype
+            pack_weights(params, model=model),
+            x16,
+            N,
+            fused_tile,
+            settings.compute_dtype,
+            model,
         )
         heads = out[:, ::N]  # (8, B): rgb rows 0..2, depth 3, acc 4
         rgb = jnp.clip(heads[:3].T, 0.0, 1.0)
@@ -381,6 +388,8 @@ def render_orbit_video(
     model: NerfMLP = NerfMLP(),
     chunk: int = 16384,
     fps: int = 15,
+    apply_ndc: bool = False,
+    ndc_near: float = 1.0,
 ) -> str:
     """Render a pose orbit and write an mp4 (equivalent of
     utils/rendering.py:116-160, reference writes 15fps mp4).
@@ -389,11 +398,19 @@ def render_orbit_video(
     (utils/rendering.py:156), which only works for square frames; we pass
     the correct (W, H).
 
+    ``apply_ndc`` must be set for NDC-trained scenes (LLFF): training rays
+    are NDC-warped at dataset build (data/dataset.py), so animation rays
+    must take the same warp or t in [0,1] samples off-scene world space.
+
     Returns the written video path.
     """
     import cv2
 
     rays_all = rays_for_poses(jnp.asarray(poses, jnp.float32), H, W, f)
+    if apply_ndc:
+        from nerf_simple_tpu.ops.rays import ndc_rays
+
+        rays_all = ndc_rays(rays_all, H, W, f, near=ndc_near)
     n = H * W
     os.makedirs(savepath or ".", exist_ok=True)
     out_path = os.path.join(

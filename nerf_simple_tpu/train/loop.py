@@ -81,11 +81,11 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         mesh = make_mesh(cfg.num_data_shards)
 
     data = _load_dataset(cfg)
-    if getattr(data, "ndc", False):
-        # NDC sampling spans the warped frustum: t in [0, 1]
-        import dataclasses as _dc
+    # NDC: t in [0,1] over the warped frustum; non-NDC LLFF: the scene's
+    # own poses_bounds depth range (shared helper with the eval driver)
+    from nerf_simple_tpu.data.dataset import apply_dataset_bounds
 
-        cfg = _dc.replace(cfg, tn=0.0, tf=1.0)
+    cfg = apply_dataset_bounds(cfg, data)
     rd = RayDataset.from_blender(data)
     rays = rd.rays["train"]
     pixels = rd.pixels["train"]
@@ -154,8 +154,10 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             _dc.replace(cfg, steps_per_call=remainder), model, mesh
         )
     n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
-    if cfg.profile_dir:
-        # capture chunks 1-2 (post-compile) as a device trace
+    if cfg.profile_dir and cfg.num_iters - start >= 2 * cfg.steps_per_call:
+        # capture chunks 1-2 (post-compile) as a device trace; skipped when
+        # fewer than two full chunks remain (a short run / late resume must
+        # not overshoot num_iters)
         from nerf_simple_tpu.utils.profiling import trace_context
 
         state, losses = step_fn(state, rays, pixels, k_train)
@@ -165,6 +167,14 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             np.asarray(losses)
         start = int(state.step)
         n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
+        meter.reset()  # exclude compile + traced chunks from throughput
+    elif cfg.profile_dir:
+        print(
+            f"profile_dir set but only {cfg.num_iters - start} iters remain "
+            f"(< 2*steps_per_call={2 * cfg.steps_per_call}); skipping trace"
+        )
+    steady_iters = 0  # iters excluded from the steady-state meter
+    first_sync_done = False
     for c in range(n_chunks):
         chunk_start = start + c * cfg.steps_per_call
         last = c == n_chunks - 1
@@ -187,8 +197,16 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         if not boundary:
             continue
         losses = np.asarray(losses)  # device sync
-        meter.tick(chunk_start + spc - meter.iters - start,
-                   (chunk_start + spc - meter.iters - start) * cfg.batch_size)
+        done = chunk_start + spc - start
+        if not first_sync_done:
+            # first sync includes jit compile (and, cold, data load) —
+            # reset so reported rays/s is steady-state (VERDICT r1 item 9)
+            meter.reset()
+            steady_iters = done
+            first_sync_done = True
+        else:
+            meter.tick(done - steady_iters - meter.iters,
+                       (done - steady_iters - meter.iters) * cfg.batch_size)
 
         for j, loss in enumerate(losses):
             i = chunk_start + j
@@ -199,11 +217,13 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
                 )
                 logger.scalar("Loss/train", float(loss), i + 1)
                 logger.scalar("Train/lr", lr0 * decay ** (i + 1), i + 1)
-                print(
-                    f"loss: {float(loss):.6f} | iter: {i + 1} | "
+                rate = (
                     f"{meter.iters_per_sec:.1f} it/s | "
                     f"{meter.rays_per_sec:,.0f} rays/s"
+                    if meter.iters
+                    else "warmup (compile)"
                 )
+                print(f"loss: {float(loss):.6f} | iter: {i + 1} | {rate}")
 
         i_last = chunk_start + spc - 1
         if any((chunk_start + j) % cfg.ckpt_images == 0 for j in range(len(losses))):
@@ -219,9 +239,15 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         os.path.join(exp_dir, f"params_{int(state.step)}.npz"),
         jax.device_get(state.params),
     )
-    print(
-        f"final checkpoint {path} | {meter.iters_per_sec:.1f} it/s "
-        f"| {meter.rays_per_sec:,.0f} rays/s"
-    )
+    if meter.iters:
+        print(
+            f"final checkpoint {path} | {meter.iters_per_sec:.1f} it/s "
+            f"| {meter.rays_per_sec:,.0f} rays/s (steady-state)"
+        )
+    else:
+        print(
+            f"final checkpoint {path} | steady-state throughput n/a "
+            f"(run finished within the first compiled chunk)"
+        )
     logger.close()
     return state

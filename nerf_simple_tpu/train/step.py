@@ -151,6 +151,8 @@ def build_train_step(
         runs TWO fused passes (coarse with a weights output feeding the
         importance sampler, fine on the sorted union), whose gradient sum
         exactly equals the generic coarse+fine loss gradient."""
+        from nerf_simple_tpu.kernels.mlp import supported as _kernel_supported
+
         tile_f = _pick_tile(cfg.Nf, batch_rows)
         tile_c = _pick_tile(cfg.Nc, batch_rows) if cfg.hierarchical else 1
         tile_u = (
@@ -159,16 +161,37 @@ def build_train_step(
         fused_ok = (
             cfg.backend == "pallas"
             and cfg.sigma_noise == 0.0
-            and (model.Lp, model.Ld, model.H) == (10, 4, 256)
+            and _kernel_supported(model)
             and None not in (tile_f, tile_c, tile_u)
         )
         if not fused_ok:
+            if cfg.backend == "pallas":
+                import warnings
+
+                reason = (
+                    "sigma_noise > 0"
+                    if cfg.sigma_noise != 0.0
+                    else f"arch (Lp,Ld,H)={(model.Lp, model.Ld, model.H)} "
+                    "(needs H % 16 == 0, H >= 16)"
+                    if not _kernel_supported(model)
+                    else f"batch rows {batch_rows} not tile-divisible for "
+                    f"Nf={cfg.Nf}" + (f"/Nc={cfg.Nc}" if cfg.hierarchical else "")
+                )
+                warnings.warn(
+                    f"backend='pallas' requested but the fused train kernel "
+                    f"is ineligible ({reason}); falling back to the autodiff "
+                    f"XLA path for this step",
+                    stacklevel=2,
+                )
             return lambda params, rays_b, pix_b, key: jax.value_and_grad(
                 loss_fn
             )(params, rays_b, pix_b, key)
 
         from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
         from nerf_simple_tpu.ops.sampling import importance_ts, stratified_ts
+
+        def _pack(p):
+            return pack_weights(p, model=model)
 
         if cfg.hierarchical:
 
@@ -178,7 +201,7 @@ def build_train_step(
                 ts_c = stratified_ts(
                     k_strat, B, cfg.Nc, cfg.tn, cfg.tf, rays_b.dtype
                 )
-                wts_c, vjp_c = jax.vjp(pack_weights, params["coarse"])
+                wts_c, vjp_c = jax.vjp(_pack, params["coarse"])
                 loss_c, dwts_c, w_c = fused_train_step(
                     wts_c,
                     _build_x16(rays_b, ts_c, pix_b),
@@ -186,18 +209,20 @@ def build_train_step(
                     tile_c,
                     cfg.render_dtype,
                     out_weights=True,
+                    model=model,
                 )
                 ts_f = importance_ts(k_imp, ts_c, w_c, cfg.Nf)
                 ts_all = jnp.sort(
                     jnp.concatenate([ts_c, ts_f], axis=-1), axis=-1
                 )
-                wts_f, vjp_f = jax.vjp(pack_weights, params["fine"])
+                wts_f, vjp_f = jax.vjp(_pack, params["fine"])
                 loss_f, dwts_f = fused_train_step(
                     wts_f,
                     _build_x16(rays_b, ts_all, pix_b),
                     cfg.Nc + cfg.Nf,
                     tile_u,
                     cfg.render_dtype,
+                    model=model,
                 )
                 return loss_c + loss_f, {
                     "coarse": vjp_c(dwts_c)[0],
@@ -210,10 +235,10 @@ def build_train_step(
             ts = stratified_ts(
                 key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
             )
-            wts, vjp_fn = jax.vjp(pack_weights, params)
+            wts, vjp_fn = jax.vjp(_pack, params)
             loss, dwts = fused_train_step(
                 wts, _build_x16(rays_b, ts, pix_b), cfg.Nf, tile_f,
-                cfg.render_dtype,
+                cfg.render_dtype, model=model,
             )
             return loss, vjp_fn(dwts)[0]
 
@@ -237,7 +262,13 @@ def build_train_step(
         from jax import shard_map
 
         n_data = mesh.shape["data"]
-        assert cfg.batch_size % n_data == 0, (cfg.batch_size, n_data)
+        if cfg.batch_size % n_data:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by the "
+                f"data-mesh size {n_data} (each chip draws an equal ray "
+                f"sub-batch); pick batch_size="
+                f"{-(-cfg.batch_size // n_data) * n_data}"
+            )
         shard_B = cfg.batch_size // n_data
 
         shard_core = _make_core(shard_B)
@@ -281,4 +312,11 @@ def build_train_step(
             body, state, state.step + jnp.arange(cfg.steps_per_call)
         )
 
+    if cfg.debug_nan:
+        # checkify NaN/Inf/OOB guards (utils/guards.py): any non-finite
+        # value inside the step raises host-side with a location. No
+        # donation — checkify re-traces and the donated state would dangle.
+        from nerf_simple_tpu.utils.guards import checked
+
+        return checked(jax.jit(multi_step))
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())

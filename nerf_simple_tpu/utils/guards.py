@@ -5,8 +5,9 @@ Two tools:
 
 - ``checked(fn)``: wrap a jittable function with ``checkify`` so NaN/Inf
   produced anywhere inside surfaces as a host-side error with a location,
-  instead of silently poisoning training. Zero cost when unused; intended
-  for debugging runs (``debug_nan: true`` would wrap the train step).
+  instead of silently poisoning training. Zero cost when unused; the
+  ``debug_nan: true`` train-config flag wraps the whole train step with it
+  (train/step.py::build_train_step).
 
 - ``assert_finite(tree, name)``: host-side post-hoc check of any pytree
   (used by the train driver on loss values at log boundaries).

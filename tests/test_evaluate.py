@@ -63,6 +63,7 @@ def test_test_config_from_reference_yaml_dict():
     assert cfg.animation is True
 
 
+@pytest.mark.slow
 def test_still_image_eval(trained):
     root, scene = trained
     out_dir = os.path.join(root, "results")
@@ -89,6 +90,7 @@ def test_still_image_eval(trained):
     assert img.shape == (20, 40, 3)  # gt beside prediction
 
 
+@pytest.mark.slow
 def test_animation_eval(trained):
     root, scene = trained
     out_dir = os.path.join(root, "results_anim")
@@ -115,6 +117,7 @@ def test_animation_eval(trained):
     assert os.path.getsize(os.path.join(out_dir, "e2e", vids[0])) > 0
 
 
+@pytest.mark.slow
 def test_load_params_from_npz(trained):
     root, _ = trained
     exp = os.path.join(root, "models", "e2e")

@@ -57,6 +57,7 @@ def test_fused_forward_multi_tile_equals_single_tile():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_backward_matches_autodiff():
     model = NerfMLP()
     params = init_nerf_params(jax.random.PRNGKey(2), model)
@@ -92,6 +93,7 @@ def test_fused_backward_matches_autodiff():
             )
 
 
+@pytest.mark.slow
 def test_fused_train_step_matches_xla_loss_and_grads():
     """The single-kernel fwd+composite+MSE+bwd pass must reproduce the
     XLA pipeline's loss and parameter gradients (f32, interpret mode)."""
@@ -163,6 +165,7 @@ def test_fused_train_step_matches_xla_loss_and_grads():
             )
 
 
+@pytest.mark.slow
 def test_fused_hierarchical_train_matches_generic():
     """The two-pass fused hierarchical core must match the generic
     (autodiff) hierarchical loss and gradients (f32, interpret mode)."""
@@ -203,6 +206,7 @@ def test_fused_hierarchical_train_matches_generic():
         )
 
 
+@pytest.mark.slow
 def test_fused_render_matches_generic_chunked():
     """Fused eval render (fwd+composite in kernel) vs the generic chunked
     path: identical rgb/disparity (interpret mode, f32)."""
@@ -241,3 +245,81 @@ def test_fused_render_matches_generic_chunked():
     np.testing.assert_allclose(
         np.asarray(disp_f), np.asarray(disp_ref), rtol=2e-3
     )
+
+
+@pytest.mark.parametrize(
+    "arch", [(6, 4, 128), (4, 2, 32), (10, 4, 64)], ids=lambda a: f"Lp{a[0]}Ld{a[1]}H{a[2]}"
+)
+def test_fused_forward_generalizes_beyond_flagship(arch):
+    """r1 VERDICT item 5: kernel layouts are derived from (Lp, Ld, H), not
+    hardcoded to the flagship — forward parity at three other archs."""
+    Lp, Ld, H = arch
+    model = NerfMLP(Lp=Lp, Ld=Ld, H=H)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    v = _sample_inputs(256, seed=11)
+    ref = nerf_apply(params, v, model)
+
+    wts = pack_weights(params, model=model)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mlp_forward(
+            wts, _to_xT(v), tile_rows=128, compute_dtype=jnp.float32,
+            model=model,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out[:3, :].T), np.asarray(ref[:, :3]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[3, :]), np.asarray(ref[:, 3]), atol=2e-4
+    )
+
+
+@pytest.mark.slow
+def test_fused_train_step_small_arch_matches_xla():
+    """End-to-end train-step parity (loss + updated params) for a
+    non-flagship arch through build_train_step's pallas path."""
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    rng = np.random.default_rng(13)
+    rays = jnp.asarray(
+        np.concatenate([rng.normal(0, 0.1, (8, 3)), rng.normal(size=(8, 3))], -1),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng.uniform(0, 1, (8, 3)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+
+    def run(backend):
+        cfg = TrainConfig(
+            datapath="x", Nf=16, num_iters=100, batch_size=8,
+            steps_per_call=1, backend=backend, compute_dtype="f32",
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+        )
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False)
+        state, losses = step(state, rays, pixels, key)
+        return float(losses[0]), state.params
+
+    loss_gen, params_gen = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        loss_fused, params_fused = run("pallas")
+
+    np.testing.assert_allclose(loss_fused, loss_gen, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(params_gen), jax.tree.leaves(params_fused)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
+        )
+
+
+def test_kernel_supported_gate():
+    from nerf_simple_tpu.kernels.mlp import supported
+
+    assert supported(NerfMLP())
+    assert supported(NerfMLP(Lp=4, Ld=2, H=32))
+    assert not supported(NerfMLP(H=100))  # H % 16 != 0
+    assert not supported(NerfMLP(H=8))  # H//2 below sublane width
+    with pytest.raises(AssertionError):
+        pack_weights(
+            init_nerf_params(jax.random.PRNGKey(0), NerfMLP(H=100)),
+            model=NerfMLP(H=100),
+        )

@@ -48,6 +48,7 @@ def test_shard_batch_places_leading_axis():
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_8_device_grads_equal_mean_of_shard_grads():
     """The sharded step's psum'd gradient must equal the mean of the
     per-shard gradients computed manually on a single device with the same
@@ -143,6 +144,7 @@ def test_graft_entry_fn_jits():
     assert np.isfinite(np.asarray(rgb)).all()
 
 
+@pytest.mark.slow
 def test_sharded_pallas_render_runs():
     """The fused kernel invoked inside shard_map on a 2-device mesh
     (interpret mode on CPU): the custom call partitions explicitly and

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
 from nerf_simple_tpu.ops.sampling import stratified_ts
@@ -52,6 +53,7 @@ def test_chunked_render_covers_remainder_rays():
     assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
 
 
+@pytest.mark.slow
 def test_hierarchical_shapes_and_finiteness():
     model, params, rays = _small_setup(B=8)
     params_fine = init_nerf_params(jax.random.PRNGKey(9), model)
@@ -65,6 +67,7 @@ def test_hierarchical_shapes_and_finiteness():
     assert np.isfinite(np.asarray(fine.rgb)).all()
 
 
+@pytest.mark.slow
 def test_hierarchical_is_differentiable():
     model, params, rays = _small_setup(B=4)
     params_fine = init_nerf_params(jax.random.PRNGKey(9), model)

@@ -87,6 +87,7 @@ def test_lr_schedule_replicates_reference_quirk():
     assert np.isclose(float(sched2(0)), 1e-3)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_decreases_loss(tiny_scene):
     cfg = _tiny_cfg()
     model = NerfMLP()
@@ -107,6 +108,7 @@ def test_train_step_runs_and_decreases_loss(tiny_scene):
     assert last_losses.mean() < 0.5 * first_losses[:3].mean()
 
 
+@pytest.mark.slow
 def test_train_step_hierarchical(tiny_scene):
     cfg = _tiny_cfg(hierarchical=True, steps_per_call=5, num_iters=10)
     model = NerfMLP()
@@ -121,6 +123,7 @@ def test_train_step_hierarchical(tiny_scene):
     assert int(state.step) == 5
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(tiny_scene, tmp_path):
     from nerf_simple_tpu.train import checkpoint as ck
 
@@ -166,6 +169,7 @@ def test_npz_export_import_roundtrip(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_nan_guard_catches_poisoned_input(tiny_scene):
     import jax.numpy as jnp
     from nerf_simple_tpu.utils.guards import assert_finite, checked
@@ -185,6 +189,7 @@ def test_nan_guard_catches_poisoned_input(tiny_scene):
         assert_finite({"x": np.array([1.0, np.nan])}, "params")
 
 
+@pytest.mark.slow
 def test_train_driver_exact_num_iters(tiny_scene, tmp_path):
     """num_iters not divisible by steps_per_call stops at exactly
     num_iters (the last chunk is a shorter compiled scan)."""
@@ -213,6 +218,7 @@ def test_train_driver_exact_num_iters(tiny_scene, tmp_path):
     assert int(state.step) == 23
 
 
+@pytest.mark.slow
 def test_training_is_bitwise_deterministic(tiny_scene):
     """Same seed + same data -> bit-identical parameters (the reference
     has no seed control at all; we guarantee full determinism)."""
@@ -230,3 +236,52 @@ def test_training_is_bitwise_deterministic(tiny_scene):
     a, b = run(), run()
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_unknown_config_key_warns():
+    """A typo'd YAML key must not silently vanish (r1 VERDICT item 7)."""
+    ref_like = {"datapath": "/x", "heirarchical": True}  # sic
+    with pytest.warns(UserWarning, match="heirarchical"):
+        cfg = train_config_from_dict(ref_like)
+    assert cfg.hierarchical is False  # typo did NOT enable the feature
+
+    # the nested test section in a full reference YAML is NOT a typo
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        train_config_from_dict({"datapath": "/x", "test_params": {"a": 1}})
+
+
+def test_config_shape_preconditions_fail_fast():
+    with pytest.raises(ValueError, match="divisible"):
+        TrainConfig(datapath="/x", batch_size=100, num_data_shards=8)
+    with pytest.raises(ValueError, match="Nc"):
+        TrainConfig(datapath="/x", hierarchical=True, Nc=0)
+    with pytest.raises(ValueError, match="compute_dtype"):
+        TrainConfig(datapath="/x", compute_dtype="fp16")
+    with pytest.raises(ValueError, match="backend"):
+        TrainConfig(datapath="/x", backend="cuda")
+    with pytest.raises(ValueError, match="batch_size"):
+        TrainConfig(datapath="/x", batch_size=0)
+
+
+@pytest.mark.slow
+def test_debug_nan_flag_wraps_train_step(tiny_scene):
+    """debug_nan: true raises host-side (with a location) when a NaN
+    appears inside the jitted step (r1 VERDICT item 6)."""
+    cfg = _tiny_cfg(debug_nan=True, steps_per_call=2, num_iters=4)
+    model = NerfMLP()
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step = build_train_step(cfg, model)
+
+    bad_rays = jnp.full_like(tiny_scene.rays["train"], jnp.nan)
+    pixels = tiny_scene.pixels["train"]
+    with pytest.raises(Exception, match="(?i)nan"):
+        step(state, bad_rays, pixels, jax.random.PRNGKey(1))
+
+    # clean data passes through the guard unchanged
+    state2, losses = step(state, tiny_scene.rays["train"], pixels,
+                          jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses)).all()
+    assert int(state2.step) == 2
