@@ -186,3 +186,55 @@ def test_sharded_pallas_render_runs():
     np.testing.assert_allclose(
         rgb_sharded, np.concatenate([rgb_a, rgb_b]), atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_sharded_fused_train_step_matches_xla():
+    """r1 VERDICT item 4: the PRODUCTION config — backend='pallas' +
+    num_data_shards>1 — through the full shard_map fwd+composite+bwd+psum
+    path. Same per-shard key stream on both backends -> identical batch
+    draws -> losses and updated params must agree (f32, interpret mode,
+    2 fake devices)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    mesh = make_mesh(num_data=2)
+    rep = NamedSharding(mesh, P())
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+    rng = np.random.default_rng(17)
+    rays = jax.device_put(
+        jnp.asarray(
+            np.concatenate(
+                [rng.normal(0, 0.1, (256, 3)), rng.normal(size=(256, 3))], -1
+            ),
+            jnp.float32,
+        ),
+        rep,
+    )
+    pixels = jax.device_put(
+        jnp.asarray(rng.uniform(0, 1, (256, 3)), jnp.float32), rep
+    )
+
+    def run(backend):
+        cfg = _cfg(
+            backend=backend,
+            batch_size=32,
+            num_data_shards=2,
+            Nf=16,
+            steps_per_call=2,
+        )
+        state = jax.device_put(
+            make_train_state(jax.random.PRNGKey(0), cfg, model), rep
+        )
+        step = build_train_step(cfg, model, mesh=mesh, donate=False)
+        state, losses = step(state, rays, pixels, jax.random.PRNGKey(5))
+        return np.asarray(losses), state.params
+
+    losses_xla, params_xla = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        losses_pal, params_pal = run("pallas")
+
+    np.testing.assert_allclose(losses_pal, losses_xla, rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_xla), jax.tree.leaves(params_pal)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
+        )
