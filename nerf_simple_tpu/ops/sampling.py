@@ -68,7 +68,17 @@ def importance_ts(
         u = jnp.linspace(0.0, 1.0, N_fine, dtype=ts_coarse.dtype)
         u = jnp.broadcast_to(u, (B, N_fine))
     else:
-        u = jax.random.uniform(key, (B, N_fine), dtype=ts_coarse.dtype)
+        # Draw u ALREADY SORTED via the exponential-spacing construction:
+        # normalized partial sums of N+1 iid Exp(1) variables are exactly
+        # the order statistics of N iid U(0,1) draws. The inverse-CDF map
+        # below is monotone, so sorted u -> sorted samples — this deletes
+        # a (B, N_fine) jnp.sort from the hierarchical hot path (TPU sorts
+        # are multi-pass; the cumsum is one lane pass).
+        e = jax.random.exponential(
+            key, (B, N_fine + 1), dtype=ts_coarse.dtype
+        )
+        s = jnp.cumsum(e, axis=-1)
+        u = s[:, :N_fine] / s[:, N_fine:]
 
     # Bin lookup WITHOUT searchsorted: a vmapped binary search lowers to
     # per-row scalar loops on TPU (~36 ms/iter at the reference shape).
@@ -98,8 +108,45 @@ def importance_ts(
 
     denom = jnp.where(cdf_above - cdf_below < 1e-8, 1.0, cdf_above - cdf_below)
     frac = (u - cdf_below) / denom
-    samples = mids_below + frac * (mids_above - mids_below)
-    return jnp.sort(samples, axis=-1)
+    # u is sorted by construction (order statistics / quantiles) and the
+    # inverse-CDF map is monotone, so samples come out sorted.
+    return mids_below + frac * (mids_above - mids_below)
+
+
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row ASCENDING arrays into one sorted row, without a
+    sort: each element's output position is its rank in the union
+    (own index + count of smaller elements in the other array), computed
+    by broadcast-compare (VPU) and scattered via a one-hot matmul (MXU).
+
+    TPU rationale: ``jnp.sort`` of the (B, Nc+Nf) hierarchical union is a
+    multi-pass lane sort; this is one compare pass + two tiny matmuls.
+    Ties are broken a-first (strict/non-strict compare pair), so the
+    result is a permutation of ``concat(a, b)`` even with duplicates.
+
+    Args:
+      a: (B, Na) ascending per row.
+      b: (B, Nb) ascending per row.
+
+    Returns: (B, Na+Nb) ascending union.
+    """
+    Na, Nb = a.shape[-1], b.shape[-1]
+    Nt = Na + Nb
+    dtype = a.dtype
+    # ranks in the union
+    pos_a = jnp.arange(Na, dtype=jnp.int32) + jnp.sum(
+        (b[:, None, :] < a[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    pos_b = jnp.arange(Nb, dtype=jnp.int32) + jnp.sum(
+        (a[:, None, :] <= b[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    grid = jnp.arange(Nt, dtype=jnp.int32)
+    oh_a = (pos_a[:, :, None] == grid).astype(dtype)  # (B, Na, Nt)
+    oh_b = (pos_b[:, :, None] == grid).astype(dtype)
+    hp = jax.lax.Precision.HIGHEST  # exact f32 scatter, not bf16 MXU
+    return jnp.einsum("bi,bit->bt", a, oh_a, precision=hp) + jnp.einsum(
+        "bi,bit->bt", b, oh_b, precision=hp
+    )
 
 
 def sample_points(

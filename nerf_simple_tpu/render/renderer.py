@@ -31,7 +31,12 @@ import numpy as np
 
 from nerf_simple_tpu.models.nerf import NerfMLP, Params, nerf_apply
 from nerf_simple_tpu.ops.rays import rays_for_poses
-from nerf_simple_tpu.ops.sampling import importance_ts, sample_points, stratified_ts
+from nerf_simple_tpu.ops.sampling import (
+    importance_ts,
+    merge_sorted,
+    sample_points,
+    stratified_ts,
+)
 from nerf_simple_tpu.ops.volume import CompositeOut, composite, composite_T
 
 
@@ -214,7 +219,7 @@ def render_rays_hierarchical(
         settings.N,
         det=det_fine,
     )
-    ts_all = jnp.sort(jnp.concatenate([ts_c, ts_f], axis=-1), axis=-1)
+    ts_all = merge_sorted(ts_c, ts_f)  # both sorted: O(N) rank merge
     fine_out = _render_at_ts(params_fine, rays, ts_all, settings, model)
     return coarse_out, fine_out
 

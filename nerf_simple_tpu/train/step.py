@@ -188,7 +188,11 @@ def build_train_step(
             )(params, rays_b, pix_b, key)
 
         from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
-        from nerf_simple_tpu.ops.sampling import importance_ts, stratified_ts
+        from nerf_simple_tpu.ops.sampling import (
+            importance_ts,
+            merge_sorted,
+            stratified_ts,
+        )
 
         def _pack(p):
             return pack_weights(p, model=model)
@@ -212,9 +216,7 @@ def build_train_step(
                     model=model,
                 )
                 ts_f = importance_ts(k_imp, ts_c, w_c, cfg.Nf)
-                ts_all = jnp.sort(
-                    jnp.concatenate([ts_c, ts_f], axis=-1), axis=-1
-                )
+                ts_all = merge_sorted(ts_c, ts_f)
                 wts_f, vjp_f = jax.vjp(_pack, params["fine"])
                 loss_f, dwts_f = fused_train_step(
                     wts_f,

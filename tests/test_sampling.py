@@ -77,3 +77,60 @@ def test_importance_det_quantiles_match_numpy_invcdf():
             ref[b, j] = mlo + (u[b, j] - clo) / denom * (mhi - mlo)
     ref = np.sort(ref, -1)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_importance_ts_is_sorted_without_sort():
+    """u is drawn as exact uniform order statistics (exponential-spacing
+    construction) and the inverse-CDF map is monotone, so the output must
+    be ascending with no explicit sort."""
+    import jax
+
+    from nerf_simple_tpu.ops.sampling import importance_ts, stratified_ts
+
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        ts_c = stratified_ts(k1, 64, 32, 2.0, 6.0)
+        w = jax.random.uniform(k2, (64, 32)) ** 4  # spiky weights
+        ts_f = np.asarray(importance_ts(k3, ts_c, w, 48))
+        assert (np.diff(ts_f, axis=-1) >= 0).all(), f"unsorted at seed {seed}"
+        assert ts_f.min() >= 2.0 and ts_f.max() <= 6.0
+
+
+def test_importance_u_matches_uniform_order_statistics():
+    """Distribution check: the sorted-u construction must match sorted iid
+    uniforms (KS-style comparison of pooled samples)."""
+    import jax
+
+    from nerf_simple_tpu.ops.sampling import importance_ts, stratified_ts
+
+    key = jax.random.PRNGKey(0)
+    _, k3 = jax.random.split(key)
+    # identical grid on every ray so pooled samples are exactly U(mids range)
+    ts_c = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 16), (512, 16))
+    w = jnp.ones((512, 16))  # flat pdf -> samples ~ U(mids range)
+    s = np.asarray(importance_ts(k3, ts_c, w, 64)).ravel()
+    lo, hi = float(ts_c[0, 1] + ts_c[0, 0]) / 2, float(
+        ts_c[0, -1] + ts_c[0, -2]
+    ) / 2  # mids range
+    hist, _ = np.histogram((s - lo) / (hi - lo), bins=10, range=(0, 1))
+    expect = len(s) / 10
+    assert np.abs(hist - expect).max() < 0.1 * expect  # within 10%
+
+
+def test_merge_sorted_equals_sort_of_concat():
+    from nerf_simple_tpu.ops.sampling import merge_sorted
+
+    rng = np.random.default_rng(3)
+    a = np.sort(rng.normal(size=(32, 17)).astype(np.float32), axis=-1)
+    b = np.sort(rng.normal(size=(32, 23)).astype(np.float32), axis=-1)
+    got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+    # exact duplicates across the two arrays must not collide/vanish
+    a2 = np.broadcast_to(np.arange(8, dtype=np.float32), (4, 8)).copy()
+    b2 = a2.copy()
+    got2 = np.asarray(merge_sorted(jnp.asarray(a2), jnp.asarray(b2)))
+    want2 = np.sort(np.concatenate([a2, b2], -1), -1)
+    np.testing.assert_array_equal(got2, want2)
