@@ -57,8 +57,16 @@ class TrainConfig:
     backend: str = "xla"
     # steps fused into one jitted lax.scan call (dispatch amortization)
     steps_per_call: int = 20
-    # data-parallel chips; 0/1 = single chip, -1 = all local devices
+    # data-parallel chips; 0/1 = single chip, -1 = all (global) devices
     num_data_shards: int = 1
+    # multi-host launch: call jax.distributed.initialize() (coordinates
+    # via JAX_COORDINATOR/NPROC/PROC_ID env vars, or TPU-pod
+    # auto-discovery) before any array work — parallel/distributed.py
+    distributed: bool = False
+    # shard the HBM-resident ray/pixel dataset over the data mesh axis
+    # instead of replicating it (divides dataset HBM by mesh size; each
+    # chip samples its own 1/n slice)
+    shard_dataset: bool = False
     # dataset family: "blender" or "llff"
     dataset: str = "blender"
     # LLFF-only knobs (used when dataset == "llff")

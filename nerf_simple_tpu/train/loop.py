@@ -69,6 +69,17 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         if isinstance(params_or_cfg, TrainConfig)
         else train_config_from_dict(params_or_cfg)
     )
+    if cfg.distributed:
+        # multi-host: join the global mesh before any array work
+        from nerf_simple_tpu.parallel.distributed import (
+            maybe_initialize,
+            process_info,
+        )
+
+        if maybe_initialize():
+            pi, pc = process_info()
+            print(f"jax.distributed initialized: process {pi}/{pc}, "
+                  f"{len(jax.devices())} global devices")
     model = NerfMLP()
     exp_dir = os.path.join(cfg.savepath, cfg.exp_name)
     os.makedirs(exp_dir, exist_ok=True)
@@ -92,9 +103,25 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rep = NamedSharding(mesh, P())
-        rays = jax.device_put(rays, rep)
-        pixels = jax.device_put(pixels, rep)
+        if cfg.shard_dataset:
+            # each chip keeps 1/n of the ray dataset (HBM scaling); in
+            # multi-host runs every process passes only ITS contiguous
+            # row range and the global array is assembled across hosts
+            from nerf_simple_tpu.parallel.distributed import (
+                global_batch_array,
+                process_info,
+            )
+
+            n = mesh.shape["data"] * mesh.shape["model"]
+            rows = rays.shape[0] - rays.shape[0] % n  # truncate to even shards
+            pi, pc = process_info()
+            lo, hi = pi * rows // pc, (pi + 1) * rows // pc
+            rays = global_batch_array(mesh, np.asarray(rays[lo:hi]))
+            pixels = global_batch_array(mesh, np.asarray(pixels[lo:hi]))
+        else:
+            rep = NamedSharding(mesh, P())
+            rays = jax.device_put(rays, rep)
+            pixels = jax.device_put(pixels, rep)
 
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_train, k_eval = jax.random.split(key, 3)

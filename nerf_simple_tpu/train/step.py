@@ -278,6 +278,9 @@ def build_train_step(
         def _shard_fn(params, rays, pixels, key):
             shard = jax.lax.axis_index("data")
             k_sel, k_render = jax.random.split(jax.random.fold_in(key, shard))
+            # under shard_dataset, ``rays`` here is this chip's local block
+            # (P("data") in_spec) and indices are drawn against it — no
+            # cross-chip gather ever happens
             idx = jax.random.randint(k_sel, (shard_B,), 0, rays.shape[0])
             loss, grads = shard_core(
                 params, rays[idx], pixels[idx], k_render
@@ -285,10 +288,11 @@ def build_train_step(
             # equal shard sizes -> pmean of shard means == global mean
             return jax.lax.pmean((loss, grads), "data")
 
+        data_spec = P("data") if cfg.shard_dataset else P()
         _loss_and_grads = shard_map(
             _shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
+            in_specs=(P(), data_spec, data_spec, P()),
             out_specs=(P(), P()),
             check_vma=False,
         )

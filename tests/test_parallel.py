@@ -238,3 +238,36 @@ def test_sharded_fused_train_step_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
         )
+
+
+def test_sharded_dataset_training_runs():
+    """shard_dataset=True: the ray dataset lives sharded over the data
+    axis (1/n per chip) and each chip samples its local block — training
+    runs and parameters move."""
+    from nerf_simple_tpu.parallel.distributed import global_batch_array
+
+    mesh = make_mesh(num_data=8)
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+    cfg = _cfg(batch_size=64, num_data_shards=8, shard_dataset=True, Nf=8)
+    rng = np.random.default_rng(21)
+    rays = global_batch_array(
+        mesh, rng.normal(size=(512, 6)).astype(np.float32)
+    )
+    pixels = global_batch_array(
+        mesh, rng.uniform(size=(512, 3)).astype(np.float32)
+    )
+    # each device holds exactly its 1/8 block
+    assert rays.sharding.shard_shape(rays.shape) == (64, 6)
+
+    state = jax.device_put(
+        make_train_state(jax.random.PRNGKey(0), cfg, model),
+        NamedSharding(mesh, P()),
+    )
+    step = build_train_step(cfg, model, mesh=mesh, donate=False)
+    state2, losses = step(state, rays, pixels, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses)).all()
+    diff = sum(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params))
+    )
+    assert diff > 0
