@@ -42,6 +42,11 @@ def load_params(loadpath: str, keep_hierarchy: bool = False):
         from nerf_simple_tpu.train.checkpoint import import_params_npz
 
         params = import_params_npz(loadpath)
+    elif loadpath.endswith((".pth", ".pt")):
+        # the reference's own torch.save(state_dict) format (test.py:28)
+        from nerf_simple_tpu.train.checkpoint import import_params_pth
+
+        params = import_params_pth(loadpath)
     else:
         import orbax.checkpoint as ocp
 

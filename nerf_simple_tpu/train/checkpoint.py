@@ -96,3 +96,66 @@ def import_params_npz(path: str):
             d = d.setdefault(p, {})
         d[parts[-1]] = data[key]
     return nested
+
+
+# --- torch .pth interop -----------------------------------------------------
+#
+# The reference saves/loads plain ``torch.save(net.state_dict())`` .pth
+# files (train.py:84-91, test.py:28). These two functions translate
+# between that format and our pytree so reference users can carry
+# trained weights in BOTH directions. Layer-name map: our functional
+# layers vs the reference Nerf module's children (utils/nets.py:16-32);
+# weights transpose between our (in, out) and torch's (out, in).
+
+_PTH_LAYER_MAP = {
+    "trunk0": "layers_0.0",
+    "trunk1": "layers_0.2",
+    "trunk2": "layers_0.4",
+    "trunk3": "layers_0.6",
+    "trunk4": "layers_0.8",
+    "skip": "skip_conn_layer.0",
+    "post0": "layers_1.0",
+    "post1": "layers_1.2",
+    "sigma": "sigma_fc.0",
+    "feature": "layers_2",
+    "color0": "color_fc.0",
+    "color1": "color_fc.2",
+}
+
+
+def export_params_pth(path: str, params) -> None:
+    """Write a reference-compatible ``state_dict`` .pth: the file loads
+    into the reference ``Nerf`` module with ``strict=True``."""
+    import torch
+
+    if "coarse" in params and "trunk0" not in params:
+        raise ValueError(
+            ".pth export is per-network; pass params['coarse'] or "
+            "params['fine'] for hierarchical checkpoints (the reference "
+            "has no two-network format)"
+        )
+    sd = {}
+    for ours, theirs in _PTH_LAYER_MAP.items():
+        sd[f"{theirs}.weight"] = torch.from_numpy(
+            np.asarray(params[ours]["w"], np.float32).T.copy()
+        )
+        sd[f"{theirs}.bias"] = torch.from_numpy(
+            np.asarray(params[ours]["b"], np.float32).copy()
+        )
+    torch.save(sd, path)
+
+
+def import_params_pth(path: str):
+    """Load a reference ``torch.save(net.state_dict())`` .pth into our
+    params pytree (the reverse of export_params_pth)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    params = {}
+    for ours, theirs in _PTH_LAYER_MAP.items():
+        w = sd.pop(f"{theirs}.weight").numpy()
+        b = sd.pop(f"{theirs}.bias").numpy()
+        params[ours] = {"w": np.ascontiguousarray(w.T), "b": b}
+    if sd:
+        raise ValueError(f"unrecognized keys in state_dict: {sorted(sd)}")
+    return params

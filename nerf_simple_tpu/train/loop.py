@@ -53,12 +53,6 @@ def _load_dataset(cfg: TrainConfig):
     )
 
 
-def _eval_params(cfg: TrainConfig, state: TrainState):
-    """Params used for eval rendering (full coarse+fine dict when
-    hierarchical — the renderer runs the two-pass path)."""
-    return state.params
-
-
 def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     """Run training. Accepts a reference-schema YAML dict or a TrainConfig.
 
@@ -143,8 +137,10 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     )
 
     def render_and_log(split: str, ii: int, i: int) -> None:
+        # state.params is the full coarse+fine dict when hierarchical —
+        # the renderer runs the two-pass path on it
         rgb, disp = render_image(
-            _eval_params(cfg, state),
+            state.params,
             rd.rays[split],
             rd.H,
             rd.W,
@@ -266,6 +262,19 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         os.path.join(exp_dir, f"params_{int(state.step)}.npz"),
         jax.device_get(state.params),
     )
+    try:
+        # reference-compatible torch state_dict (loads into the reference
+        # Nerf with strict=True); hierarchical exports the fine net, the
+        # reference's single-network semantics
+        host_params = jax.device_get(state.params)
+        if "coarse" in host_params and "trunk0" not in host_params:
+            host_params = host_params["fine"]
+        ckpt.export_params_pth(
+            os.path.join(exp_dir, f"params_{int(state.step)}.pth"),
+            host_params,
+        )
+    except ImportError:
+        pass  # torch not installed: npz remains the portable export
     if meter.iters:
         print(
             f"final checkpoint {path} | {meter.iters_per_sec:.1f} it/s "
