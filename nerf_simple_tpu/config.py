@@ -55,6 +55,12 @@ class TrainConfig:
     compute_dtype: str = "f32"
     # "xla" (oracle path) or "pallas" (fused VMEM-resident MLP kernel)
     backend: str = "xla"
+    # network architecture (reference Nerf defaults, utils/nets.py:8);
+    # the fused kernels support any H % 16 == 0 >= 16 — eval infers the
+    # arch from checkpoint shapes, so only training needs these
+    net_H: int = 256
+    net_Lp: int = 10
+    net_Ld: int = 4
     # steps fused into one jitted lax.scan call (dispatch amortization)
     steps_per_call: int = 20
     # data-parallel chips; 0/1 = single chip, -1 = all (global) devices

@@ -24,7 +24,6 @@ import numpy as np
 from nerf_simple_tpu.config import TestConfig, test_config_from_dict
 from nerf_simple_tpu.data.blender import load_blender
 from nerf_simple_tpu.data.dataset import RayDataset
-from nerf_simple_tpu.models.nerf import NerfMLP
 from nerf_simple_tpu.ops.rays import orbit_poses
 from nerf_simple_tpu.render.renderer import (
     RenderSettings,
@@ -77,8 +76,10 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     out_dir = os.path.join(cfg.savepath, cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
 
-    model = NerfMLP()
     params = load_params(cfg.loadpath, keep_hierarchy=cfg.Nc > 0)
+    from nerf_simple_tpu.models.nerf import infer_arch
+
+    model = infer_arch(params)  # adapt to the checkpoint's architecture
     if cfg.Nc > 0 and not (
         isinstance(params, dict) and "coarse" in params
     ):

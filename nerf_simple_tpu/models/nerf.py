@@ -92,6 +92,18 @@ class NerfMLP:
         }
 
 
+def infer_arch(params: Params) -> NerfMLP:
+    """Recover the NerfMLP architecture from a params pytree (layer
+    shapes determine (Lp, Ld, H) uniquely) — lets eval/load paths adapt
+    to whatever architecture a checkpoint was trained with. Hierarchical
+    {coarse, fine} dicts infer from the fine net."""
+    if "fine" in params and "trunk0" not in params:
+        params = params["fine"]
+    Cx, H = params["trunk0"]["w"].shape
+    Cd = params["color0"]["w"].shape[0] - H
+    return NerfMLP(Lp=(Cx - 3) // 6, Ld=(Cd - 3) // 6, H=H)
+
+
 def init_nerf_params(
     key: jax.Array, model: NerfMLP = NerfMLP(), dtype=jnp.float32
 ) -> Params:

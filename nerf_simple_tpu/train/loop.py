@@ -74,7 +74,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             pi, pc = process_info()
             print(f"jax.distributed initialized: process {pi}/{pc}, "
                   f"{len(jax.devices())} global devices")
-    model = NerfMLP()
+    model = NerfMLP(Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H)
     exp_dir = os.path.join(cfg.savepath, cfg.exp_name)
     os.makedirs(exp_dir, exist_ok=True)
     logger = Logger(run_log_dir(cfg.log_dir))

@@ -285,3 +285,53 @@ def test_debug_nan_flag_wraps_train_step(tiny_scene):
                           jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(losses)).all()
     assert int(state2.step) == 2
+
+
+def test_custom_arch_trains_and_eval_infers(tmp_path):
+    """net_H/net_Lp/net_Ld config knobs train a non-flagship network and
+    the eval driver infers the architecture from checkpoint shapes."""
+    from nerf_simple_tpu.config import TestConfig
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.evaluate import test as run_test
+    from nerf_simple_tpu.models.nerf import infer_arch
+    from nerf_simple_tpu.train.loop import train
+
+    scene = str(tmp_path / "scene")
+    write_blender_scene(scene, n_train=2, n_val=1, n_test=1, H=16, W=16)
+    cfg = TrainConfig(
+        datapath=scene,
+        savepath=str(tmp_path / "models"),
+        exp_name="arch",
+        Nf=8,
+        num_iters=10,
+        batch_size=64,
+        steps_per_call=5,
+        half_res=False,
+        num_train_imgs=-1,
+        net_H=32,
+        net_Lp=4,
+        net_Ld=2,
+        ckpt_loss=1000,
+        ckpt_images=10**9,
+        ckpt_model=10**9,
+        val_idxs=(0,),
+        log_dir=str(tmp_path / "logs"),
+    )
+    state = train(cfg)
+    assert state.params["trunk0"]["w"].shape == (6 * 4 + 3, 32)
+    m = infer_arch(jax.device_get(state.params))
+    assert (m.Lp, m.Ld, m.H) == (4, 2, 32)
+
+    tcfg = TestConfig(
+        loadpath=str(tmp_path / "models" / "arch" / "params_10.npz"),
+        datapath=scene,
+        savepath=str(tmp_path / "out"),
+        exp_name="arch",
+        batch_size=256,
+        half_res=False,
+        im_set="test",
+        im_idxs=(0,),
+        N_samples=8,
+    )
+    run_test(tcfg)  # must not assume the flagship arch
+    assert os.path.exists(str(tmp_path / "out" / "arch" / "rgb_0.png"))
