@@ -51,6 +51,10 @@ class TrainConfig:
     # composite RGBA onto white at load (original-NeRF convention; the
     # reference drops alpha). Off = reference behavior.
     white_bkgd: bool = False
+    # restrict training ray sampling to these train-image indices — the
+    # reference's commented-out select_imgs mode (train.py:48,
+    # dataload.py:155-179). Empty = sample the whole split (default).
+    train_im_idxs: tuple[int, ...] = ()
     # "f32" (parity) or "bf16" (MXU fast path)
     compute_dtype: str = "f32"
     # "xla" (oracle path) or "pallas" (fused VMEM-resident MLP kernel)
@@ -119,6 +123,11 @@ class TrainConfig:
         if self.steps_per_call <= 0:
             raise ValueError(
                 f"steps_per_call must be positive, got {self.steps_per_call}"
+            )
+        if self.train_im_idxs and self.shard_dataset:
+            raise ValueError(
+                "train_im_idxs cannot combine with shard_dataset: image "
+                "pixel ranges straddle dataset shards; drop one of the two"
             )
 
     @property

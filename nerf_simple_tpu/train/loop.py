@@ -126,7 +126,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             state = ckpt.restore_checkpoint(latest, state)
             print(f"resumed from {latest} at step {int(state.step)}")
 
-    step_fn = build_train_step(cfg, model, mesh)
+    step_fn = build_train_step(cfg, model, mesh, rays_per_image=rd.H * rd.W)
     eval_settings = RenderSettings(
         N=cfg.Nf,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
@@ -174,7 +174,8 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         import dataclasses as _dc
 
         rem_step_fn = build_train_step(
-            _dc.replace(cfg, steps_per_call=remainder), model, mesh
+            _dc.replace(cfg, steps_per_call=remainder), model, mesh,
+            rays_per_image=rd.H * rd.W,
         )
     n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
     if cfg.profile_dir and cfg.num_iters - start >= 2 * cfg.steps_per_call:

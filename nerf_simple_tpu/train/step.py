@@ -85,13 +85,36 @@ def build_train_step(
     model: NerfMLP = NerfMLP(),
     mesh=None,
     donate: bool = True,
+    rays_per_image: int | None = None,
 ):
     """Build ``step_fn(state, rays, pixels, key) -> (state, losses)``.
 
     ``rays``/``pixels`` are the full training split resident in HBM;
     ``losses`` is (steps_per_call,) — the per-iteration training MSE, so
     the driver logs exact per-iter losses without extra device syncs.
+
+    ``rays_per_image`` (= H*W) is required only when
+    ``cfg.train_im_idxs`` restricts sampling to specific train images
+    (the reference's commented-out select_imgs mode, train.py:48).
     """
+    if cfg.train_im_idxs and rays_per_image is None:
+        raise ValueError(
+            "cfg.train_im_idxs needs rays_per_image (= H*W) to map image "
+            "indices to ray rows; the train driver passes it automatically"
+        )
+
+    def sample_idx(key, n: int, n_rows):
+        """Draw n ray indices: uniform over the split, or restricted to
+        cfg.train_im_idxs (random image, random pixel within it)."""
+        if not cfg.train_im_idxs:
+            return jax.random.randint(key, (n,), 0, n_rows)
+        k_img, k_pix = jax.random.split(key)
+        im = jnp.asarray(cfg.train_im_idxs)[
+            jax.random.randint(k_img, (n,), 0, len(cfg.train_im_idxs))
+        ]
+        pix = jax.random.randint(k_pix, (n,), 0, rays_per_image)
+        return im * rays_per_image + pix
+
     optimizer = make_optimizer(cfg)
     settings = RenderSettings(
         N=cfg.Nf,
@@ -248,7 +271,7 @@ def build_train_step(
 
     def _loss_and_grads_single(params, rays, pixels, key):
         k_sel, k_render = jax.random.split(key)
-        idx = jax.random.randint(k_sel, (cfg.batch_size,), 0, rays.shape[0])
+        idx = sample_idx(k_sel, cfg.batch_size, rays.shape[0])
         rays_b = rays[idx]
         pix_b = pixels[idx]
         return _make_core(cfg.batch_size)(params, rays_b, pix_b, k_render)
@@ -280,8 +303,9 @@ def build_train_step(
             k_sel, k_render = jax.random.split(jax.random.fold_in(key, shard))
             # under shard_dataset, ``rays`` here is this chip's local block
             # (P("data") in_spec) and indices are drawn against it — no
-            # cross-chip gather ever happens
-            idx = jax.random.randint(k_sel, (shard_B,), 0, rays.shape[0])
+            # cross-chip gather ever happens (train_im_idxs + shard_dataset
+            # is rejected at config time)
+            idx = sample_idx(k_sel, shard_B, rays.shape[0])
             loss, grads = shard_core(
                 params, rays[idx], pixels[idx], k_render
             )

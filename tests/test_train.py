@@ -335,3 +335,30 @@ def test_custom_arch_trains_and_eval_infers(tmp_path):
     )
     run_test(tcfg)  # must not assume the flagship arch
     assert os.path.exists(str(tmp_path / "out" / "arch" / "rgb_0.png"))
+
+
+def test_train_im_idxs_restricts_sampling(tiny_scene):
+    """train_im_idxs=(0,): every sampled ray comes from image 0 — rows of
+    all other images are poisoned with NaN, so any leak -> NaN loss."""
+    rays = np.array(tiny_scene.rays["train"])
+    pixels = np.array(tiny_scene.pixels["train"])
+    per_img = tiny_scene.H * tiny_scene.W
+    rays[per_img:] = np.nan
+    pixels[per_img:] = np.nan
+
+    cfg = _tiny_cfg(train_im_idxs=(0,), steps_per_call=5, num_iters=10)
+    model = NerfMLP()
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step = build_train_step(cfg, model, rays_per_image=per_img)
+    state, losses = step(
+        state, jnp.asarray(rays), jnp.asarray(pixels), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+
+    # omitting rays_per_image with train_im_idxs set fails fast
+    with pytest.raises(ValueError, match="rays_per_image"):
+        build_train_step(cfg, model)
+
+    # incompatible with sharded datasets
+    with pytest.raises(ValueError, match="shard_dataset"):
+        _tiny_cfg(train_im_idxs=(0,), shard_dataset=True)
