@@ -65,6 +65,19 @@ class TrainConfig:
     net_H: int = 256
     net_Lp: int = 10
     net_Ld: int = 4
+    # model family: "nerf" (the reference MLP; default) or "hashgrid"
+    # (Instant-NGP multiresolution hash encoding, models/hashgrid.py —
+    # much faster convergence per iteration; XLA backend only)
+    model_family: str = "nerf"
+    # hash-grid knobs (used when model_family == "hashgrid"); see
+    # models/hashgrid.py::HashGridModel for semantics
+    hash_L: int = 8
+    hash_F: int = 4
+    hash_log2_T: int = 19
+    hash_Nmin: int = 16
+    hash_Nmax: int = 256
+    hash_H: int = 64
+    hash_aabb: float = 4.0
     # steps fused into one jitted lax.scan call (dispatch amortization)
     steps_per_call: int = 20
     # data-parallel chips; 0/1 = single chip, -1 = all (global) devices
@@ -123,6 +136,17 @@ class TrainConfig:
         if self.steps_per_call <= 0:
             raise ValueError(
                 f"steps_per_call must be positive, got {self.steps_per_call}"
+            )
+        if self.model_family not in ("nerf", "hashgrid"):
+            raise ValueError(
+                f"model_family must be 'nerf' or 'hashgrid', got "
+                f"{self.model_family!r}"
+            )
+        if self.model_family == "hashgrid" and self.backend == "pallas":
+            raise ValueError(
+                "backend='pallas' (the fused MLP kernels) supports only the "
+                "'nerf' model family; hashgrid is gather-bound and runs the "
+                "XLA path — set backend: xla"
             )
         if self.train_im_idxs and self.shard_dataset:
             raise ValueError(

@@ -77,9 +77,12 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     params = load_params(cfg.loadpath, keep_hierarchy=cfg.Nc > 0)
-    from nerf_simple_tpu.models.nerf import infer_arch
+    # adapt to the checkpoint's model: exact rebuild from the model.json
+    # sidecar when present, else infer the architecture from weight shapes
+    from nerf_simple_tpu.models import infer_model
+    from nerf_simple_tpu.train.checkpoint import load_model_meta
 
-    model = infer_arch(params)  # adapt to the checkpoint's architecture
+    model = load_model_meta(cfg.loadpath) or infer_model(params)
     if cfg.Nc > 0 and not (
         isinstance(params, dict) and "coarse" in params
     ):

@@ -59,9 +59,13 @@ from nerf_simple_tpu.models.nerf import NerfMLP, Params
 FLAGSHIP = NerfMLP()
 
 
-def supported(model: NerfMLP) -> bool:
-    """Can the fused kernels run this architecture? Needs sublane-aligned
-    widths: H and H//2 multiples of 8 (so H % 16 == 0) and L >= 1."""
+def supported(model) -> bool:
+    """Can the fused kernels run this architecture? NerfMLP-family only
+    (other families, e.g. HashGridModel, always take the XLA path), and
+    needs sublane-aligned widths: H and H//2 multiples of 8 (so
+    H % 16 == 0) and L >= 1."""
+    if not isinstance(model, NerfMLP):
+        return False
     return model.H % 16 == 0 and model.H >= 16 and model.Lp >= 1 and model.Ld >= 1
 
 

@@ -1,5 +1,138 @@
-"""Model families: the NeRF MLP (coarse/fine) as functional pytree models."""
+"""Model families as functional pytree models.
 
-from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params, nerf_apply
+Two families share one contract — ``apply(params, (B, 6) raw
+``[xyz | unit dir]`` rows) -> (B, 4) raw ``[rgb | sigma]`` — so every
+render/train/eval path is family-agnostic:
 
-__all__ = ["NerfMLP", "init_nerf_params", "nerf_apply"]
+- ``NerfMLP`` (models/nerf.py): the reference architecture
+  (utils/nets.py:8-43), frequency encoding + 256-wide MLP; the only
+  family with a fused Pallas kernel path.
+- ``HashGridModel`` (models/hashgrid.py): Instant-NGP multiresolution
+  hash encoding + small MLP heads (opt-in ``model_family: hashgrid``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from nerf_simple_tpu.models.hashgrid import (
+    HashGridModel,
+    hashgrid_apply,
+    init_hashgrid_params,
+)
+from nerf_simple_tpu.models.nerf import (
+    NerfMLP,
+    infer_arch,
+    init_nerf_params,
+    nerf_apply,
+)
+
+__all__ = [
+    "NerfMLP",
+    "HashGridModel",
+    "init_nerf_params",
+    "init_hashgrid_params",
+    "nerf_apply",
+    "hashgrid_apply",
+    "apply_model",
+    "init_model_params",
+    "model_from_train_config",
+    "infer_model",
+    "model_meta",
+    "model_from_meta",
+]
+
+
+def apply_model(params, v, model, compute_dtype):
+    """Family dispatch for the forward pass (same (B,6)->(B,4) contract)."""
+    if isinstance(model, HashGridModel):
+        return hashgrid_apply(params, v, model, compute_dtype=compute_dtype)
+    return nerf_apply(params, v, model, compute_dtype=compute_dtype)
+
+
+def init_model_params(key: jax.Array, model, dtype=None):
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    if isinstance(model, HashGridModel):
+        return init_hashgrid_params(key, model, dtype)
+    return init_nerf_params(key, model, dtype)
+
+
+def model_from_train_config(cfg):
+    """Build the training model from a TrainConfig (family + arch knobs)."""
+    if cfg.model_family == "hashgrid":
+        return HashGridModel(
+            L=cfg.hash_L,
+            F=cfg.hash_F,
+            log2_T=cfg.hash_log2_T,
+            N_min=cfg.hash_Nmin,
+            N_max=cfg.hash_Nmax,
+            Ld=cfg.net_Ld,
+            H=cfg.hash_H,
+            aabb=cfg.hash_aabb,
+        )
+    return NerfMLP(Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H)
+
+
+def model_meta(model) -> dict:
+    """JSON-serializable model description (checkpoint sidecar)."""
+    family = "hashgrid" if isinstance(model, HashGridModel) else "nerf"
+    return {"family": family, **dataclasses.asdict(model)}
+
+
+def model_from_meta(meta: dict):
+    meta = dict(meta)
+    family = meta.pop("family", "nerf")
+    if family == "hashgrid":
+        return HashGridModel(**meta)
+    if family == "nerf":
+        # NerfMLP field names differ from its YAML knobs; meta stores
+        # dataclass fields directly
+        return NerfMLP(**meta)
+    raise ValueError(f"unknown model family {family!r} in model meta")
+
+
+def infer_model(params):
+    """Recover the model from a params pytree alone.
+
+    NerfMLP architectures are fully determined by layer shapes
+    (models/nerf.py::infer_arch). Hash-grid params determine (L, T, F)
+    and the head dims but NOT the static floats (N_min/N_max/aabb) — those
+    come from the ``model.json`` sidecar the train driver writes next to
+    every checkpoint; without it we fall back to the family defaults for
+    the unrecoverable fields and warn.
+    """
+    p = params
+    if isinstance(p, dict) and "fine" in p and "tables" not in p:
+        p = p["fine"]
+    if isinstance(p, dict) and "tables" in p:
+        import warnings
+
+        L, T, F = p["tables"].shape
+        H, out1 = p["sigma1"]["w"].shape
+        geo = out1 - 1
+        in_c0 = p["color0"]["w"].shape[0]
+        Ld = (in_c0 - geo - 3) // 6
+        defaults = HashGridModel()
+        if (defaults.N_min, defaults.N_max, defaults.aabb) != (16, 256, 4.0):
+            raise AssertionError  # keep warning text honest if defaults move
+        warnings.warn(
+            "hash-grid checkpoint has no model.json sidecar: N_min/N_max/"
+            "aabb are not recoverable from weights; using family defaults "
+            "(16/256/4.0) — renders will be wrong if training overrode them",
+            stacklevel=2,
+        )
+        import math
+
+        return HashGridModel(
+            L=L,
+            F=F,
+            log2_T=int(math.log2(T)),
+            Ld=Ld,
+            H=H,
+            geo_feat=geo,
+        )
+    return infer_arch(params)

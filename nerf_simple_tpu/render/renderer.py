@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerf_simple_tpu.models.nerf import NerfMLP, Params, nerf_apply
+from nerf_simple_tpu.models import apply_model
+from nerf_simple_tpu.models.nerf import NerfMLP, Params
 from nerf_simple_tpu.ops.rays import rays_for_poses
 from nerf_simple_tpu.ops.sampling import (
     importance_ts,
@@ -108,7 +109,7 @@ def _render_at_ts(
     noise_key: jax.Array | None = None,
 ) -> CompositeOut:
     B, N = ts.shape
-    if settings.backend == "pallas":
+    if settings.backend == "pallas" and isinstance(model, NerfMLP):
         # feature-major path: build the kernel's x^T directly from the
         # (B, N) ray/sample structure — no (B*N, 6) transpose ever exists
         outT = _fused_mlp_bn(params, rays, ts, settings, model)  # (4,B,N)
@@ -130,13 +131,13 @@ def _render_at_ts(
         k *= 2
     if k > 1:
         out = jax.lax.map(
-            lambda q: nerf_apply(
+            lambda q: apply_model(
                 params, q, model, compute_dtype=settings.compute_dtype
             ),
             query.reshape(k, rows // k, 6),
         )
     else:
-        out = nerf_apply(
+        out = apply_model(
             params, query, model, compute_dtype=settings.compute_dtype
         )
     out = out.reshape(B, N, 4)

@@ -48,11 +48,11 @@ class RenderServer:
         model=None,
         warmup: bool = True,
     ):
-        from nerf_simple_tpu.models.nerf import infer_arch
+        from nerf_simple_tpu.models import infer_model
         from nerf_simple_tpu.render.renderer import RenderSettings
 
         self.params = jax.tree.map(jax.numpy.asarray, params)
-        self.model = model or infer_arch(params)
+        self.model = model or infer_model(params)
         self.settings = settings or RenderSettings()
         self.H, self.W, self.f = H, W, float(f)
         self._lock = threading.Lock()

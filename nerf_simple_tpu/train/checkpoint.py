@@ -67,21 +67,56 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     return restored
 
 
+def save_model_meta(direc: str, model) -> str:
+    """Write a ``model.json`` sidecar into the experiment dir so eval can
+    rebuild the exact model (hash-grid statics like N_min/N_max/aabb are
+    not recoverable from weight shapes alone)."""
+    import json
+
+    from nerf_simple_tpu.models import model_meta
+
+    os.makedirs(direc, exist_ok=True)
+    path = os.path.join(direc, "model.json")
+    with open(path, "w") as fh:
+        json.dump(model_meta(model), fh, indent=1)
+    return path
+
+
+def load_model_meta(loadpath: str):
+    """Find and load a ``model.json`` for a loadpath (a ckpt_<step> dir,
+    an experiment dir, or an exported npz/pth file — the sidecar lives in
+    the experiment dir, i.e. the file's/ckpt dir's parent or the dir
+    itself). Returns the model or None."""
+    import json
+
+    from nerf_simple_tpu.models import model_from_meta
+
+    cand_dirs = []
+    if os.path.isdir(loadpath):
+        cand_dirs = [loadpath, os.path.dirname(os.path.abspath(loadpath))]
+    else:
+        cand_dirs = [os.path.dirname(os.path.abspath(loadpath))]
+    for d in cand_dirs:
+        p = os.path.join(d, "model.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return model_from_meta(json.load(fh))
+    return None
+
+
 def export_params_npz(path: str, params) -> None:
     """Flat-weights export (the .pth-equivalent interface): one npz with
     ``<layer>/w`` and ``<layer>/b`` arrays (nested coarse/fine prefixed)."""
     flat = {}
 
     def add(prefix, p):
-        for layer, d in p.items():
-            for k, v in d.items():
-                flat[f"{prefix}{layer}/{k}"] = np.asarray(v)
+        for k, v in p.items():
+            if isinstance(v, dict):
+                add(f"{prefix}{k}/", v)
+            else:
+                flat[f"{prefix}{k}"] = np.asarray(v)
 
-    if "coarse" in params and isinstance(params["coarse"], dict) and "trunk0" in params["coarse"]:
-        add("coarse/", params["coarse"])
-        add("fine/", params["fine"])
-    else:
-        add("", params)
+    add("", params)
     np.savez(path, **flat)
 
 

@@ -25,7 +25,6 @@ import numpy as np
 from nerf_simple_tpu.config import TrainConfig, train_config_from_dict
 from nerf_simple_tpu.data.blender import load_blender
 from nerf_simple_tpu.data.dataset import RayDataset
-from nerf_simple_tpu.models.nerf import NerfMLP
 from nerf_simple_tpu.render.renderer import RenderSettings, render_image
 from nerf_simple_tpu.train import checkpoint as ckpt
 from nerf_simple_tpu.train.metrics import img_mse, img_psnr
@@ -74,9 +73,14 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             pi, pc = process_info()
             print(f"jax.distributed initialized: process {pi}/{pc}, "
                   f"{len(jax.devices())} global devices")
-    model = NerfMLP(Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H)
+    from nerf_simple_tpu.models import model_from_train_config
+
+    model = model_from_train_config(cfg)
     exp_dir = os.path.join(cfg.savepath, cfg.exp_name)
     os.makedirs(exp_dir, exist_ok=True)
+    # sidecar so eval can rebuild the exact model (required for hashgrid
+    # statics; redundant-but-consistent for NerfMLP)
+    ckpt.save_model_meta(exp_dir, model)
     logger = Logger(run_log_dir(cfg.log_dir))
 
     mesh = None
@@ -263,19 +267,21 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         os.path.join(exp_dir, f"params_{int(state.step)}.npz"),
         jax.device_get(state.params),
     )
-    try:
+    if cfg.model_family == "nerf":
         # reference-compatible torch state_dict (loads into the reference
         # Nerf with strict=True); hierarchical exports the fine net, the
-        # reference's single-network semantics
-        host_params = jax.device_get(state.params)
-        if "coarse" in host_params and "trunk0" not in host_params:
-            host_params = host_params["fine"]
-        ckpt.export_params_pth(
-            os.path.join(exp_dir, f"params_{int(state.step)}.pth"),
-            host_params,
-        )
-    except ImportError:
-        pass  # torch not installed: npz remains the portable export
+        # reference's single-network semantics. NerfMLP-only: the torch
+        # reference has no hash-grid module to load other families into.
+        try:
+            host_params = jax.device_get(state.params)
+            if "coarse" in host_params and "trunk0" not in host_params:
+                host_params = host_params["fine"]
+            ckpt.export_params_pth(
+                os.path.join(exp_dir, f"params_{int(state.step)}.pth"),
+                host_params,
+            )
+        except ImportError:
+            pass  # torch not installed: npz remains the portable export
     if meter.iters:
         print(
             f"final checkpoint {path} | {meter.iters_per_sec:.1f} it/s "

@@ -66,16 +66,16 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 def make_train_state(
     key: jax.Array, cfg: TrainConfig, model: NerfMLP = NerfMLP()
 ) -> TrainState:
-    from nerf_simple_tpu.models.nerf import init_nerf_params
+    from nerf_simple_tpu.models import init_model_params
 
     if cfg.hierarchical:
         kc, kf = jax.random.split(key)
         params: Any = {
-            "coarse": init_nerf_params(kc, model),
-            "fine": init_nerf_params(kf, model),
+            "coarse": init_model_params(kc, model),
+            "fine": init_model_params(kf, model),
         }
     else:
-        params = init_nerf_params(key, model)
+        params = init_model_params(key, model)
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
 
