@@ -271,3 +271,51 @@ def test_sharded_dataset_training_runs():
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params))
     )
     assert diff > 0
+
+
+class _FakeDev:
+    """Stub with the Device attributes _topology_order sorts by."""
+
+    def __init__(self, id, slice_index, process_index=0):
+        self.id = id
+        self.slice_index = slice_index
+        self.process_index = process_index
+
+
+def test_topology_order_groups_slices():
+    """Multi-slice device lists must come back slice-major so the data
+    axis ring stays ICI-local (one DCN hop per slice)."""
+    from nerf_simple_tpu.parallel.mesh import _topology_order
+
+    # interleaved arrival order, as jax.devices() can present them
+    devs = [
+        _FakeDev(0, 1), _FakeDev(1, 0), _FakeDev(2, 1), _FakeDev(3, 0),
+        _FakeDev(4, 1, 1), _FakeDev(5, 0, 1),
+    ]
+    got = _topology_order(devs)
+    assert [(d.slice_index, d.process_index, d.id) for d in got] == [
+        (0, 0, 1), (0, 0, 3), (0, 1, 5), (1, 0, 0), (1, 0, 2), (1, 1, 4),
+    ]
+
+
+def test_topology_order_single_slice_stable():
+    from nerf_simple_tpu.parallel.mesh import _topology_order
+
+    devs = jax.devices()
+    assert [d.id for d in _topology_order(devs)] == sorted(
+        d.id for d in devs
+    )
+
+
+def test_make_mesh_warns_on_slice_straddling():
+    """A data axis that doesn't divide evenly over slices loses the
+    ICI-only reduction; make_mesh must say so."""
+    import warnings as _w
+
+    from nerf_simple_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()  # 8 fake CPU devices, all slice 0
+    # single-slice: no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        make_mesh(8, devices=devs)
