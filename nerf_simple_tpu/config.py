@@ -78,6 +78,22 @@ class TrainConfig:
     hash_Nmax: int = 256
     hash_H: int = 64
     hash_aabb: float = 4.0
+    # table-gradient estimator: "sample" (one stochastic corner per
+    # query/level; 8x fewer scatter updates — the TPU training fast
+    # path) or "exact" (full trilinear transpose)
+    hash_grad_mode: str = "sample"
+    # --- occupancy-grid accelerated sampling (ops/occupancy.py) ---
+    # Redistributes the N training samples per ray into density-occupied
+    # space via an EMA'd occupancy grid (TPU-static empty-space skipping;
+    # the NerfAcc/Instant-NGP acceleration structure). Off = reference
+    # stratified sampling.
+    occupancy: bool = False
+    occ_R: int = 64  # grid resolution per axis
+    occ_Nb: int = 128  # per-ray probe bins for the sampling PDF
+    occ_update_every: int = 16  # grid EMA refresh cadence (steps)
+    occ_decay: float = 0.95  # EMA decay per refresh
+    occ_floor: float = 0.01  # minimum per-bin sampling mass
+    occ_aabb: float = 4.0  # grid extent: [-aabb, aabb]^3
     # steps fused into one jitted lax.scan call (dispatch amortization)
     steps_per_call: int = 20
     # data-parallel chips; 0/1 = single chip, -1 = all (global) devices
@@ -141,6 +157,11 @@ class TrainConfig:
             raise ValueError(
                 f"model_family must be 'nerf' or 'hashgrid', got "
                 f"{self.model_family!r}"
+            )
+        if self.hash_grad_mode not in ("sample", "exact"):
+            raise ValueError(
+                f"hash_grad_mode must be 'sample' or 'exact', got "
+                f"{self.hash_grad_mode!r}"
             )
         if self.model_family == "hashgrid" and self.backend == "pallas":
             raise ValueError(

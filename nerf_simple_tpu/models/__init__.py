@@ -73,6 +73,7 @@ def model_from_train_config(cfg):
             Ld=cfg.net_Ld,
             H=cfg.hash_H,
             aabb=cfg.hash_aabb,
+            grad_mode=cfg.hash_grad_mode,
         )
     return NerfMLP(Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H)
 
@@ -111,28 +112,27 @@ def infer_model(params):
     if isinstance(p, dict) and "tables" in p:
         import warnings
 
-        L, T, F = p["tables"].shape
+        total_rows, F = p["tables"].shape
         H, out1 = p["sigma1"]["w"].shape
         geo = out1 - 1
         in_c0 = p["color0"]["w"].shape[0]
         Ld = (in_c0 - geo - 3) // 6
-        defaults = HashGridModel()
-        if (defaults.N_min, defaults.N_max, defaults.aabb) != (16, 256, 4.0):
-            raise AssertionError  # keep warning text honest if defaults move
+        m = HashGridModel(F=F, Ld=Ld, H=H, geo_feat=geo)
+        if m.total_rows != total_rows:
+            raise ValueError(
+                "hash-grid checkpoint has no model.json sidecar and its "
+                f"table layout ({total_rows} rows) does not match the "
+                f"family defaults ({m.total_rows} rows): the grid statics "
+                "(L/log2_T/N_min/N_max/aabb) cannot be recovered from "
+                "weight shapes — keep the model.json the train driver "
+                "writes next to every checkpoint"
+            )
         warnings.warn(
-            "hash-grid checkpoint has no model.json sidecar: N_min/N_max/"
-            "aabb are not recoverable from weights; using family defaults "
-            "(16/256/4.0) — renders will be wrong if training overrode them",
+            "hash-grid checkpoint has no model.json sidecar: grid statics "
+            "are not recoverable from weights; the table layout matches "
+            "the family defaults, using those — renders will be wrong if "
+            "training overrode aabb",
             stacklevel=2,
         )
-        import math
-
-        return HashGridModel(
-            L=L,
-            F=F,
-            log2_T=int(math.log2(T)),
-            Ld=Ld,
-            H=H,
-            geo_feat=geo,
-        )
+        return m
     return infer_arch(params)

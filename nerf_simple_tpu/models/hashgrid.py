@@ -14,22 +14,26 @@ than the frequency-encoded MLP.
 
 TPU-first design decisions (vs the paper's fused-CUDA implementation):
 
-- All L tables live in ONE stacked ``(L, T, F)`` HBM array; each level's
-  lookup is a single vectorized 8-corner gather ``take(table_l, idx
-  (B, 8))`` — XLA lowers this to one dynamic-gather per level, and its
-  transpose (scatter-add into the table) is generated by autodiff. No
-  hand-written CUDA hash kernels: the gather IS the TPU-native hot op,
-  and everything around it (interp weights, the small matmuls) fuses.
+- All levels live in ONE flat ragged ``(total_rows, F)`` HBM array with
+  static per-level offsets; each level's lookup is a single vectorized
+  8-corner gather — XLA lowers this to one dynamic-gather per level, and
+  its transpose (scatter-add into that level's row range) is generated
+  by autodiff. No hand-written CUDA hash kernels: the gather IS the
+  TPU-native hot op, and everything around it fuses.
+- Per-level table size is ``min((R+1)^3 rounded up to 8, T)`` — dense
+  collision-free storage whenever the full vertex grid fits (like the
+  paper), the XOR spatial hash otherwise. Besides exactness, the cap is
+  a measured TPU performance requirement: XLA's scatter-add (the table
+  gradient) costs ~11 ns/update into a 2^14-row target but degrades
+  superlinearly with target size (~350 ns/update at 2^19 rows on v5e) —
+  so the default T is 2^14, NOT the paper's 2^19, and coarse levels
+  scatter into exactly-sized dense tables.
 - Static shapes everywhere: the per-level dense-vs-hashed indexing
   decision is made at trace time from the (static) level resolution, so
   the compiled program contains no data-dependent control flow.
-- Coarse levels whose full grid fits in the table ((R+1)^3 <= T) use
-  exact dense indexing (no collisions), like the paper; finer levels use
-  the paper's spatial XOR hash. T is a power of two so ``mod T`` is a
-  lane-cheap bitwise AND.
 - The head MLPs are tiny (default H=64) — they ride the MXU in the same
-  fused XLA program as the gathers; the model is bandwidth-bound on the
-  table gathers exactly as the paper's is.
+  fused XLA program as the gathers; the model is bound by table
+  gather/scatter traffic exactly as the paper's is.
 
 Output contract matches ``nerf_apply`` exactly — raw (B, 4)
 ``[rgb | sigma]``, no sigmoid / no sigma activation (compositing applies
@@ -40,6 +44,7 @@ chunked eval, orbit video, shard_map DP) works unchanged with this model.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -66,17 +71,44 @@ class HashGridModel:
 
     L: int = 8  # grid levels
     F: int = 4  # features per level
-    log2_T: int = 19  # table entries per level (power of two)
+    log2_T: int = 14  # max table entries per level (power of two; see
+    # the module docstring for why the TPU default is 2^14, not 2^19)
     N_min: int = 16  # coarsest grid resolution
     N_max: int = 256  # finest grid resolution
     Ld: int = 4  # view-dir frequency octaves (reference gamma encoding)
     H: int = 64  # head MLP width
     geo_feat: int = 15  # density-branch features fed to the color head
     aabb: float = 4.0  # scene half-extent: xyz in [-aabb, aabb] -> [0,1]
+    # table-gradient estimator: "sample" replaces the exact 8-corner
+    # scatter-add with a one-corner draw proportional to the trilinear
+    # weight — an unbiased estimate with 8x fewer scatter updates (the
+    # TPU scatter op-rate is the family's training bottleneck, see module
+    # docstring). "exact" is the full autodiff transpose.
+    grad_mode: str = "sample"
 
     @property
     def T(self) -> int:
         return 1 << self.log2_T
+
+    def level_sizes(self) -> tuple[int, ...]:
+        """Rows per level: dense (R+1)^3 when it fits (rounded up to a
+        sublane multiple of 8), else the hash cap T."""
+        out = []
+        for R in self.resolutions():
+            v = (R + 1) ** 3
+            out.append(-(-v // 8) * 8 if v <= self.T else self.T)
+        return tuple(out)
+
+    def level_offsets(self) -> tuple[int, ...]:
+        offs, acc = [], 0
+        for s in self.level_sizes():
+            offs.append(acc)
+            acc += s
+        return tuple(offs)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(self.level_sizes())
 
     @property
     def n_features(self) -> int:
@@ -113,7 +145,7 @@ def init_hashgrid_params(
     params: Params = {
         "tables": jax.random.uniform(
             k_tab,
-            (model.L, model.T, model.F),
+            (model.total_rows, model.F),
             dtype,
             minval=-1e-4,
             maxval=1e-4,
@@ -135,17 +167,18 @@ def init_hashgrid_params(
     return params
 
 
-def _corner_indices(x0: jnp.ndarray, R: int, T: int) -> jnp.ndarray:
-    """Flat table indices of the 8 cell corners for each point.
+def _corner_indices(x0: jnp.ndarray, R: int, size: int) -> jnp.ndarray:
+    """Level-local table indices of the 8 cell corners for each point.
 
     Args:
       x0: (B, 3) int32 floor cell coords in [0, R-1].
       R: level resolution (grid has R+1 vertices per axis).
-      T: table size (power of two).
+      size: the level's table rows (``model.level_sizes()[lvl]``).
 
     Returns (B, 8) int32 indices into the level's table. Dense exact
-    indexing when the full vertex grid fits ((R+1)^3 <= T), else the
-    paper's XOR spatial hash (eq. 4). The choice is static per level.
+    indexing when the full vertex grid fits ((R+1)^3 <= size), else the
+    paper's XOR spatial hash (eq. 4) into the power-of-two hash cap.
+    The choice is static per level.
     """
     # (8, 3) corner offset table, static
     offs = jnp.array(
@@ -153,12 +186,116 @@ def _corner_indices(x0: jnp.ndarray, R: int, T: int) -> jnp.ndarray:
     )
     corners = x0[:, None, :] + offs[None, :, :]  # (B, 8, 3)
     V = R + 1
-    if V * V * V <= T:
+    if V * V * V <= size:
         return (corners[..., 0] * V + corners[..., 1]) * V + corners[..., 2]
     h = corners[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
     h = h ^ (corners[..., 1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
     h = h ^ (corners[..., 2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
-    return (h & jnp.uint32(T - 1)).astype(jnp.int32)
+    return (h & jnp.uint32(size - 1)).astype(jnp.int32)
+
+
+def _level_geometry(
+    x01: jnp.ndarray, model: HashGridModel, lvl: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(corner indices (B, 8), trilinear weights (B, 8)) for one level.
+
+    Cheap dense math — recomputed in the sampled backward instead of
+    being saved as residuals.
+    """
+    R = model.resolutions()[lvl]
+    size = model.level_sizes()[lvl]
+    xs = x01 * R  # vertex-space coords in [0, R]
+    x0f = jnp.clip(jnp.floor(xs), 0, R - 1)  # floor cell, boundary-safe
+    frac = xs - x0f  # in [0, 1]
+    idx = _corner_indices(x0f.astype(jnp.int32), R, size)  # (B, 8)
+    offs = jnp.array(
+        [[(c >> d) & 1 for d in range(3)] for c in range(8)], x01.dtype
+    )  # (8, 3)
+    w = jnp.prod(
+        jnp.where(offs[None], frac[:, None, :], 1.0 - frac[:, None, :]),
+        axis=-1,
+    )  # (B, 8)
+    return idx, w
+
+
+def _hash_encode_exact(
+    tables: jnp.ndarray, x01: jnp.ndarray, model: HashGridModel
+) -> jnp.ndarray:
+    outs = []
+    sizes, offsets = model.level_sizes(), model.level_offsets()
+    for lvl in range(model.L):
+        idx, w = _level_geometry(x01, model, lvl)
+        # static slice per level; its VJP is a dense pad, so the table
+        # gradient stays one small per-level scatter (see module docstring)
+        level_tab = tables[offsets[lvl] : offsets[lvl] + sizes[lvl]]
+        feats = jnp.take(level_tab, idx, axis=0)  # (B, 8, F) one gather
+        outs.append(jnp.einsum("bc,bcf->bf", w, feats))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _corner_u(x01: jnp.ndarray, lvl: int) -> jnp.ndarray:
+    """Quasi-random u in [0, 1) per point, decorrelated across levels.
+
+    Deterministic hash-noise of the position bits (the classic
+    sin-dot-fract shader hash). Training positions are re-jittered every
+    step by the stratified sampler, so across steps these behave as
+    fresh uniforms without threading a PRNG key through the model apply.
+    """
+    t = (
+        x01[:, 0] * 12.9898
+        + x01[:, 1] * 78.233
+        + x01[:, 2] * 37.719
+        + 0.61803398875 * (lvl + 1)
+    )
+    s = jnp.sin(t) * 43758.5453
+    return s - jnp.floor(s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_encode_sampled(tables, x01, model):
+    return _hash_encode_exact(tables, x01, model)
+
+
+def _hash_encode_sampled_fwd(tables, x01, model):
+    # positions are the only residual; corner indices/weights are
+    # recomputed in the backward (cheap dense math, no gather residuals)
+    return _hash_encode_exact(tables, x01, model), x01
+
+
+def _hash_encode_sampled_bwd(model, x01, g):
+    """One-corner stochastic estimate of the table gradient.
+
+    Exact: dT[idx_c] += w_c * g for all 8 corners (8 updates/query/level).
+    Here: draw ONE corner c* with P(c) = w_c and add g unweighted —
+    E[update] = sum_c w_c g = exact, with 8x fewer scatter rows. Each
+    level scatters into its OWN small table slice (measured faster on
+    v5e than one merged scatter into the flat table: XLA's scatter rate
+    degrades with target size). Per-level column totals are preserved
+    EXACTLY (each query contributes g once either way); only the
+    within-level distribution is stochastic.
+    """
+    F = model.F
+    sizes = model.level_sizes()
+    parts = []
+    for lvl in range(model.L):
+        idx, w = _level_geometry(x01, model, lvl)  # (B, 8), (B, 8)
+        u = _corner_u(x01, lvl)  # (B,)
+        cs = jnp.cumsum(w, axis=-1)  # (B, 8); cs[..., -1] == 1 up to fp
+        c = jnp.sum(
+            (cs < (u * cs[:, -1])[:, None]).astype(jnp.int32), axis=-1
+        )
+        c = jnp.clip(c, 0, 7)
+        row = jnp.take_along_axis(idx, c[:, None], axis=1)[:, 0]
+        g_l = g[:, lvl * F : (lvl + 1) * F]
+        parts.append(
+            jnp.zeros((sizes[lvl], F), g.dtype).at[row].add(g_l)
+        )
+    dT = jnp.concatenate(parts, axis=0)
+    # positions are never trained (rays are data); zero keeps the vjp total
+    return dT, jnp.zeros_like(x01)
+
+
+_hash_encode_sampled.defvjp(_hash_encode_sampled_fwd, _hash_encode_sampled_bwd)
 
 
 def hash_encode(
@@ -167,32 +304,21 @@ def hash_encode(
     """Multiresolution hash encoding of points in the unit cube.
 
     Args:
-      tables: (L, T, F) feature tables.
+      tables: (total_rows, F) flat ragged per-level feature tables
+        (``model.level_offsets()``/``level_sizes()`` give the static
+        layout).
       x01: (B, 3) points, expected in [0, 1] (values outside are clamped
         to the boundary cell — out-of-AABB geometry saturates rather
         than wrapping).
 
     Returns (B, L*F) concatenated per-level trilinear interpolations.
+    Forward values are identical in both ``model.grad_mode``s; the mode
+    only selects the table-gradient estimator (see class docstring).
     """
     x01 = jnp.clip(x01, 0.0, 1.0)
-    outs = []
-    for lvl, R in enumerate(model.resolutions()):
-        xs = x01 * R  # vertex-space coords in [0, R]
-        x0f = jnp.clip(jnp.floor(xs), 0, R - 1)  # floor cell, boundary-safe
-        frac = xs - x0f  # in [0, 1]
-        idx = _corner_indices(x0f.astype(jnp.int32), R, model.T)  # (B, 8)
-        feats = jnp.take(tables[lvl], idx, axis=0)  # (B, 8, F) one gather
-        # trilinear weights: prod over axes of (1-frac) or frac per corner
-        offs = jnp.array(
-            [[(c >> d) & 1 for d in range(3)] for c in range(8)],
-            x01.dtype,
-        )  # (8, 3)
-        w = jnp.prod(
-            jnp.where(offs[None], frac[:, None, :], 1.0 - frac[:, None, :]),
-            axis=-1,
-        )  # (B, 8)
-        outs.append(jnp.einsum("bc,bcf->bf", w, feats))
-    return jnp.concatenate(outs, axis=-1)
+    if model.grad_mode == "sample":
+        return _hash_encode_sampled(tables, x01, model)
+    return _hash_encode_exact(tables, x01, model)
 
 
 def _dense(p, x, dtype):

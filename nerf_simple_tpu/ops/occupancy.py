@@ -1,0 +1,184 @@
+"""Occupancy-grid accelerated ray sampling (empty-space skipping).
+
+The acceleration structure of Instant-NGP / NerfAcc (PAPERS.md), redesigned
+for TPU static shapes: instead of dropping samples in empty space (which
+makes per-ray sample counts dynamic — hostile to XLA), the SAME fixed
+sample budget is **redistributed** into occupied regions by inverse-CDF
+sampling from a density-derived occupancy prior:
+
+- a dense ``(R, R, R)`` grid holds an EMA of per-cell opacity, refreshed
+  every K steps by ONE dense density evaluation at jittered cell centers
+  (pure matmuls — no scatter; the grid update costs one extra forward
+  pass amortized over K steps);
+- at sample time, each ray reads the grid at Nb equally spaced probe
+  points (one vectorized gather — fast on TPU) and draws its N samples
+  from the piecewise-constant PDF ``occ + floor`` over those bins.
+
+Same quadrature contract as stratified sampling (sorted ts, fixed N), so
+every render/train path — including the fused Pallas train kernel, which
+takes ts as data — works unchanged. The ``floor`` mass keeps every bin
+reachable, so regions the grid wrongly marks empty are still probed and
+the EMA self-corrects.
+
+The grid is DERIVED state (recomputable from params in one update), so
+it lives in the TrainState for the scan but is rebuilt rather than
+restored when absent from a checkpoint.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def init_occ_grid(R: int, dtype=jnp.float32) -> jnp.ndarray:
+    """All-ones grid: until the first refresh the sampling PDF is uniform
+    (exactly stratified behavior), so no warmup knob is needed."""
+    return jnp.ones((R, R, R), dtype)
+
+
+def occ_lookup(grid: jnp.ndarray, pts: jnp.ndarray, aabb: float) -> jnp.ndarray:
+    """Nearest-cell occupancy at world points (one flat gather).
+
+    Args:
+      grid: (R, R, R) occupancy.
+      pts: (..., 3) world coordinates.
+      aabb: scene half-extent; the grid spans [-aabb, aabb]^3.
+
+    Points outside the AABB clamp to the boundary cell.
+    """
+    R = grid.shape[0]
+    cell = jnp.clip(
+        jnp.floor((pts + aabb) / (2.0 * aabb) * R), 0, R - 1
+    ).astype(jnp.int32)
+    flat = (cell[..., 0] * R + cell[..., 1]) * R + cell[..., 2]
+    return jnp.take(grid.reshape(-1), flat, axis=0)
+
+
+def ray_bin_occupancy(
+    grid: jnp.ndarray,
+    rays: jnp.ndarray,
+    tn: float,
+    tf: float,
+    Nb: int,
+    aabb: float,
+) -> jnp.ndarray:
+    """Occupancy of Nb equal t-bins along each ray (probed at bin centers).
+
+    Probe points use the UNNORMALIZED ray direction — the same sample
+    placement quirk as the renderer (reference utils/rendering.py:31-36)
+    so the prior indexes the exact space the samples will land in.
+
+    Args:
+      rays: (B, 6) packed ``[origin | direction]``.
+
+    Returns (B, Nb) occupancy in [0, 1].
+    """
+    w = (tf - tn) / Nb
+    t_centers = tn + (jnp.arange(Nb, dtype=rays.dtype) + 0.5) * w  # (Nb,)
+    pts = (
+        rays[:, None, :3] + rays[:, None, 3:] * t_centers[None, :, None]
+    )  # (B, Nb, 3)
+    return occ_lookup(grid, pts, aabb)
+
+
+def binned_pdf_ts(
+    key: jax.Array,
+    weights: jnp.ndarray,
+    N: int,
+    tn: float,
+    tf: float,
+    det: bool = False,
+) -> jnp.ndarray:
+    """Draw N sorted samples per ray from a piecewise-constant PDF over
+    Nb equal bins of [tn, tf] (samples are uniform within their bin).
+
+    Args:
+      weights: (B, Nb) nonnegative per-bin mass (need not be normalized).
+      det: evenly spaced quantiles instead of random draws (eval).
+
+    Returns (B, N) sorted sample distances.
+    """
+    B, Nb = weights.shape
+    dtype = weights.dtype
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )  # (B, Nb+1), cdf[..., -1] == 1 up to fp
+
+    if det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, N, dtype=dtype) * (1 - 1e-6), (B, N)
+        )
+    else:
+        # sorted-by-construction u via the exponential order-statistic
+        # trick (see ops/sampling.py::importance_ts)
+        e = jax.random.exponential(key, (B, N + 1), dtype=dtype)
+        s = jnp.cumsum(e, axis=-1)
+        u = s[:, :N] / s[:, N:]
+
+    # bin index: #(interior cdf edges <= u); dense broadcast-compare (the
+    # TPU-fast searchsorted, see ops/sampling.py)
+    idx = jnp.sum(
+        (cdf[:, None, 1:-1] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )  # (B, N) in [0, Nb-1]
+    grid_ids = jnp.arange(Nb, dtype=jnp.int32)
+    onehot = (idx[:, :, None] == grid_ids).astype(dtype)  # (B, N, Nb)
+    table = jnp.stack([cdf[:, :-1], pdf], axis=-1)  # (B, Nb, 2)
+    vals = jnp.einsum(
+        "bnm,bmk->bnk", onehot, table, precision=jax.lax.Precision.HIGHEST
+    )
+    cdf_lo, p = vals[..., 0], vals[..., 1]
+    frac = (u - cdf_lo) / jnp.maximum(p, 1e-12)
+    frac = jnp.clip(frac, 0.0, 1.0)
+    width = (tf - tn) / Nb
+    return tn + (idx.astype(dtype) + frac) * width
+
+
+def occupancy_ts(
+    key: jax.Array,
+    rays: jnp.ndarray,
+    grid: jnp.ndarray,
+    N: int,
+    tn: float,
+    tf: float,
+    aabb: float,
+    Nb: int = 128,
+    floor: float = 0.01,
+    det: bool = False,
+) -> jnp.ndarray:
+    """Occupancy-informed replacement for ``stratified_ts``: N sorted
+    samples per ray, concentrated in grid-occupied t-bins."""
+    occ = ray_bin_occupancy(grid, rays, tn, tf, Nb, aabb)
+    return binned_pdf_ts(key, occ + floor, N, tn, tf, det=det)
+
+
+def update_occ_grid(
+    grid: jnp.ndarray,
+    sigma_fn,
+    key: jax.Array,
+    aabb: float,
+    decay: float = 0.95,
+) -> jnp.ndarray:
+    """EMA occupancy refresh from one dense density evaluation.
+
+    Evaluates ``sigma_fn`` (raw density head) at one jittered point per
+    cell and folds the resulting per-cell opacity into the EMA:
+    ``occ = max(occ * decay, alpha)`` (the Instant-NGP update rule), with
+    ``alpha = 1 - exp(-softplus(sigma) * dt)`` over the cell diameter.
+    Dense compute only — the (R^3, 3) query batch is a plain forward
+    pass, no scatter anywhere.
+
+    Args:
+      sigma_fn: (P, 3) world points -> (P,) raw sigma.
+    """
+    R = grid.shape[0]
+    cell_w = 2.0 * aabb / R
+    ii = jnp.arange(R, dtype=grid.dtype)
+    gx, gy, gz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+    corners = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # (R^3, 3)
+    jitter = jax.random.uniform(key, corners.shape, grid.dtype)
+    pts = -aabb + (corners + jitter) * cell_w
+    sigma = sigma_fn(pts).reshape(R, R, R)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * cell_w)
+    return jnp.maximum(grid * decay, alpha)

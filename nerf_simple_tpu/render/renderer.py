@@ -82,6 +82,7 @@ def render_rays(
     key: jax.Array,
     settings: RenderSettings = RenderSettings(),
     model: NerfMLP = NerfMLP(),
+    ts: jnp.ndarray | None = None,
 ) -> CompositeOut:
     """Stratified-sample and render a batch of rays (coarse-only path).
 
@@ -89,11 +90,16 @@ def render_rays(
       params: MLP params pytree.
       rays: (B, 6) packed ``[origin | direction]`` (direction unnormalized).
       key: PRNG key for stratified jitter.
+      ts: optional externally chosen (B, N) sorted sample distances (e.g.
+        occupancy-informed, ops/occupancy.py); None = stratified.
 
     Returns CompositeOut; ``.rgb`` is raw/unclipped like the reference.
     """
     B = rays.shape[0]
-    ts = stratified_ts(key, B, settings.N, settings.tn, settings.tf, rays.dtype)
+    if ts is None:
+        ts = stratified_ts(
+            key, B, settings.N, settings.tn, settings.tf, rays.dtype
+        )
     # noise key derived by fold_in so the ts stream is unchanged whether or
     # not the regularizer is enabled (parity when sigma_noise == 0)
     noise_key = jax.random.fold_in(key, 1) if settings.sigma_noise > 0 else None
@@ -197,20 +203,26 @@ def render_rays_hierarchical(
     settings: RenderSettings,
     model: NerfMLP = NerfMLP(),
     det_fine: bool = False,
+    ts_coarse: jnp.ndarray | None = None,
 ) -> tuple[CompositeOut, CompositeOut]:
     """Coarse+fine rendering (reference roadmap feature, built per the NeRF
     paper sec. 5.2): Nc stratified coarse samples -> weight PDF ->
     N importance samples; the fine net evaluates the sorted union of both
     sample sets (Nc + N points per ray).
 
+    ``ts_coarse`` optionally replaces the stratified coarse samples (e.g.
+    occupancy-informed, ops/occupancy.py).
+
     Returns (coarse_out, fine_out).
     """
     assert settings.N_coarse > 0, "hierarchical path needs N_coarse > 0"
     k_strat, k_imp = jax.random.split(key)
     B = rays.shape[0]
-    ts_c = stratified_ts(
-        k_strat, B, settings.N_coarse, settings.tn, settings.tf, rays.dtype
-    )
+    ts_c = ts_coarse
+    if ts_c is None:
+        ts_c = stratified_ts(
+            k_strat, B, settings.N_coarse, settings.tn, settings.tf, rays.dtype
+        )
     coarse_out = _render_at_ts(params_coarse, rays, ts_c, settings, model)
 
     ts_f = importance_ts(

@@ -54,17 +54,46 @@ def latest_checkpoint(direc: str) -> str | None:
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore a TrainState. ``path`` may be a ckpt dir or an experiment
-    dir containing ckpt_<step> subdirs (latest wins)."""
+    dir containing ckpt_<step> subdirs (latest wins).
+
+    The occupancy grid (``TrainState.occ``) is DERIVED state: when the
+    checkpoint predates the field (or was written with occupancy off and
+    is resumed with it on), the template's freshly initialized grid is
+    kept and the EMA rebuilds within one refresh cadence — only
+    params/opt_state/step must round-trip exactly.
+    """
     if not os.path.basename(path).startswith("ckpt_"):
         found = latest_checkpoint(path)
         if found is None:
             raise FileNotFoundError(f"no ckpt_* under {path}")
         path = found
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(path), jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-    )
-    return restored
+    try:
+        return ckptr.restore(
+            os.path.abspath(path),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, template),
+        )
+    except Exception:
+        # structure mismatch on the occ field: restore the durable core
+        # with a legacy-shaped template and keep the template's grid
+        from typing import NamedTuple as _NT
+
+        class _Legacy(_NT):
+            params: object
+            opt_state: object
+            step: object
+
+        legacy = _Legacy(template.params, template.opt_state, template.step)
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            jax.tree.map(ocp.utils.to_shape_dtype_struct, legacy),
+        )
+        return TrainState(
+            params=restored.params,
+            opt_state=restored.opt_state,
+            step=restored.step,
+            occ=template.occ,
+        )
 
 
 def save_model_meta(direc: str, model) -> str:

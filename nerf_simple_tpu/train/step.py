@@ -52,6 +52,10 @@ class TrainState(NamedTuple):
     params: Any  # Params, or {"coarse": Params, "fine": Params}
     opt_state: optax.OptState
     step: jnp.ndarray  # scalar int32
+    # occupancy grid (cfg.occupancy): derived EMA state, (R, R, R); the
+    # empty tuple when disabled. Rebuilt (not restored) when absent from
+    # a checkpoint — see checkpoint.restore_checkpoint.
+    occ: Any = ()
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -77,7 +81,14 @@ def make_train_state(
     else:
         params = init_model_params(key, model)
     opt_state = make_optimizer(cfg).init(params)
-    return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
+    occ: Any = ()
+    if cfg.occupancy:
+        from nerf_simple_tpu.ops.occupancy import init_occ_grid
+
+        occ = init_occ_grid(cfg.occ_R)
+    return TrainState(
+        params=params, opt_state=opt_state, step=jnp.int32(0), occ=occ
+    )
 
 
 def build_train_step(
@@ -126,16 +137,40 @@ def build_train_step(
         sigma_noise=cfg.sigma_noise,
     )
 
-    def loss_fn(params, rays_b, pix_b, key):
+    def _maybe_occ_ts(key, rays_b, occ, N):
+        """Occupancy-informed (B, N) samples, or None -> the callee runs
+        the reference stratified sampler (bit-identical key streams to
+        the occupancy-off build)."""
+        if not cfg.occupancy:
+            return None
+        from nerf_simple_tpu.ops.occupancy import occupancy_ts
+
+        return occupancy_ts(
+            jax.random.fold_in(key, 17),
+            rays_b,
+            occ,
+            N,
+            cfg.tn,
+            cfg.tf,
+            cfg.occ_aabb,
+            Nb=cfg.occ_Nb,
+            floor=cfg.occ_floor,
+        )
+
+    def loss_fn(params, rays_b, pix_b, key, occ):
         if cfg.hierarchical:
             coarse, fine = render_rays_hierarchical(
-                params["coarse"], params["fine"], rays_b, key, settings, model
+                params["coarse"], params["fine"], rays_b, key, settings, model,
+                ts_coarse=_maybe_occ_ts(key, rays_b, occ, cfg.Nc),
             )
             # standard NeRF total loss (paper eqn. 6): both heads to gt
             return jnp.mean((coarse.rgb - pix_b) ** 2) + jnp.mean(
                 (fine.rgb - pix_b) ** 2
             )
-        out = render_rays(params, rays_b, key, settings, model)
+        out = render_rays(
+            params, rays_b, key, settings, model,
+            ts=_maybe_occ_ts(key, rays_b, occ, cfg.Nf),
+        )
         return jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
 
     def _pick_tile(N: int, batch_rows: int) -> int | None:
@@ -206,9 +241,9 @@ def build_train_step(
                     f"XLA path for this step",
                     stacklevel=2,
                 )
-            return lambda params, rays_b, pix_b, key: jax.value_and_grad(
+            return lambda params, rays_b, pix_b, key, occ: jax.value_and_grad(
                 loss_fn
-            )(params, rays_b, pix_b, key)
+            )(params, rays_b, pix_b, key, occ)
 
         from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
         from nerf_simple_tpu.ops.sampling import (
@@ -222,12 +257,14 @@ def build_train_step(
 
         if cfg.hierarchical:
 
-            def core(params, rays_b, pix_b, key):
+            def core(params, rays_b, pix_b, key, occ):
                 B = rays_b.shape[0]
                 k_strat, k_imp = jax.random.split(key)
-                ts_c = stratified_ts(
-                    k_strat, B, cfg.Nc, cfg.tn, cfg.tf, rays_b.dtype
-                )
+                ts_c = _maybe_occ_ts(key, rays_b, occ, cfg.Nc)
+                if ts_c is None:
+                    ts_c = stratified_ts(
+                        k_strat, B, cfg.Nc, cfg.tn, cfg.tf, rays_b.dtype
+                    )
                 wts_c, vjp_c = jax.vjp(_pack, params["coarse"])
                 loss_c, dwts_c, w_c = fused_train_step(
                     wts_c,
@@ -256,10 +293,12 @@ def build_train_step(
 
             return core
 
-        def core(params, rays_b, pix_b, key):
-            ts = stratified_ts(
-                key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
-            )
+        def core(params, rays_b, pix_b, key, occ):
+            ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
+            if ts is None:
+                ts = stratified_ts(
+                    key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
+                )
             wts, vjp_fn = jax.vjp(_pack, params)
             loss, dwts = fused_train_step(
                 wts, _build_x16(rays_b, ts, pix_b), cfg.Nf, tile_f,
@@ -269,12 +308,12 @@ def build_train_step(
 
         return core
 
-    def _loss_and_grads_single(params, rays, pixels, key):
+    def _loss_and_grads_single(params, occ, rays, pixels, key):
         k_sel, k_render = jax.random.split(key)
         idx = sample_idx(k_sel, cfg.batch_size, rays.shape[0])
         rays_b = rays[idx]
         pix_b = pixels[idx]
-        return _make_core(cfg.batch_size)(params, rays_b, pix_b, k_render)
+        return _make_core(cfg.batch_size)(params, rays_b, pix_b, k_render, occ)
 
     if mesh is not None:
         # SPMD data parallelism via shard_map: each chip samples its own
@@ -298,7 +337,7 @@ def build_train_step(
 
         shard_core = _make_core(shard_B)
 
-        def _shard_fn(params, rays, pixels, key):
+        def _shard_fn(params, occ, rays, pixels, key):
             shard = jax.lax.axis_index("data")
             k_sel, k_render = jax.random.split(jax.random.fold_in(key, shard))
             # under shard_dataset, ``rays`` here is this chip's local block
@@ -307,7 +346,7 @@ def build_train_step(
             # is rejected at config time)
             idx = sample_idx(k_sel, shard_B, rays.shape[0])
             loss, grads = shard_core(
-                params, rays[idx], pixels[idx], k_render
+                params, rays[idx], pixels[idx], k_render, occ
             )
             # equal shard sizes -> pmean of shard means == global mean
             return jax.lax.pmean((loss, grads), "data")
@@ -316,20 +355,52 @@ def build_train_step(
         _loss_and_grads = shard_map(
             _shard_fn,
             mesh=mesh,
-            in_specs=(P(), data_spec, data_spec, P()),
+            in_specs=(P(), P(), data_spec, data_spec, P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
     else:
         _loss_and_grads = _loss_and_grads_single
 
+    def _refresh_occ(params, occ, key):
+        """EMA occupancy refresh: one dense density evaluation of the
+        current field at jittered grid-cell centers (ops/occupancy.py).
+        Runs replicated (outside the shard_map, like the optimizer)."""
+        from nerf_simple_tpu.models import apply_model
+        from nerf_simple_tpu.ops.occupancy import update_occ_grid
+
+        density_params = (
+            params["fine"] if cfg.hierarchical else params
+        )  # the fine field is what eval renders
+
+        def sigma_fn(pts):
+            v = jnp.concatenate(
+                [pts, jnp.zeros_like(pts).at[:, 2].set(-1.0)], axis=-1
+            )
+            return apply_model(
+                density_params, v, model, cfg.render_dtype
+            )[:, 3]
+
+        return update_occ_grid(
+            occ, sigma_fn, key, cfg.occ_aabb, decay=cfg.occ_decay
+        )
+
     def one_iter(state: TrainState, rays, pixels, key):
-        loss, grads = _loss_and_grads(state.params, rays, pixels, key)
+        occ = state.occ
+        if cfg.occupancy:
+            k_occ, key = jax.random.split(key)
+            occ = jax.lax.cond(
+                state.step % cfg.occ_update_every == 0,
+                lambda o: _refresh_occ(state.params, o, k_occ),
+                lambda o: o,
+                occ,
+            )
+        loss, grads = _loss_and_grads(state.params, occ, rays, pixels, key)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        return TrainState(params, opt_state, state.step + 1, occ), loss
 
     def multi_step(state: TrainState, rays, pixels, key):
         def body(state, i):

@@ -27,16 +27,20 @@ def _oracle_encode(tables, x01, model):
     x01 = np.clip(np.asarray(x01, np.float64), 0.0, 1.0)
     B = x01.shape[0]
     out = np.zeros((B, model.L * model.F), np.float64)
+    sizes, offsets = model.level_sizes(), model.level_offsets()
     for lvl, R in enumerate(model.resolutions()):
         xs = x01 * R
         x0 = np.clip(np.floor(xs), 0, R - 1).astype(np.int64)
         frac = xs - x0
         acc = np.zeros((B, model.F), np.float64)
         V = R + 1
+        level_tab = np.asarray(tables, np.float64)[
+            offsets[lvl] : offsets[lvl] + sizes[lvl]
+        ]
         for c in range(8):
             off = np.array([(c >> d) & 1 for d in range(3)])
             corner = x0 + off
-            if V**3 <= model.T:
+            if V**3 <= sizes[lvl]:
                 idx = (corner[:, 0] * V + corner[:, 1]) * V + corner[:, 2]
             else:
                 h = (
@@ -45,9 +49,9 @@ def _oracle_encode(tables, x01, model):
                     ^ corner[:, 2].astype(np.uint64) * _PRIMES[2]
                 )
                 # uint32 wraparound semantics, then power-of-two mod
-                idx = (h & 0xFFFFFFFF) % model.T
+                idx = (h & 0xFFFFFFFF) % sizes[lvl]
             w = np.prod(np.where(off, frac, 1.0 - frac), axis=-1)
-            acc += w[:, None] * np.asarray(tables[lvl], np.float64)[idx]
+            acc += w[:, None] * level_tab[idx]
         out[:, lvl * model.F : (lvl + 1) * model.F] = acc
     return out
 
@@ -62,7 +66,7 @@ def small_model():
 
 def test_encoding_matches_numpy_oracle(small_model, rng):
     tables = jnp.asarray(
-        rng.standard_normal((small_model.L, small_model.T, small_model.F)),
+        rng.standard_normal((small_model.total_rows, small_model.F)),
         jnp.float32,
     )
     x01 = jnp.asarray(rng.random((257, 3)), jnp.float32)
@@ -75,22 +79,23 @@ def test_encoding_exact_at_grid_vertices(small_model, rng):
     """At an exact vertex of a DENSE level the interpolation collapses to
     that vertex's table row (all trilinear weight on one corner)."""
     tables = jnp.asarray(
-        rng.standard_normal((small_model.L, small_model.T, small_model.F)),
+        rng.standard_normal((small_model.total_rows, small_model.F)),
         jnp.float32,
     )
-    R = small_model.resolutions()[0]  # dense level: (R+1)^3 = 125 <= 512
-    assert (R + 1) ** 3 <= small_model.T
+    R = small_model.resolutions()[0]  # dense level: (R+1)^3 = 125 <= 128
+    assert (R + 1) ** 3 <= small_model.level_sizes()[0]
     vi, vj, vk = 1, 3, 2  # an interior vertex
     x01 = jnp.array([[vi / R, vj / R, vk / R]], jnp.float32)
     got = np.asarray(hash_encode(tables, x01, small_model))[0, : small_model.F]
     V = R + 1
-    want = np.asarray(tables[0][(vi * V + vj) * V + vk])
+    # level 0 sits at offset 0 of the flat ragged table
+    want = np.asarray(tables[(vi * V + vj) * V + vk])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_encoding_clamps_out_of_aabb(small_model, rng):
     tables = jnp.asarray(
-        rng.standard_normal((small_model.L, small_model.T, small_model.F)),
+        rng.standard_normal((small_model.total_rows, small_model.F)),
         jnp.float32,
     )
     inside = hash_encode(
@@ -187,6 +192,42 @@ def test_train_step_hashgrid_loss_decreases(small_model):
     assert float(losses[-1]) < 0.5 * losses0, (losses0, float(losses[-1]))
 
 
+def test_sampled_grad_preserves_level_totals(small_model, rng):
+    """The one-corner stochastic table gradient contributes each query's
+    g exactly once per level, so per-level COLUMN TOTALS of dT match the
+    exact estimator to float tolerance (the stochasticity only moves
+    mass between rows of a level)."""
+    from nerf_simple_tpu.models.hashgrid import hash_encode
+
+    exact = dataclasses.replace(small_model, grad_mode="exact")
+    sampled = dataclasses.replace(small_model, grad_mode="sample")
+    tables = jnp.asarray(
+        rng.standard_normal((small_model.total_rows, small_model.F)),
+        jnp.float32,
+    )
+    x01 = jnp.asarray(rng.random((1024, 3)), jnp.float32)
+    gout = jnp.asarray(
+        rng.standard_normal((1024, small_model.L * small_model.F)),
+        jnp.float32,
+    )
+
+    def bwd(model):
+        _, vjp = jax.vjp(lambda t: hash_encode(t, x01, model), tables)
+        return vjp(gout)[0]
+
+    dte, dts = bwd(exact), bwd(sampled)
+    offs, sizes = small_model.level_offsets(), small_model.level_sizes()
+    for lvl in range(small_model.L):
+        te = np.asarray(dte[offs[lvl] : offs[lvl] + sizes[lvl]]).sum(0)
+        ts = np.asarray(dts[offs[lvl] : offs[lvl] + sizes[lvl]]).sum(0)
+        np.testing.assert_allclose(te, ts, rtol=1e-4, atol=1e-3)
+    # and the distributions correlate strongly (unbiased estimator over
+    # ~1K quasi-random positions)
+    a, b = np.asarray(dte).ravel(), np.asarray(dts).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.5, cos
+
+
 def test_config_validation():
     from nerf_simple_tpu.config import TrainConfig
 
@@ -245,21 +286,22 @@ def test_npz_export_roundtrip_hashgrid(tmp_path, small_model):
     )
 
 
-def test_infer_model_fallback_warns(small_model):
+def test_infer_model_fallback(small_model):
     from nerf_simple_tpu.models import infer_model
 
+    # params from a NON-default grid layout: statics are unrecoverable
+    # from shapes, so without the model.json sidecar this must refuse
+    # rather than silently rebuild a wrong model
     params = init_hashgrid_params(jax.random.PRNGKey(0), small_model)
+    with pytest.raises(ValueError, match="model.json"):
+        infer_model(params)
+
+    # default-layout params fall back to the family defaults with a warning
+    default_model = HashGridModel()
+    params = init_hashgrid_params(jax.random.PRNGKey(0), default_model)
     with pytest.warns(UserWarning, match="model.json"):
         m = infer_model(params)
-    # shape-recoverable fields are exact; statics fall back to defaults
-    assert (m.L, m.F, m.log2_T, m.H, m.geo_feat) == (
-        small_model.L,
-        small_model.F,
-        small_model.log2_T,
-        small_model.H,
-        small_model.geo_feat,
-    )
-    assert isinstance(m, HashGridModel)
+    assert m == default_model
 
 
 def test_hierarchical_hashgrid_render(small_model):
