@@ -89,7 +89,8 @@ class TrainConfig:
     # stratified sampling.
     occupancy: bool = False
     occ_R: int = 64  # grid resolution per axis
-    occ_Nb: int = 128  # per-ray probe bins for the sampling PDF
+    occ_Nb: int = 64  # per-ray probe bins for the sampling PDF (probe
+    # cost is linear in Nb: ~9 ns/probe gather on v5e)
     occ_update_every: int = 16  # grid EMA refresh cadence (steps)
     occ_decay: float = 0.95  # EMA decay per refresh
     occ_floor: float = 0.01  # minimum per-bin sampling mass
@@ -209,6 +210,15 @@ class TestConfig:
     dataset: str = "blender"
     llff_factor: int = 8
     ndc: bool = True
+    # occupancy-informed eval sampling: rebuild the (derived) occupancy
+    # grid from the loaded density field, then draw the N_samples budget
+    # as deterministic quantiles of the grid PDF — same quality at a
+    # fraction of the samples (ops/occupancy.py)
+    occupancy: bool = False
+    occ_R: int = 64
+    occ_Nb: int = 64
+    occ_floor: float = 0.01
+    occ_aabb: float = 4.0
 
     @property
     def render_dtype(self):

@@ -97,8 +97,37 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
         backend=cfg.backend,
+        occ_Nb=cfg.occ_Nb,
+        occ_floor=cfg.occ_floor,
+        occ_aabb=cfg.occ_aabb,
     )
     key = jax.random.PRNGKey(cfg.seed)
+
+    occ = None
+    if cfg.occupancy:
+        # the grid is DERIVED state: rebuild it from the loaded density
+        # field (a few dense forward passes) rather than checkpointing it
+        from nerf_simple_tpu.models import apply_model
+        from nerf_simple_tpu.ops.occupancy import build_occ_from_params
+
+        density_params = (
+            params["fine"]
+            if isinstance(params, dict) and "fine" in params
+            else params
+        )
+
+        @jax.jit
+        def _sigma_fn(pts):
+            v = jnp.concatenate(
+                [pts, jnp.zeros_like(pts).at[:, 2].set(-1.0)], axis=-1
+            )
+            return apply_model(density_params, v, model, cfg.render_dtype)[
+                :, 3
+            ]
+
+        occ = build_occ_from_params(
+            _sigma_fn, cfg.occ_R, cfg.occ_aabb, jax.random.fold_in(key, 99)
+        )
 
     if cfg.dataset == "llff":
         from nerf_simple_tpu.data.llff import load_llff
@@ -145,6 +174,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             model,
             chunk=cfg.batch_size,
             apply_ndc=apply_ndc,
+            occ=occ,
         )
         print(f"wrote {out}")
         return
@@ -163,6 +193,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             settings,
             model,
             chunk=cfg.batch_size,
+            occ=occ,
         )
         gt = np.asarray(rd.pixels[cfg.im_set]).reshape(-1, rd.H, rd.W, 3)[
             idx : idx + 1

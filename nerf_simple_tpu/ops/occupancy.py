@@ -150,7 +150,35 @@ def occupancy_ts(
     """Occupancy-informed replacement for ``stratified_ts``: N sorted
     samples per ray, concentrated in grid-occupied t-bins."""
     occ = ray_bin_occupancy(grid, rays, tn, tf, Nb, aabb)
+    # materialize the probe result: without the barrier XLA fuses the
+    # (B, Nb) grid gather into each of its downstream consumers
+    # (normalize/cumsum/compare), re-issuing the gather several times —
+    # measured 539 -> 183 ms per 65536x128 chunk on v5e
+    occ = jax.lax.optimization_barrier(occ)
     return binned_pdf_ts(key, occ + floor, N, tn, tf, det=det)
+
+
+def build_occ_from_params(
+    sigma_fn,
+    R: int,
+    aabb: float,
+    key: jax.Array,
+    n_draws: int = 4,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Rebuild an occupancy grid from a trained density field (eval path).
+
+    The grid is DERIVED state — recomputable from params — so eval does
+    not need it checkpointed: ``n_draws`` jittered dense evaluations,
+    max-accumulated (decay=1), approximate the EMA the training loop
+    maintains. Cost: n_draws forward passes of R^3 points, once per eval.
+    """
+    grid = jnp.zeros((R, R, R), dtype)
+    for i in range(n_draws):
+        grid = update_occ_grid(
+            grid, sigma_fn, jax.random.fold_in(key, i), aabb, decay=1.0
+        )
+    return grid
 
 
 def update_occ_grid(

@@ -74,6 +74,13 @@ class RenderSettings:
     # the MXU, while XLA's overlaps with the next chunk) — off by default,
     # kept for hardware where kernel-launch overhead dominates.
     fused_eval: bool = False
+    # statics for occupancy-informed eval sampling (ops/occupancy.py);
+    # active only when an ``occ`` grid array is passed to the chunked
+    # render entry points. Deterministic quantile draws (det=True) keep
+    # eval frames reproducible.
+    occ_Nb: int = 64
+    occ_floor: float = 0.01
+    occ_aabb: float = 4.0
 
 
 def render_rays(
@@ -272,12 +279,10 @@ def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
         else 0
     )
 
-    def fused_chunk(params, rays_c, k):
+    def fused_chunk(params, rays_c, k, ts):
         from nerf_simple_tpu.kernels.mlp import fused_render, pack_weights
-        from nerf_simple_tpu.ops.sampling import stratified_ts
 
         B, N = rays_c.shape[0], settings.N
-        ts = stratified_ts(k, B, N, settings.tn, settings.tf, rays_c.dtype)
         oT = rays_c[:, :3].T
         dT = rays_c[:, 3:].T
         unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
@@ -304,26 +309,49 @@ def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
         disp = 1.0 / jnp.maximum(1e-10, heads[3] / heads[4])
         return rgb, disp
 
-    def one_chunk(carry, inp):
-        params, key = carry
-        rays_c, idx = inp
-        k = jax.random.fold_in(key, idx)
-        if fused_tile:
-            return carry, fused_chunk(params, rays_c, k)
-        if settings.N_coarse > 0:
-            # hierarchical eval: params = {"coarse", "fine"}; deterministic
-            # quantile importance samples for reproducible frames
-            _, out = render_rays_hierarchical(
-                params["coarse"], params["fine"], rays_c, k, settings, model,
-                det_fine=True,
-            )
-        else:
-            out = render_rays(params, rays_c, k, settings, model)
-        rgb = jnp.clip(out.rgb, 0.0, 1.0)  # eval-time clip: rendering.py:103
-        return carry, (rgb, out.disp)
+    def _occ_ts(occ, rays_c, k, N):
+        """Occupancy-informed deterministic sample distances, or None ->
+        the callee's stratified sampler."""
+        if occ is None:
+            return None
+        from nerf_simple_tpu.ops.occupancy import occupancy_ts
+
+        return occupancy_ts(
+            k, rays_c, occ, N, settings.tn, settings.tf, settings.occ_aabb,
+            Nb=settings.occ_Nb, floor=settings.occ_floor, det=True,
+        )
 
     @jax.jit
-    def run(params, rays_chunks, key):
+    def run(params, rays_chunks, key, occ):
+        def one_chunk(carry, inp):
+            params, key = carry
+            rays_c, idx = inp
+            k = jax.random.fold_in(key, idx)
+            if fused_tile:
+                ts = _occ_ts(occ, rays_c, k, settings.N)
+                if ts is None:
+                    ts = stratified_ts(
+                        k, rays_c.shape[0], settings.N, settings.tn,
+                        settings.tf, rays_c.dtype,
+                    )
+                return carry, fused_chunk(params, rays_c, k, ts)
+            if settings.N_coarse > 0:
+                # hierarchical eval: params = {"coarse", "fine"};
+                # deterministic quantile importance samples for
+                # reproducible frames
+                _, out = render_rays_hierarchical(
+                    params["coarse"], params["fine"], rays_c, k, settings,
+                    model, det_fine=True,
+                    ts_coarse=_occ_ts(occ, rays_c, k, settings.N_coarse),
+                )
+            else:
+                out = render_rays(
+                    params, rays_c, k, settings, model,
+                    ts=_occ_ts(occ, rays_c, k, settings.N),
+                )
+            rgb = jnp.clip(out.rgb, 0.0, 1.0)  # eval clip: rendering.py:103
+            return carry, (rgb, out.disp)
+
         n = rays_chunks.shape[0]
         _, (rgb, disp) = jax.lax.scan(
             one_chunk,
@@ -342,12 +370,18 @@ def render_rays_chunked(
     settings: RenderSettings = RenderSettings(),
     model: NerfMLP = NerfMLP(),
     chunk: int = 16384,
+    occ: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render an arbitrary number of rays in fixed-size padded chunks.
 
     Returns (rgb clipped to [0,1] (R,3), disparity (R,)) for all R input
     rays — including the remainder the reference drops
     (utils/rendering.py:100).
+
+    ``occ``: optional (R, R, R) occupancy grid (ops/occupancy.py) —
+    samples are drawn as deterministic quantiles of the grid-informed
+    PDF instead of stratified, concentrating the per-ray budget in
+    occupied space (higher quality per sample at eval).
     """
     R = rays.shape[0]
     # Align the chunk to 1024 rays: MXU-friendly tiling, and unaligned
@@ -364,7 +398,7 @@ def render_rays_chunked(
         fixup = jnp.zeros((pad, 6), rays.dtype).at[:, 5].set(-1.0)
         rays_p = rays_p.at[R:].set(fixup)
     run = _chunked_render_fn(settings, model, chunk)
-    rgb, disp = run(params, rays_p.reshape(n_chunks, chunk, 6), key)
+    rgb, disp = run(params, rays_p.reshape(n_chunks, chunk, 6), key, occ)
     return rgb.reshape(-1, 3)[:R], disp.reshape(-1)[:R]
 
 
@@ -378,6 +412,7 @@ def render_image(
     settings: RenderSettings = RenderSettings(),
     model: NerfMLP = NerfMLP(),
     chunk: int = 16384,
+    occ: jnp.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render image ``im_idx`` from a precomputed per-split ray tensor.
 
@@ -387,7 +422,9 @@ def render_image(
     """
     n = H * W
     rays = jax.lax.dynamic_slice_in_dim(rays_split, im_idx * n, n, axis=0)
-    rgb, disp = render_rays_chunked(params, rays, key, settings, model, chunk)
+    rgb, disp = render_rays_chunked(
+        params, rays, key, settings, model, chunk, occ=occ
+    )
     return (
         np.asarray(rgb).reshape(1, H, W, 3),
         np.asarray(disp).reshape(1, H, W, 1),
@@ -408,6 +445,7 @@ def render_orbit_video(
     fps: int = 15,
     apply_ndc: bool = False,
     ndc_near: float = 1.0,
+    occ: jnp.ndarray | None = None,
 ) -> str:
     """Render a pose orbit and write an mp4 (equivalent of
     utils/rendering.py:116-160, reference writes 15fps mp4).
@@ -440,7 +478,8 @@ def render_orbit_video(
     for i in range(len(poses)):
         frame_rays = jax.lax.dynamic_slice_in_dim(rays_all, i * n, n, axis=0)
         rgb, _ = render_rays_chunked(
-            params, frame_rays, jax.random.fold_in(key, i), settings, model, chunk
+            params, frame_rays, jax.random.fold_in(key, i), settings, model,
+            chunk, occ=occ,
         )
         img = np.asarray(rgb).reshape(H, W, 3)
         bgr = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
