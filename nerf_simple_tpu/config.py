@@ -170,6 +170,14 @@ class TrainConfig:
                 "'nerf' model family; hashgrid is gather-bound and runs the "
                 "XLA path — set backend: xla"
             )
+        if self.model_family == "hashgrid" and self.steps_per_call > 20:
+            warnings.warn(
+                f"steps_per_call={self.steps_per_call} with the hashgrid "
+                "family: scan lengths > 20 over the gather/scatter step "
+                "trip a pathological libtpu compile (observed > 20 min at "
+                "50 vs ~45 s at 10-20 on v5e); consider steps_per_call<=20",
+                stacklevel=3,
+            )
         if self.train_im_idxs and self.shard_dataset:
             raise ValueError(
                 "train_im_idxs cannot combine with shard_dataset: image "

@@ -104,13 +104,22 @@ def write_blender_scene(
     H: int = 64,
     W: int = 64,
     fov_x: float = 0.6911112070083618,  # lego's camera_angle_x
+    train_jitter: int = 0,
 ) -> None:
-    """Write the synthetic scene to ``path`` in nerf_synthetic layout."""
+    """Write the synthetic scene to ``path`` in nerf_synthetic layout.
+
+    ``train_jitter``: elevation-jitter seed for the TRAIN cameras. The
+    default 0 keeps the historical fixture (all train views at exactly
+    theta=-30 — a degenerate 1D view circle that MLP smoothness forgives
+    but grid-capacity models exploit: measured 26 dB test / 40 dB train
+    for the hashgrid family on it, vs 33/33 with jittered elevations).
+    Set a nonzero seed for a fair novel-view-generalization fixture.
+    """
     import cv2
 
     f = W / (2.0 * np.tan(fov_x / 2.0))
     specs = {
-        "train": orbit_cameras(n_train, seed_jitter=0),
+        "train": orbit_cameras(n_train, seed_jitter=train_jitter),
         "val": orbit_cameras(n_val, seed_jitter=1),
         "test": orbit_cameras(n_test, seed_jitter=2),
     }

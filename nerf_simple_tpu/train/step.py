@@ -64,6 +64,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = optax.exponential_decay(
         init_value=lr0, transition_steps=1, decay_rate=decay
     )
+    if cfg.model_family == "hashgrid":
+        # Instant-NGP optimizer settings (paper sec. 4: Adam with
+        # eps=1e-15, beta2=0.99): hash-table entries receive SPARSE
+        # gradients, so with the default eps=1e-8 a rarely-hit entry's
+        # second-moment EMA decays toward zero between hits and its
+        # effective step collapses; eps=1e-15 keeps the update ~lr-sized.
+        return optax.adam(learning_rate=schedule, b2=0.99, eps=1e-15)
     return optax.adam(learning_rate=schedule)
 
 

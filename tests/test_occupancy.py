@@ -122,6 +122,7 @@ def test_ray_bin_occupancy_uses_unnormalized_dirs():
     np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["xla"])
 def test_train_step_with_occupancy(backend):
     from nerf_simple_tpu.config import TrainConfig
@@ -178,6 +179,7 @@ def test_build_occ_from_params_matches_density():
     assert a[0, 0, 0] < 1e-3  # corner empty
 
 
+@pytest.mark.slow
 def test_occupancy_eval_concentrates_quality(tmp_path):
     """A trained tiny scene rendered with a SMALL sample budget: grid-
     informed quantile sampling must match or beat stratified sampling at
