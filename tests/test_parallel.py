@@ -319,3 +319,30 @@ def test_make_mesh_warns_on_slice_straddling():
     with _w.catch_warnings():
         _w.simplefilter("error")
         make_mesh(8, devices=devs)
+
+
+def test_occupancy_with_data_parallel_shards():
+    """The occ grid rides into shard_map replicated (P() spec) and its
+    refresh runs outside the shard region: 8-shard training with
+    occupancy on must execute and refresh the grid."""
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.models import NerfMLP
+    from nerf_simple_tpu.parallel.mesh import make_mesh
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    cfg = TrainConfig(
+        datapath="", batch_size=128, Nf=16, num_iters=40,
+        steps_per_call=10, occupancy=True, occ_R=8, occ_Nb=16,
+        occ_update_every=4, num_data_shards=8,
+        net_H=32, net_Lp=2, net_Ld=2,
+    )
+    mesh = make_mesh(cfg.num_data_shards)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step = build_train_step(cfg, model, mesh=mesh, donate=False)
+    k = jax.random.PRNGKey(7)
+    rays = jax.random.normal(k, (512, 6))
+    pixels = jax.random.uniform(k, (512, 3))
+    state2, losses = step(state, rays, pixels, k)
+    assert bool(jnp.isfinite(losses).all())
+    assert float(jnp.max(jnp.abs(state2.occ - 1.0))) > 0  # refreshed
