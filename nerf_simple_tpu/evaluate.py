@@ -107,26 +107,21 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     if cfg.occupancy:
         # the grid is DERIVED state: rebuild it from the loaded density
         # field (a few dense forward passes) rather than checkpointing it
-        from nerf_simple_tpu.models import apply_model
-        from nerf_simple_tpu.ops.occupancy import build_occ_from_params
+        from nerf_simple_tpu.ops.occupancy import (
+            build_occ_from_params,
+            density_fn,
+        )
 
         density_params = (
             params["fine"]
             if isinstance(params, dict) and "fine" in params
             else params
         )
-
-        @jax.jit
-        def _sigma_fn(pts):
-            v = jnp.concatenate(
-                [pts, jnp.zeros_like(pts).at[:, 2].set(-1.0)], axis=-1
-            )
-            return apply_model(density_params, v, model, cfg.render_dtype)[
-                :, 3
-            ]
-
         occ = build_occ_from_params(
-            _sigma_fn, cfg.occ_R, cfg.occ_aabb, jax.random.fold_in(key, 99)
+            jax.jit(density_fn(density_params, model, cfg.render_dtype)),
+            cfg.occ_R,
+            cfg.occ_aabb,
+            jax.random.fold_in(key, 99),
         )
 
     if cfg.dataset == "llff":

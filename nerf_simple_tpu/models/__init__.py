@@ -112,6 +112,15 @@ def infer_model(params):
     if isinstance(p, dict) and "tables" in p:
         import warnings
 
+        if p["tables"].ndim == 3:
+            raise ValueError(
+                "hash-grid checkpoint uses the old stacked (L, T, F) "
+                f"table layout {tuple(p['tables'].shape)}; the family "
+                "now stores one flat ragged (total_rows, F) table with "
+                "dense coarse levels. Retrain, or migrate the tables by "
+                "slicing each level to HashGridModel.level_sizes() rows "
+                "and concatenating along axis 0"
+            )
         total_rows, F = p["tables"].shape
         H, out1 = p["sigma1"]["w"].shape
         geo = out1 - 1

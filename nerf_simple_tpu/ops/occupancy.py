@@ -158,6 +158,26 @@ def occupancy_ts(
     return binned_pdf_ts(key, occ + floor, N, tn, tf, det=det)
 
 
+def density_fn(params, model, dtype=jnp.float32):
+    """(P, 3) world points -> (P,) raw sigma for the given model.
+
+    The single place that encodes the probe convention: a dummy unit -z
+    view direction (sigma in every family depends only on position — the
+    dir enters after the density branch) and the raw-sigma column of the
+    (P, 4) ``[rgb | sigma]`` model output. For hierarchical params pass
+    the fine net (the field eval renders).
+    """
+    from nerf_simple_tpu.models import apply_model
+
+    def fn(pts):
+        v = jnp.concatenate(
+            [pts, jnp.zeros_like(pts).at[:, 2].set(-1.0)], axis=-1
+        )
+        return apply_model(params, v, model, dtype)[:, 3]
+
+    return fn
+
+
 def build_occ_from_params(
     sigma_fn,
     R: int,

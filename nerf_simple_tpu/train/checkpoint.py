@@ -68,14 +68,25 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
             raise FileNotFoundError(f"no ckpt_* under {path}")
         path = found
     ckptr = ocp.StandardCheckpointer()
+    abspath = os.path.abspath(path)
+
+    # What does the checkpoint actually hold for occ? Drive the restore
+    # off the stored METADATA, not exceptions: the stored occ may be an
+    # (R, R, R) grid, the () of an occupancy-off run, or absent entirely
+    # (pre-occ r1 checkpoints) — and orbax is strict about the template
+    # matching what is stored (wrong-shape grids raise; () restores as
+    # () even over a grid template).
+    stored_occ = None  # absent (legacy 3-field checkpoint)
     try:
-        return ckptr.restore(
-            os.path.abspath(path),
-            jax.tree.map(ocp.utils.to_shape_dtype_struct, template),
-        )
+        tree = ckptr.metadata(abspath).item_metadata
+        if "occ" in tree:
+            stored_occ = tree["occ"]
     except Exception:
-        # structure mismatch on the occ field: restore the durable core
-        # with a legacy-shaped template and keep the template's grid
+        # unreadable metadata: assume the modern layout and let the
+        # restore below surface any real error
+        stored_occ = template.occ
+
+    if stored_occ is None:
         from typing import NamedTuple as _NT
 
         class _Legacy(_NT):
@@ -84,16 +95,38 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
             step: object
 
         legacy = _Legacy(template.params, template.opt_state, template.step)
-        restored = ckptr.restore(
-            os.path.abspath(path),
-            jax.tree.map(ocp.utils.to_shape_dtype_struct, legacy),
+        restored_l = ckptr.restore(
+            abspath, jax.tree.map(ocp.utils.to_shape_dtype_struct, legacy)
         )
         return TrainState(
-            params=restored.params,
-            opt_state=restored.opt_state,
-            step=restored.step,
+            params=restored_l.params,
+            opt_state=restored_l.opt_state,
+            step=restored_l.step,
             occ=template.occ,
         )
+
+    # restore with a template matching the STORED occ structure ...
+    occ_leaf = (
+        jax.ShapeDtypeStruct(stored_occ.shape, stored_occ.dtype)
+        if hasattr(stored_occ, "shape")
+        else ()
+    )
+    restore_template = jax.tree.map(
+        ocp.utils.to_shape_dtype_struct, template._replace(occ=occ_leaf)
+    )
+    restored = ckptr.restore(abspath, restore_template)
+    # ... then let the CALLER's template decide what occ should be: keep
+    # the restored grid only when it matches the requested resolution;
+    # otherwise occ is derived state and the template's version (fresh
+    # grid, or () when occupancy is off) wins — the EMA rebuilds within
+    # one refresh cadence.
+    t_is_grid = hasattr(template.occ, "shape")
+    r_is_grid = hasattr(restored.occ, "shape")
+    if t_is_grid != r_is_grid or (
+        t_is_grid and restored.occ.shape != template.occ.shape
+    ):
+        restored = restored._replace(occ=template.occ)
+    return restored
 
 
 def save_model_meta(direc: str, model) -> str:

@@ -138,11 +138,17 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
         backend=cfg.backend,
+        occ_Nb=cfg.occ_Nb,
+        occ_floor=cfg.occ_floor,
+        occ_aabb=cfg.occ_aabb,
     )
 
     def render_and_log(split: str, ii: int, i: int) -> None:
         # state.params is the full coarse+fine dict when hierarchical —
-        # the renderer runs the two-pass path on it
+        # the renderer runs the two-pass path on it. Occupancy runs pass
+        # the live grid: an occupancy-reduced Nf budget rendered with
+        # plain stratified samples would systematically understate the
+        # model's quality in the logged curves.
         rgb, disp = render_image(
             state.params,
             rd.rays[split],
@@ -153,6 +159,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             eval_settings,
             model,
             chunk=16384,  # reference's 16000 eval chunk, MXU-aligned
+            occ=state.occ if cfg.occupancy else None,
         )
         gt = np.asarray(rd.pixels[split]).reshape(-1, rd.H, rd.W, 3)[
             ii : ii + 1

@@ -373,23 +373,17 @@ def build_train_step(
         """EMA occupancy refresh: one dense density evaluation of the
         current field at jittered grid-cell centers (ops/occupancy.py).
         Runs replicated (outside the shard_map, like the optimizer)."""
-        from nerf_simple_tpu.models import apply_model
-        from nerf_simple_tpu.ops.occupancy import update_occ_grid
+        from nerf_simple_tpu.ops.occupancy import density_fn, update_occ_grid
 
         density_params = (
             params["fine"] if cfg.hierarchical else params
         )  # the fine field is what eval renders
-
-        def sigma_fn(pts):
-            v = jnp.concatenate(
-                [pts, jnp.zeros_like(pts).at[:, 2].set(-1.0)], axis=-1
-            )
-            return apply_model(
-                density_params, v, model, cfg.render_dtype
-            )[:, 3]
-
         return update_occ_grid(
-            occ, sigma_fn, key, cfg.occ_aabb, decay=cfg.occ_decay
+            occ,
+            density_fn(density_params, model, cfg.render_dtype),
+            key,
+            cfg.occ_aabb,
+            decay=cfg.occ_decay,
         )
 
     def one_iter(state: TrainState, rays, pixels, key):

@@ -70,19 +70,24 @@ def run_family(cfg, rd, checkpoints_iters):
 
     curve = []
     done = 0
-    t0 = time.time()
+    train_wall = 0.0  # training-only wall: eval renders excluded
     for target in checkpoints_iters:
         n_calls = (target - done) // cfg.steps_per_call
+        t0 = time.time()
         for i in range(n_calls):
             state, losses = step_fn(
                 state, rays, pixels, jax.random.fold_in(key, done + i)
             )
-        done = target
         float(losses[-1])  # sync
-        wall = time.time() - t0
+        train_wall += time.time() - t0
+        done += n_calls * cfg.steps_per_call  # actual iterations run
         psnr = eval_psnr(state.params)
         curve.append(
-            {"iters": done, "wall_s": round(wall, 1), "psnr": round(psnr, 2)}
+            {
+                "iters": done,
+                "wall_s": round(train_wall, 1),
+                "psnr": round(psnr, 2),
+            }
         )
         print(cfg.model_family, curve[-1])
     return {"compile_s": round(compile_s, 1), "curve": curve}

@@ -288,3 +288,44 @@ def test_occupancy_checkpoint_roundtrip_and_legacy_shim(tmp_path):
     back2 = restore_checkpoint(p, template)
     assert int(back2.step) == 3
     np.testing.assert_allclose(np.asarray(back2.occ), 1.0)  # fresh grid
+
+
+def test_occupancy_toggle_across_checkpoints(tmp_path):
+    """occ is DERIVED state: a checkpoint written with occupancy OFF must
+    resume cleanly with occupancy ON (template grid kept — orbax happily
+    restores the checkpoint's () without raising, which used to crash the
+    first refresh), and vice versa."""
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.models import NerfMLP
+    from nerf_simple_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from nerf_simple_tpu.train.step import make_train_state
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    base = dict(datapath="", net_H=32, net_Lp=2, net_Ld=2)
+    cfg_off = TrainConfig(**base)
+    cfg_on = TrainConfig(occupancy=True, occ_R=8, **base)
+
+    # off -> on: template grid survives
+    state_off = make_train_state(jax.random.PRNGKey(0), cfg_off, model)
+    save_checkpoint(str(tmp_path / "a"), state_off._replace(step=jnp.int32(5)))
+    template_on = make_train_state(jax.random.PRNGKey(1), cfg_on, model)
+    back = restore_checkpoint(str(tmp_path / "a" / "ckpt_5"), template_on)
+    assert int(back.step) == 5
+    assert hasattr(back.occ, "shape") and back.occ.shape == (8, 8, 8)
+
+    # on -> off: the stale grid is dropped for the template's ()
+    state_on = make_train_state(jax.random.PRNGKey(0), cfg_on, model)
+    save_checkpoint(str(tmp_path / "b"), state_on._replace(step=jnp.int32(9)))
+    template_off = make_train_state(jax.random.PRNGKey(1), cfg_off, model)
+    back2 = restore_checkpoint(str(tmp_path / "b" / "ckpt_9"), template_off)
+    assert int(back2.step) == 9
+    assert back2.occ == ()
+
+    # on -> on with a different occ_R: template resolution wins
+    cfg_on16 = TrainConfig(occupancy=True, occ_R=16, **base)
+    template_16 = make_train_state(jax.random.PRNGKey(1), cfg_on16, model)
+    back3 = restore_checkpoint(str(tmp_path / "b" / "ckpt_9"), template_16)
+    assert back3.occ.shape == (16, 16, 16)
