@@ -227,6 +227,9 @@ class TestConfig:
     occ_Nb: int = 64
     occ_floor: float = 0.01
     occ_aabb: float = 4.0
+    # data-parallel eval chips: render chunks sharded over the mesh data
+    # axis (bit-identical to single-chip); 0/1 = single chip, -1 = all
+    num_data_shards: int = 1
 
     @property
     def render_dtype(self):

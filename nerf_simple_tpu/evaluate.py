@@ -103,6 +103,12 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     )
     key = jax.random.PRNGKey(cfg.seed)
 
+    mesh = None
+    if cfg.num_data_shards not in (0, 1):
+        from nerf_simple_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.num_data_shards)
+
     occ = None
     if cfg.occupancy:
         # the grid is DERIVED state: rebuild it from the loaded density
@@ -170,6 +176,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             chunk=cfg.batch_size,
             apply_ndc=apply_ndc,
             occ=occ,
+            mesh=mesh,
         )
         print(f"wrote {out}")
         return
@@ -189,6 +196,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             model,
             chunk=cfg.batch_size,
             occ=occ,
+            mesh=mesh,
         )
         gt = np.asarray(rd.pixels[cfg.im_set]).reshape(-1, rd.H, rd.W, 3)[
             idx : idx + 1

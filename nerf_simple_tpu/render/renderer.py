@@ -267,9 +267,17 @@ def _fused_render_tile_for(settings: RenderSettings, chunk: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
+def _chunked_render_fn(
+    settings: RenderSettings, model: NerfMLP, chunk: int, mesh=None
+):
     """Build a jitted fn mapping padded (n_chunks, chunk, 6) rays ->
-    (rgb, disp) with one compiled chunk program scanned over chunks."""
+    (rgb, disp) with one compiled chunk program scanned over chunks.
+
+    With ``mesh``, chunks are sharded over the ``data`` axis (shard_map:
+    each chip scans its own block of chunks, params/occ replicated, no
+    collectives — results concatenate on the sharded axis). Chunk PRNG
+    keys are folded with GLOBAL chunk indices, so multi-chip renders are
+    bit-identical to single-chip ones."""
 
     from nerf_simple_tpu.kernels.mlp import supported as _kernel_supported
 
@@ -321,8 +329,7 @@ def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
             Nb=settings.occ_Nb, floor=settings.occ_floor, det=True,
         )
 
-    @jax.jit
-    def run(params, rays_chunks, key, occ):
+    def _scan_chunks(params, rays_chunks, idxs, key, occ):
         def one_chunk(carry, inp):
             params, key = carry
             rays_c, idx = inp
@@ -352,13 +359,31 @@ def _chunked_render_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
             rgb = jnp.clip(out.rgb, 0.0, 1.0)  # eval clip: rendering.py:103
             return carry, (rgb, out.disp)
 
-        n = rays_chunks.shape[0]
         _, (rgb, disp) = jax.lax.scan(
-            one_chunk,
-            (params, key),
-            (rays_chunks, jnp.arange(n)),
+            one_chunk, (params, key), (rays_chunks, idxs)
         )
         return rgb, disp
+
+    if mesh is None:
+
+        @jax.jit
+        def run(params, rays_chunks, idxs, key, occ):
+            return _scan_chunks(params, rays_chunks, idxs, key, occ)
+
+        return run
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    def run(params, rays_chunks, idxs, key, occ):
+        return shard_map(
+            _scan_chunks,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P(), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )(params, rays_chunks, idxs, key, occ)
 
     return run
 
@@ -371,6 +396,7 @@ def render_rays_chunked(
     model: NerfMLP = NerfMLP(),
     chunk: int = 16384,
     occ: jnp.ndarray | None = None,
+    mesh=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render an arbitrary number of rays in fixed-size padded chunks.
 
@@ -382,6 +408,11 @@ def render_rays_chunked(
     samples are drawn as deterministic quantiles of the grid-informed
     PDF instead of stratified, concentrating the per-ray budget in
     occupied space (higher quality per sample at eval).
+
+    ``mesh``: optional ``parallel.make_mesh`` device mesh — chunks are
+    sharded over its ``data`` axis (each chip renders its own block,
+    params replicated, no collectives) with bit-identical results to
+    the single-chip path.
     """
     R = rays.shape[0]
     # Align the chunk to 1024 rays: MXU-friendly tiling, and unaligned
@@ -390,6 +421,10 @@ def render_rays_chunked(
     # 16000-ray eval chunk (configs/lego.yaml:18) thus maps to 16384.
     chunk = max(1024 * (-(-chunk // 1024)), 1024) if R >= 1024 else chunk
     n_chunks = -(-R // chunk)
+    if mesh is not None:
+        # every chip scans an equal block of chunks
+        n_dev = mesh.shape["data"]
+        n_chunks = -(-n_chunks // n_dev) * n_dev
     pad = n_chunks * chunk - R
     rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
     # Padded rays have zero direction -> zero norm; make them unit-z so the
@@ -397,8 +432,14 @@ def render_rays_chunked(
     if pad:
         fixup = jnp.zeros((pad, 6), rays.dtype).at[:, 5].set(-1.0)
         rays_p = rays_p.at[R:].set(fixup)
-    run = _chunked_render_fn(settings, model, chunk)
-    rgb, disp = run(params, rays_p.reshape(n_chunks, chunk, 6), key, occ)
+    run = _chunked_render_fn(settings, model, chunk, mesh)
+    rgb, disp = run(
+        params,
+        rays_p.reshape(n_chunks, chunk, 6),
+        jnp.arange(n_chunks),
+        key,
+        occ,
+    )
     return rgb.reshape(-1, 3)[:R], disp.reshape(-1)[:R]
 
 
@@ -413,6 +454,7 @@ def render_image(
     model: NerfMLP = NerfMLP(),
     chunk: int = 16384,
     occ: jnp.ndarray | None = None,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render image ``im_idx`` from a precomputed per-split ray tensor.
 
@@ -423,7 +465,7 @@ def render_image(
     n = H * W
     rays = jax.lax.dynamic_slice_in_dim(rays_split, im_idx * n, n, axis=0)
     rgb, disp = render_rays_chunked(
-        params, rays, key, settings, model, chunk, occ=occ
+        params, rays, key, settings, model, chunk, occ=occ, mesh=mesh
     )
     return (
         np.asarray(rgb).reshape(1, H, W, 3),
@@ -446,6 +488,7 @@ def render_orbit_video(
     apply_ndc: bool = False,
     ndc_near: float = 1.0,
     occ: jnp.ndarray | None = None,
+    mesh=None,
 ) -> str:
     """Render a pose orbit and write an mp4 (equivalent of
     utils/rendering.py:116-160, reference writes 15fps mp4).
@@ -479,7 +522,7 @@ def render_orbit_video(
         frame_rays = jax.lax.dynamic_slice_in_dim(rays_all, i * n, n, axis=0)
         rgb, _ = render_rays_chunked(
             params, frame_rays, jax.random.fold_in(key, i), settings, model,
-            chunk, occ=occ,
+            chunk, occ=occ, mesh=mesh,
         )
         img = np.asarray(rgb).reshape(H, W, 3)
         bgr = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)

@@ -160,6 +160,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             model,
             chunk=16384,  # reference's 16000 eval chunk, MXU-aligned
             occ=state.occ if cfg.occupancy else None,
+            mesh=mesh,  # multi-chip runs shard eval chunks too
         )
         gt = np.asarray(rd.pixels[split]).reshape(-1, rd.H, rd.W, 3)[
             ii : ii + 1

@@ -346,3 +346,37 @@ def test_occupancy_with_data_parallel_shards():
     state2, losses = step(state, rays, pixels, k)
     assert bool(jnp.isfinite(losses).all())
     assert float(jnp.max(jnp.abs(state2.occ - 1.0))) > 0  # refreshed
+
+
+def test_sharded_eval_render_matches_single_device():
+    """Chunked eval rendering over the mesh data axis must be
+    bit-identical to the single-device path (global chunk indices feed
+    the per-chunk PRNG folds)."""
+    from nerf_simple_tpu.models import NerfMLP
+    from nerf_simple_tpu.models.nerf import init_nerf_params
+    from nerf_simple_tpu.parallel.mesh import make_mesh
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_chunked,
+    )
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    k = jax.random.PRNGKey(3)
+    rays = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.fold_in(k, 0), (1000, 3)) * 0.1,
+            jax.random.normal(jax.random.fold_in(k, 1), (1000, 3)),
+        ],
+        axis=1,
+    )
+    s = RenderSettings(N=16)
+    rgb1, disp1 = render_rays_chunked(
+        params, rays, k, s, model, chunk=128
+    )
+    mesh = make_mesh(8)
+    rgb8, disp8 = render_rays_chunked(
+        params, rays, k, s, model, chunk=128, mesh=mesh
+    )
+    np.testing.assert_array_equal(np.asarray(rgb1), np.asarray(rgb8))
+    np.testing.assert_array_equal(np.asarray(disp1), np.asarray(disp8))
