@@ -47,6 +47,8 @@ class RenderServer:
         settings=None,
         model=None,
         warmup: bool = True,
+        occupancy: bool = False,
+        occ_R: int = 64,
     ):
         from nerf_simple_tpu.models import infer_model
         from nerf_simple_tpu.render.renderer import RenderSettings
@@ -55,6 +57,29 @@ class RenderServer:
         self.model = model or infer_model(params)
         self.settings = settings or RenderSettings()
         self.H, self.W, self.f = H, W, float(f)
+        self.occ = None
+        if occupancy:
+            # derived state: one-time grid rebuild from the density field
+            # lets every served frame spend its sample budget in occupied
+            # space (deterministic quantiles — frames stay reproducible)
+            from nerf_simple_tpu.ops.occupancy import (
+                build_occ_from_params,
+                density_fn,
+            )
+
+            dp = (
+                self.params["fine"]
+                if isinstance(self.params, dict) and "fine" in self.params
+                else self.params
+            )
+            self.occ = build_occ_from_params(
+                jax.jit(
+                    density_fn(dp, self.model, self.settings.compute_dtype)
+                ),
+                occ_R,
+                self.settings.occ_aabb,
+                jax.random.PRNGKey(42),
+            )
         self._lock = threading.Lock()
         self._key = jax.random.PRNGKey(0)
         if warmup:
@@ -74,7 +99,8 @@ class RenderServer:
         )
         with self._lock:
             rgb, _ = render_rays_chunked(
-                self.params, rays, self._key, self.settings, self.model
+                self.params, rays, self._key, self.settings, self.model,
+                occ=self.occ,
             )
             frame = np.asarray(rgb).reshape(self.H, self.W, 3)
         return (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
@@ -96,17 +122,19 @@ def _make_handler(server: RenderServer):
         def do_GET(self):  # noqa: N802 (http.server API)
             u = urlparse(self.path)
             if u.path == "/health":
+                import dataclasses
+
                 self._json(
                     200,
                     {
                         "status": "ok",
                         "frame": [server.H, server.W],
-                        "arch": [
-                            server.model.Lp,
-                            server.model.Ld,
-                            server.model.H,
-                        ],
+                        # model-family-agnostic (NerfMLP has Lp/Ld/H,
+                        # HashGridModel has L/F/...): report the dataclass
+                        "model": type(server.model).__name__,
+                        "arch": dataclasses.asdict(server.model),
                         "backend": server.settings.backend,
+                        "occupancy": server.occ is not None,
                     },
                 )
                 return
@@ -160,6 +188,10 @@ def main() -> None:
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--samples", type=int, default=128)
+    ap.add_argument("--occupancy", action="store_true",
+                    help="rebuild an occupancy grid from the checkpoint "
+                    "and concentrate --samples in occupied space")
+    ap.add_argument("--occ-R", type=int, default=64)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -173,7 +205,10 @@ def main() -> None:
         backend=args.backend,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )
-    srv = RenderServer(params, args.height, args.width, args.focal, settings)
+    srv = RenderServer(
+        params, args.height, args.width, args.focal, settings,
+        occupancy=args.occupancy, occ_R=args.occ_R,
+    )
     httpd = serve(srv, args.port)
     print(f"serving on :{args.port} (frame {args.height}x{args.width}, "
           f"{args.backend}/{args.dtype}, N={args.samples})")

@@ -1,7 +1,8 @@
-"""Render-server tests: real HTTP round trips against a tiny model."""
+"""HTTP render server (serve.py): endpoint smoke tests over a real
+socket with tiny models — health metadata for BOTH model families,
+a PNG render round-trip, and the occupancy serving mode."""
 
 import json
-import socket
 import threading
 import urllib.request
 
@@ -9,71 +10,85 @@ import jax
 import numpy as np
 import pytest
 
-from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
+from nerf_simple_tpu.models import NerfMLP
+from nerf_simple_tpu.models.nerf import init_nerf_params
 from nerf_simple_tpu.render.renderer import RenderSettings
 from nerf_simple_tpu.serve import RenderServer, serve
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+def _start(server):
+    httpd = serve(server, port=0)  # OS-assigned free port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
 
 
 @pytest.fixture(scope="module")
-def running_server():
-    model = NerfMLP(Lp=4, Ld=2, H=32)
+def tiny_server():
+    model = NerfMLP(Lp=2, Ld=2, H=32)
     params = init_nerf_params(jax.random.PRNGKey(0), model)
     srv = RenderServer(
-        params, H=24, W=32, f=30.0,
-        settings=RenderSettings(N=8, compute_dtype=jax.numpy.float32),
+        params, 16, 16, 20.0, RenderSettings(N=8), model, warmup=False
     )
-    port = _free_port()
-    httpd = serve(srv, port)
-    t = threading.Thread(target=httpd.serve_forever, daemon=True)
-    t.start()
-    yield port
+    httpd, url = _start(srv)
+    yield srv, url
     httpd.shutdown()
 
 
-def test_health_reports_arch(running_server):
-    with urllib.request.urlopen(
-        f"http://127.0.0.1:{running_server}/health", timeout=30
-    ) as r:
+def test_health_reports_model(tiny_server):
+    _, url = tiny_server
+    with urllib.request.urlopen(url + "/health", timeout=30) as r:
         body = json.loads(r.read())
     assert body["status"] == "ok"
-    assert body["frame"] == [24, 32]
-    assert body["arch"] == [4, 2, 32]  # inferred, not flagship
+    assert body["frame"] == [16, 16]
+    assert body["model"] == "NerfMLP"
+    assert body["arch"]["Lp"] == 2 and body["arch"]["H"] == 32
+    assert body["occupancy"] is False
 
 
-def test_render_returns_decodable_png(running_server):
+def test_render_returns_png(tiny_server):
     import cv2
 
-    url = (
-        f"http://127.0.0.1:{running_server}/render?r=4&theta=-30&phi=45"
-    )
-    with urllib.request.urlopen(url, timeout=120) as r:
+    _, url = tiny_server
+    with urllib.request.urlopen(
+        url + "/render?r=4&theta=-30&phi=45", timeout=120
+    ) as r:
         assert r.headers["Content-Type"] == "image/png"
         data = r.read()
     img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-    assert img.shape == (24, 32, 3)
+    assert img is not None and img.shape == (16, 16, 3)
 
 
-def test_unknown_path_404(running_server):
+def test_unknown_path_404(tiny_server):
+    _, url = tiny_server
     with pytest.raises(urllib.error.HTTPError) as ei:
-        urllib.request.urlopen(
-            f"http://127.0.0.1:{running_server}/nope", timeout=30
-        )
+        urllib.request.urlopen(url + "/nope", timeout=30)
     assert ei.value.code == 404
 
 
-def test_render_server_direct_api():
-    model = NerfMLP(Lp=4, Ld=2, H=32)
-    params = init_nerf_params(jax.random.PRNGKey(1), model)
-    srv = RenderServer(
-        params, H=16, W=16, f=20.0,
-        settings=RenderSettings(N=8, compute_dtype=jax.numpy.float32),
-        warmup=False,
+def test_health_hashgrid_and_occupancy_render():
+    """The /health arch dump must work for the hashgrid family too (it
+    has no Lp field), and occupancy serving must produce a frame."""
+    from nerf_simple_tpu.models.hashgrid import (
+        HashGridModel,
+        init_hashgrid_params,
     )
-    frame = srv.render(4.0, -30.0, 120.0)
-    assert frame.shape == (16, 16, 3) and frame.dtype == np.uint8
+
+    model = HashGridModel(L=2, F=2, log2_T=6, N_min=4, N_max=8, Ld=2, H=16)
+    params = init_hashgrid_params(jax.random.PRNGKey(0), model)
+    srv = RenderServer(
+        params, 16, 16, 20.0, RenderSettings(N=8), model,
+        warmup=False, occupancy=True, occ_R=8,
+    )
+    assert srv.occ is not None and srv.occ.shape == (8, 8, 8)
+    httpd, url = _start(srv)
+    try:
+        with urllib.request.urlopen(url + "/health", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["model"] == "HashGridModel"
+        assert body["arch"]["L"] == 2
+        assert body["occupancy"] is True
+        frame = srv.render(4.0, -30.0, 0.0)
+        assert frame.shape == (16, 16, 3) and frame.dtype == np.uint8
+    finally:
+        httpd.shutdown()
