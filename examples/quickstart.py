@@ -9,6 +9,8 @@ any JAX backend (TPU, or CPU for a smoke test — shrink the sizes below).
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from nerf_simple_tpu.config import TestConfig, TrainConfig
 from nerf_simple_tpu.data.synthetic import write_blender_scene
 from nerf_simple_tpu.evaluate import test
