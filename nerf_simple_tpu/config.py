@@ -82,6 +82,11 @@ class TrainConfig:
     # query/level; 8x fewer scatter updates — the TPU training fast
     # path) or "exact" (full trilinear transpose)
     hash_grad_mode: str = "sample"
+    # TRAINING forward: "sample" draws ONE corner per query/level with
+    # P(c) = trilinear weight instead of interpolating all 8 — 8x fewer
+    # gather rows (the step-time bottleneck), unbiased, with per-query
+    # vertex-snap noise. Eval/checkpoint renders stay exact.
+    hash_fwd_mode: str = "exact"
     # --- occupancy-grid accelerated sampling (ops/occupancy.py) ---
     # Redistributes the N training samples per ray into density-occupied
     # space via an EMA'd occupancy grid (TPU-static empty-space skipping;
@@ -163,6 +168,11 @@ class TrainConfig:
             raise ValueError(
                 f"hash_grad_mode must be 'sample' or 'exact', got "
                 f"{self.hash_grad_mode!r}"
+            )
+        if self.hash_fwd_mode not in ("sample", "exact"):
+            raise ValueError(
+                f"hash_fwd_mode must be 'sample' or 'exact', got "
+                f"{self.hash_fwd_mode!r}"
             )
         if self.model_family == "hashgrid" and self.backend == "pallas":
             raise ValueError(

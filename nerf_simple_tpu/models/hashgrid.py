@@ -79,11 +79,17 @@ class HashGridModel:
     H: int = 64  # head MLP width
     geo_feat: int = 15  # density-branch features fed to the color head
     aabb: float = 4.0  # scene half-extent: xyz in [-aabb, aabb] -> [0,1]
-    # table-gradient estimator: "sample" replaces the exact 8-corner
-    # scatter-add with a one-corner draw proportional to the trilinear
-    # weight — an unbiased estimate with 8x fewer scatter updates (the
-    # TPU scatter op-rate is the family's training bottleneck, see module
-    # docstring). "exact" is the full autodiff transpose.
+    # gather/scatter estimator (the TPU gather/scatter OP-RATE is this
+    # family's bottleneck — ~5 ns/row regardless of table size):
+    #   "exact"      exact trilinear fwd, full 8-corner scatter bwd
+    #   "sample"     exact trilinear fwd, ONE-corner stochastic bwd
+    #                (8x fewer scatter rows; unbiased)
+    #   "sample-fwd" ONE corner drawn with P(c) = trilinear weight in the
+    #                FORWARD too (8x fewer gather rows as well; unbiased
+    #                in expectation, with per-query vertex-snap noise) —
+    #                a TRAINING mode: the train step swaps it in when
+    #                cfg.hash_fwd_mode == "sample"; eval always renders
+    #                with exact interpolation
     grad_mode: str = "sample"
 
     @property
@@ -251,6 +257,38 @@ def _corner_u(x01: jnp.ndarray, lvl: int) -> jnp.ndarray:
     return s - jnp.floor(s)
 
 
+def _pick_corner(x01: jnp.ndarray, model: HashGridModel, lvl: int):
+    """(B,) level-local table row: one corner drawn with P(c) = trilinear
+    weight via the quasi-random ``_corner_u`` stream."""
+    idx, w = _level_geometry(x01, model, lvl)  # (B, 8), (B, 8)
+    u = _corner_u(x01, lvl)  # (B,)
+    cs = jnp.cumsum(w, axis=-1)  # (B, 8); cs[..., -1] == 1 up to fp
+    c = jnp.sum((cs < (u * cs[:, -1])[:, None]).astype(jnp.int32), axis=-1)
+    c = jnp.clip(c, 0, 7)
+    return jnp.take_along_axis(idx, c[:, None], axis=1)[:, 0]
+
+
+def _hash_encode_onecorner(
+    tables: jnp.ndarray, x01: jnp.ndarray, model: HashGridModel
+) -> jnp.ndarray:
+    """Fully-sampled encoding: ONE gathered corner per (query, level).
+
+    E[output] equals the exact trilinear interpolation (corner drawn
+    with P(c) = its weight), with 8x fewer gather rows. No custom VJP
+    needed: the index path carries no gradient (corner choice is
+    piecewise-constant in x), so autodiff's transpose of the gather IS
+    the one-row-per-query scatter — the same estimator grad_mode
+    "sample" hand-writes.
+    """
+    outs = []
+    sizes, offsets = model.level_sizes(), model.level_offsets()
+    for lvl in range(model.L):
+        row = _pick_corner(x01, model, lvl)
+        level_tab = tables[offsets[lvl] : offsets[lvl] + sizes[lvl]]
+        outs.append(jnp.take(level_tab, row, axis=0))  # (B, F)
+    return jnp.concatenate(outs, axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _hash_encode_sampled(tables, x01, model):
     return _hash_encode_exact(tables, x01, model)
@@ -278,14 +316,7 @@ def _hash_encode_sampled_bwd(model, x01, g):
     sizes = model.level_sizes()
     parts = []
     for lvl in range(model.L):
-        idx, w = _level_geometry(x01, model, lvl)  # (B, 8), (B, 8)
-        u = _corner_u(x01, lvl)  # (B,)
-        cs = jnp.cumsum(w, axis=-1)  # (B, 8); cs[..., -1] == 1 up to fp
-        c = jnp.sum(
-            (cs < (u * cs[:, -1])[:, None]).astype(jnp.int32), axis=-1
-        )
-        c = jnp.clip(c, 0, 7)
-        row = jnp.take_along_axis(idx, c[:, None], axis=1)[:, 0]
+        row = _pick_corner(x01, model, lvl)  # (B,)
         g_l = g[:, lvl * F : (lvl + 1) * F]
         parts.append(
             jnp.zeros((sizes[lvl], F), g.dtype).at[row].add(g_l)
@@ -311,11 +342,14 @@ def hash_encode(
         to the boundary cell — out-of-AABB geometry saturates rather
         than wrapping).
 
-    Returns (B, L*F) concatenated per-level trilinear interpolations.
-    Forward values are identical in both ``model.grad_mode``s; the mode
-    only selects the table-gradient estimator (see class docstring).
+    Returns (B, L*F) concatenated per-level trilinear interpolations
+    ("exact"/"sample" grad modes; forward values identical), or the
+    one-corner stochastic encoding ("sample-fwd", a training mode — see
+    class docstring).
     """
     x01 = jnp.clip(x01, 0.0, 1.0)
+    if model.grad_mode == "sample-fwd":
+        return _hash_encode_onecorner(tables, x01, model)
     if model.grad_mode == "sample":
         return _hash_encode_sampled(tables, x01, model)
     return _hash_encode_exact(tables, x01, model)

@@ -134,6 +134,19 @@ def build_train_step(
         return im * rays_per_image + pix
 
     optimizer = make_optimizer(cfg)
+    base_model = model
+    if (
+        cfg.model_family == "hashgrid"
+        and cfg.hash_fwd_mode == "sample"
+        and getattr(model, "grad_mode", None) != "sample-fwd"
+    ):
+        # training-only forward estimator: one gathered corner per
+        # query/level (8x fewer gather rows — the step bottleneck).
+        # base_model (exact interpolation) is what checkpoints/eval use;
+        # the occ refresh below also probes with base_model.
+        import dataclasses as _dc
+
+        model = _dc.replace(model, grad_mode="sample-fwd")
     settings = RenderSettings(
         N=cfg.Nf,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
@@ -380,7 +393,7 @@ def build_train_step(
         )  # the fine field is what eval renders
         return update_occ_grid(
             occ,
-            density_fn(density_params, model, cfg.render_dtype),
+            density_fn(density_params, base_model, cfg.render_dtype),
             key,
             cfg.occ_aabb,
             decay=cfg.occ_decay,

@@ -130,6 +130,18 @@ def main(which: str):
             rd,
             (100, 250, 500, 1000, 2000, 4000),
         )
+    elif which == "hash32occ_fs":
+        # + one-corner stochastic FORWARD (hash_fwd_mode: sample): 8x
+        # fewer gather rows, 33 ms/iter vs 81 for exact-fwd same config
+        res = run_family(
+            TrainConfig(
+                Nf=32, hash_L=4, hash_F=8, occupancy=True, occ_R=64,
+                occ_Nb=64, hash_fwd_mode="sample", num_iters=4000,
+                **hash_common, **common,
+            ),
+            rd,
+            (100, 250, 500, 1000, 2000, 4000),
+        )
     elif which == "flagship":
         res = run_family(
             TrainConfig(

@@ -324,3 +324,88 @@ def test_hierarchical_hashgrid_render(small_model):
     assert fine.rgb.shape == (16, 3)
     assert fine.weights.shape == (16, 24)  # Nc + N union
     assert bool(jnp.isfinite(fine.rgb).all())
+
+
+def test_onecorner_forward_unbiased(small_model, rng):
+    """E[one-corner encoding] = exact trilinear interpolation: over many
+    quasi-random positions the mean discrepancy must be tiny relative to
+    the per-query noise std."""
+    from nerf_simple_tpu.models.hashgrid import (
+        _hash_encode_exact,
+        _hash_encode_onecorner,
+    )
+
+    tables = jnp.asarray(
+        rng.standard_normal((small_model.total_rows, small_model.F)),
+        jnp.float32,
+    )
+    x01 = jnp.asarray(rng.random((100000, 3)), jnp.float32)
+    d = np.asarray(
+        _hash_encode_onecorner(tables, x01, small_model)
+        - _hash_encode_exact(tables, x01, small_model)
+    )
+    assert np.abs(d.mean(axis=0)).max() < 0.02  # bias << noise
+    assert d.std() > 0.1  # it IS stochastic (not silently exact)
+
+
+def test_onecorner_autodiff_scatters_one_row(small_model, rng):
+    """The autodiff transpose of the one-corner forward scatters each
+    query's cotangent into exactly one row per level — per-level column
+    totals equal the cotangent totals (same invariant as grad_mode
+    'sample')."""
+    from nerf_simple_tpu.models.hashgrid import hash_encode
+
+    model = dataclasses.replace(small_model, grad_mode="sample-fwd")
+    tables = jnp.asarray(
+        rng.standard_normal((small_model.total_rows, small_model.F)),
+        jnp.float32,
+    )
+    x01 = jnp.asarray(rng.random((512, 3)), jnp.float32)
+    g = jnp.asarray(
+        rng.standard_normal((512, model.L * model.F)), jnp.float32
+    )
+    _, vjp = jax.vjp(lambda t: hash_encode(t, x01, model), tables)
+    dT = np.asarray(vjp(g)[0])
+    offs, sizes = model.level_offsets(), model.level_sizes()
+    for lvl in range(model.L):
+        got = dT[offs[lvl] : offs[lvl] + sizes[lvl]].sum(0)
+        want = np.asarray(g[:, lvl * model.F : (lvl + 1) * model.F]).sum(0)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_hash_fwd_mode_training(small_model):
+    """hash_fwd_mode: sample trains (loss decreases) while checkpoints
+    record the EXACT-interpolation model for eval."""
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    cfg = TrainConfig(
+        datapath="", model_family="hashgrid", backend="xla",
+        batch_size=256, Nf=16, num_iters=200, steps_per_call=20,
+        honor_lr_init=True, lr_init=5e-3, lr_final=5e-4,
+        hash_L=2, hash_F=2, hash_log2_T=8, hash_Nmin=4, hash_Nmax=8,
+        hash_H=16, hash_fwd_mode="sample",
+    )
+    model = model_from_train_config(cfg)
+    assert model.grad_mode != "sample-fwd"  # eval model stays exact
+    key = jax.random.PRNGKey(0)
+    state = make_train_state(key, cfg, model)
+    step = build_train_step(cfg, model, donate=False)
+    k = jax.random.PRNGKey(5)
+    o = jax.random.normal(jax.random.fold_in(k, 0), (512, 3)) * 0.1
+    d = jax.random.normal(jax.random.fold_in(k, 1), (512, 3))
+    rays = jnp.concatenate([o, d], axis=1)
+    pixels = jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(k, 2), (512, 3)))
+    first = None
+    for i in range(10):
+        state, losses = step(state, rays, pixels, jax.random.fold_in(k, i))
+        if first is None:
+            first = float(losses[0])
+    assert bool(jnp.isfinite(losses).all())
+    assert float(losses[-1]) < 0.5 * first, (first, float(losses[-1]))
+
+    from nerf_simple_tpu.config import TrainConfig as TC
+
+    with pytest.raises(ValueError, match="hash_fwd_mode"):
+        TC(datapath="", hash_fwd_mode="bogus")
