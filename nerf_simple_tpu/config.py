@@ -174,6 +174,14 @@ class TrainConfig:
                 f"hash_fwd_mode must be 'sample' or 'exact', got "
                 f"{self.hash_fwd_mode!r}"
             )
+        if self.hash_fwd_mode == "sample" and self.hash_grad_mode == "exact":
+            raise ValueError(
+                "hash_fwd_mode='sample' cannot honor hash_grad_mode="
+                "'exact': gradients can only flow through the one corner "
+                "the sampled forward gathered (the exact 8-corner "
+                "transpose doesn't exist for that forward) — use "
+                "hash_grad_mode='sample', or hash_fwd_mode='exact'"
+            )
         if self.model_family == "hashgrid" and self.backend == "pallas":
             raise ValueError(
                 "backend='pallas' (the fused MLP kernels) supports only the "

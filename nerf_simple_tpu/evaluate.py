@@ -113,20 +113,10 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     if cfg.occupancy:
         # the grid is DERIVED state: rebuild it from the loaded density
         # field (a few dense forward passes) rather than checkpointing it
-        from nerf_simple_tpu.ops.occupancy import (
-            build_occ_from_params,
-            density_fn,
-        )
+        from nerf_simple_tpu.ops.occupancy import rebuild_occ
 
-        density_params = (
-            params["fine"]
-            if isinstance(params, dict) and "fine" in params
-            else params
-        )
-        occ = build_occ_from_params(
-            jax.jit(density_fn(density_params, model, cfg.render_dtype)),
-            cfg.occ_R,
-            cfg.occ_aabb,
+        occ = rebuild_occ(
+            params, model, cfg.render_dtype, cfg.occ_R, cfg.occ_aabb,
             jax.random.fold_in(key, 99),
         )
 

@@ -178,6 +178,21 @@ def density_fn(params, model, dtype=jnp.float32):
     return fn
 
 
+def rebuild_occ(params, model, dtype, R: int, aabb: float, key: jax.Array):
+    """One-stop eval/serving grid rebuild from a loaded checkpoint:
+    selects the fine net of hierarchical params, jits the density probe,
+    and runs ``build_occ_from_params``. The single definition both
+    eval surfaces (evaluate.test, serve.RenderServer) share."""
+    dp = (
+        params["fine"]
+        if isinstance(params, dict) and "fine" in params
+        else params
+    )
+    return build_occ_from_params(
+        jax.jit(density_fn(dp, model, dtype)), R, aabb, key
+    )
+
+
 def build_occ_from_params(
     sigma_fn,
     R: int,

@@ -62,20 +62,12 @@ class RenderServer:
             # derived state: one-time grid rebuild from the density field
             # lets every served frame spend its sample budget in occupied
             # space (deterministic quantiles — frames stay reproducible)
-            from nerf_simple_tpu.ops.occupancy import (
-                build_occ_from_params,
-                density_fn,
-            )
+            from nerf_simple_tpu.ops.occupancy import rebuild_occ
 
-            dp = (
-                self.params["fine"]
-                if isinstance(self.params, dict) and "fine" in self.params
-                else self.params
-            )
-            self.occ = build_occ_from_params(
-                jax.jit(
-                    density_fn(dp, self.model, self.settings.compute_dtype)
-                ),
+            self.occ = rebuild_occ(
+                self.params,
+                self.model,
+                self.settings.compute_dtype,
                 occ_R,
                 self.settings.occ_aabb,
                 jax.random.PRNGKey(42),
@@ -198,8 +190,12 @@ def main() -> None:
 
     from nerf_simple_tpu.evaluate import load_params
     from nerf_simple_tpu.render.renderer import RenderSettings
+    from nerf_simple_tpu.train.checkpoint import load_model_meta
 
     params = load_params(args.loadpath)
+    # the model.json sidecar carries statics (hash-grid N_min/N_max/aabb)
+    # that weight shapes can't recover — same resolution order as eval
+    model = load_model_meta(args.loadpath)
     settings = RenderSettings(
         N=args.samples,
         backend=args.backend,
@@ -207,6 +203,7 @@ def main() -> None:
     )
     srv = RenderServer(
         params, args.height, args.width, args.focal, settings,
+        model=model,  # None -> RenderServer infers from weight shapes
         occupancy=args.occupancy, occ_R=args.occ_R,
     )
     httpd = serve(srv, args.port)

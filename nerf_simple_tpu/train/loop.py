@@ -160,7 +160,11 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             model,
             chunk=16384,  # reference's 16000 eval chunk, MXU-aligned
             occ=state.occ if cfg.occupancy else None,
-            mesh=mesh,  # multi-chip runs shard eval chunks too
+            # single-process multi-chip runs shard eval chunks too; in
+            # multi-HOST runs the render must stay unsharded — a global
+            # mesh spans non-addressable devices and render_image's
+            # np.asarray on the sharded result would fail
+            mesh=mesh if jax.process_count() == 1 else None,
         )
         gt = np.asarray(rd.pixels[split]).reshape(-1, rd.H, rd.W, 3)[
             ii : ii + 1

@@ -27,8 +27,10 @@ def _start(server):
 def tiny_server():
     model = NerfMLP(Lp=2, Ld=2, H=32)
     params = init_nerf_params(jax.random.PRNGKey(0), model)
+    # non-square frame: catches any H/W transposition in the ray grid,
+    # the frame reshape, or the PNG round trip
     srv = RenderServer(
-        params, 16, 16, 20.0, RenderSettings(N=8), model, warmup=False
+        params, 16, 24, 20.0, RenderSettings(N=8), model, warmup=False
     )
     httpd, url = _start(srv)
     yield srv, url
@@ -40,7 +42,7 @@ def test_health_reports_model(tiny_server):
     with urllib.request.urlopen(url + "/health", timeout=30) as r:
         body = json.loads(r.read())
     assert body["status"] == "ok"
-    assert body["frame"] == [16, 16]
+    assert body["frame"] == [16, 24]
     assert body["model"] == "NerfMLP"
     assert body["arch"]["Lp"] == 2 and body["arch"]["H"] == 32
     assert body["occupancy"] is False
@@ -56,7 +58,7 @@ def test_render_returns_png(tiny_server):
         assert r.headers["Content-Type"] == "image/png"
         data = r.read()
     img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-    assert img is not None and img.shape == (16, 16, 3)
+    assert img is not None and img.shape == (16, 24, 3)
 
 
 def test_unknown_path_404(tiny_server):
