@@ -25,8 +25,8 @@ from nerf_simple_tpu.config import TrainConfig
 from nerf_simple_tpu.data.blender import load_blender
 from nerf_simple_tpu.data.dataset import RayDataset
 from nerf_simple_tpu.data.synthetic import write_blender_scene
-from nerf_simple_tpu.models import NerfMLP, apply_model
-from nerf_simple_tpu.ops.occupancy import build_occ_from_params
+from nerf_simple_tpu.models import NerfMLP
+from nerf_simple_tpu.ops.occupancy import rebuild_occ
 from nerf_simple_tpu.render.renderer import RenderSettings, render_rays_chunked
 from nerf_simple_tpu.train.metrics import img_psnr
 from nerf_simple_tpu.train.step import build_train_step, make_train_state
@@ -61,14 +61,9 @@ def main():
     train_s = time.time() - t0
     print(f"trained {ITERS} iters in {train_s:.1f}s, loss {final_loss:.2e}")
 
-    @jax.jit
-    def sigma_fn(pts):
-        v = jnp.concatenate(
-            [pts, jnp.zeros_like(pts).at[:, 2].set(-1.0)], axis=-1
-        )
-        return apply_model(state.params, v, model, jnp.float32)[:, 3]
-
-    occ = build_occ_from_params(sigma_fn, 64, 2.0, jax.random.PRNGKey(5))
+    occ = rebuild_occ(
+        state.params, model, jnp.float32, 64, 2.0, jax.random.PRNGKey(5)
+    )
     occ_frac = float(jnp.mean((occ > 0.01).astype(jnp.float32)))
     print(f"occupied fraction of grid: {occ_frac:.3f}")
 
