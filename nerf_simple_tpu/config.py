@@ -73,7 +73,9 @@ class TrainConfig:
     # models/hashgrid.py::HashGridModel for semantics
     hash_L: int = 8
     hash_F: int = 4
-    hash_log2_T: int = 19
+    # per-level table cap: 2^14 matches HashGridModel's TPU default (XLA
+    # scatter-add degrades ~30x at 2^19 rows — models/hashgrid.py)
+    hash_log2_T: int = 14
     hash_Nmin: int = 16
     hash_Nmax: int = 256
     hash_H: int = 64
@@ -245,6 +247,10 @@ class TestConfig:
     occ_Nb: int = 64
     occ_floor: float = 0.01
     occ_aabb: float = 4.0
+    # eval probe sharing: one grid probe per run of occ_group adjacent
+    # pixel rays (they traverse the same cells) — divides the probe
+    # gather cost by the group. 1 = per-ray probes.
+    occ_group: int = 4
     # data-parallel eval chips: render chunks sharded over the mesh data
     # axis (bit-identical to single-chip); 0/1 = single chip, -1 = all
     num_data_shards: int = 1

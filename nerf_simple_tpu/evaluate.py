@@ -100,11 +100,15 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         occ_Nb=cfg.occ_Nb,
         occ_floor=cfg.occ_floor,
         occ_aabb=cfg.occ_aabb,
+        occ_group=cfg.occ_group,
     )
     key = jax.random.PRNGKey(cfg.seed)
 
     mesh = None
     if cfg.num_data_shards not in (0, 1):
+        # multi-host meshes are safe: render_rays_chunked feeds host-numpy
+        # inputs and assembles the sharded result on every host with
+        # process_allgather (tests/_distributed_worker.py proves parity)
         from nerf_simple_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(cfg.num_data_shards)

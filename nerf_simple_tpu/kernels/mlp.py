@@ -14,7 +14,7 @@ Design notes (see pallas_guide.md for the hardware model):
 
 - **Feature-major (transposed) layout.** Activations are (features, rows)
   with rows on the 128-wide lane axis and features on sublanes: every
-  feature count is padded sublane-aligned (72, 256, 264, 128, 40, 8 for
+  feature count is padded sublane-aligned (72, 256, 136, 128, 40, 8 for
   the flagship NerfMLP(10, 4, 256); derived from (Lp, Ld, H) in general),
   and the sample-row axis (thousands) gives long, aligned lanes. The
   caller passes x^T (8, rows) and gets out^T (8, rows).
@@ -30,9 +30,19 @@ Design notes (see pallas_guide.md for the hardware model):
 
 - **Concats become split matmuls.** The skip layer's ``[h | posx] @ W``
   is ``Wh @ h + Wx @ posx`` (reference utils/nets.py:21,38), the color
-  head's ``[feat | posd] @ W`` likewise (utils/nets.py:30,42); the sigma
-  head rides the feature-layer matmul as 8 extra output rows (1 real + 7
-  pad). No in-kernel concatenation anywhere.
+  head's ``[feat | posd] @ W`` likewise (utils/nets.py:30,42). No
+  in-kernel concatenation anywhere.
+
+- **The feature layer is folded away at pack time.** The reference's
+  feature layer has NO activation (utils/nets.py:28,41 — a quirk), so
+  ``Wcf @ (Wf h + bf)`` == ``(Wcf Wf) h + Wcf bf`` exactly: pack_weights
+  precomputes ``Wcs = [Wcf·Wf ; Wsigma]`` (H/2 + 8 rows, sigma at row
+  H/2) in f32 on the host, and the kernel runs ONE (H/2+8, H) matmul
+  where the old layout ran a 264-row feature+sigma head followed by a
+  (H/2, H) color contraction — deleting ~10% of the MXU tile-passes in
+  forward AND backward plus the ``feat`` residual buffer. Gradients for
+  the original ``feature``/``color0``/``sigma`` params fall out of
+  jax.vjp through pack_weights (the product rule on ``Wcf·Wf``).
 
 - Weights stay resident in VMEM across the row-tile grid (~1.2-2.4 MB);
   activations per tile are a few hundred KB.
@@ -178,11 +188,11 @@ class FusedWeights(NamedTuple):
     bp0: jnp.ndarray
     Wp1: jnp.ndarray  # (H, H)
     bp1: jnp.ndarray
-    Wfs: jnp.ndarray  # (FS, H) feature(256) + sigma(1) + pad(7)
-    bfs: jnp.ndarray
-    Wcf: jnp.ndarray  # (H//2, H)   color0, feature half
+    Wcs: jnp.ndarray  # (H//2 + 8, H): rows :H//2 = Wcf·Wfeature (the
+    # folded no-activation feature layer), rows H//2: = sigma head
+    # (1 real + 7 pad)
+    bcs: jnp.ndarray  # (H//2 + 8, 1): [Wcf·b_feature + b_color0 ; b_sigma]
     Wcd: jnp.ndarray  # (H//2, FD)  color0, posd half (permuted, padded)
-    bc0: jnp.ndarray
     Wc1: jnp.ndarray  # (8, H//2)   color1: rgb rows 0..2 + pad
     bc1: jnp.ndarray
 
@@ -219,18 +229,25 @@ def pack_weights(
     skip_w = jnp.asarray(w["skip"]["w"], dtype)  # (H+CX, H)
     color0_w = jnp.asarray(w["color0"]["w"], dtype)  # (H+CD, H//2)
 
-    # feature + sigma fused head: (H, H) and (H, 1) -> (FS, H)
-    Wfs = jnp.concatenate(
+    # Fold the no-activation feature layer into the color head (see the
+    # module docstring): Wcf' = Wcf @ Wf, b' = Wcf @ bf + bc0, computed in
+    # f32 here — exact algebra, one rounding of the product. Sigma rides
+    # as 8 extra rows (1 real + 7 pad) so ONE (H//2+8, H) matmul replaces
+    # the 264-row feature+sigma head and the (H//2, H) color contraction.
+    Wcf = color0_w[:H].T  # (H//2, H), acts on feat
+    Wf = jnp.asarray(w["feature"]["w"], dtype).T  # (H, H), acts on h7
+    bf = jnp.asarray(w["feature"]["b"], dtype)
+    Wcs = jnp.concatenate(
         [
-            jnp.asarray(w["feature"]["w"], dtype).T,  # (H, H)
+            jnp.matmul(Wcf, Wf, preferred_element_type=jnp.float32),
             jnp.asarray(w["sigma"]["w"], dtype).T,  # (1, H)
             jnp.zeros((7, H), dtype),
         ],
         axis=0,
     )
-    bfs = jnp.concatenate(
+    bcs = jnp.concatenate(
         [
-            jnp.asarray(w["feature"]["b"], dtype),
+            Wcf @ bf + jnp.asarray(w["color0"]["b"], dtype),
             jnp.asarray(w["sigma"]["b"], dtype),
             jnp.zeros((7,), dtype),
         ]
@@ -262,13 +279,25 @@ def pack_weights(
         bp0=bias(w["post0"]["b"]),
         Wp1=T(w["post1"]["w"]),
         bp1=bias(w["post1"]["b"]),
-        Wfs=Wfs,
-        bfs=bfs,
-        Wcf=color0_w[:H].T,
+        Wcs=Wcs,
+        bcs=bcs,
         Wcd=perm_pad(color0_w[H:], pd, vd),
-        bc0=bias(w["color0"]["b"]),
         Wc1=Wc1,
         bc1=bc1,
+    )
+
+
+def _cast_weights(wts: FusedWeights, dtype) -> FusedWeights:
+    """Pre-cast the weight MATRICES to the compute dtype once, in XLA,
+    before the kernel launches — the per-grid-step ``astype`` inside the
+    kernel body then becomes a no-op (the grid re-executes the body
+    hundreds of times per call; at the bench shape the repeated casts
+    cost ~0.3 ms/iter of VPU time) and weight VMEM residency halves.
+    Biases stay f32: they add into the f32 matmul accumulator."""
+    if dtype == jnp.float32:
+        return wts
+    return FusedWeights(
+        *[w.astype(dtype) if w.shape[-1] > 1 else w for w in wts]
     )
 
 
@@ -323,10 +352,12 @@ def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP
     h5 = relu(_mm(wts.Wsh, h4, dtype) + _mm(wts.Wsx, posx, dtype) + wts.bs)
     h6 = relu(_mm(wts.Wp0, h5, dtype) + wts.bp0)
     h7 = relu(_mm(wts.Wp1, h6, dtype) + wts.bp1)
-    fs = _mm(wts.Wfs, h7, dtype) + wts.bfs  # (FS, TR): feature + sigma
-    feat = fs[:H, :]
-    sig8 = fs[H:, :]  # (8, TR), sigma at row 0
-    hc = relu(_mm(wts.Wcf, feat, dtype) + _mm(wts.Wcd, posd, dtype) + wts.bc0)
+    # folded color+sigma head: rows :H//2 pre-activation color (the
+    # feature layer is folded into Wcs — see module docstring), rows
+    # H//2: raw sigma (no activation)
+    cs = _mm(wts.Wcs, h7, dtype) + wts.bcs  # (H//2 + 8, TR)
+    sig8 = cs[H // 2 :, :]  # (8, TR), sigma at row 0
+    hc = relu(cs[: H // 2, :] + _mm(wts.Wcd, posd, dtype))
     rgb8 = _mm(wts.Wc1, hc, dtype) + wts.bc1  # (8, TR), rgb rows 0..2
 
     rows = jax.lax.broadcasted_iota(jnp.int32, rgb8.shape, 0)
@@ -338,7 +369,7 @@ def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP
     # storage halves backward VMEM — letting larger tiles fit.
     residuals = tuple(
         r.astype(dtype)
-        for r in (posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, feat, hc)
+        for r in (posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, hc)
     )
     return out, residuals
 
@@ -379,6 +410,7 @@ def fused_mlp_forward(
     rows = xT.shape[1]
     assert rows % tile_rows == 0, (rows, tile_rows)
     grid = (rows // tile_rows,)
+    wts = _cast_weights(wts, compute_dtype)
 
     extras = [_spread_x(model), _spread_d(model)]
 
@@ -447,7 +479,7 @@ def _backprop_tile(
     (g_rgb8 rows 0..2, g_sig8 row 0) and saved activations ``res``.
     Returns this tile's weight-gradient contribution."""
     H = model.H
-    posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, feat, hc = res
+    posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, hc = res
 
     def mmT_acc(gout, act):  # dW = gout @ act^T   (contract over rows)
         return jax.lax.dot_general(
@@ -472,18 +504,13 @@ def _backprop_tile(
     dWc1 = mmT_acc(g_rgb8, hc)
     dbc1 = dbias(g_rgb8)
     g_hc = mTg(wts.Wc1, g_rgb8) * _relu_mask(hc)
-    # color0 (two halves)
-    dWcf = mmT_acc(g_hc, feat)
+    # posd half of the color head
     dWcd = mmT_acc(g_hc, posd)
-    dbc0 = dbias(g_hc)
-    g_feat = mTg(wts.Wcf, g_hc)
-    # fused feature+sigma head: gradient w.r.t. fs rows
-    # g_fs = concat(g_feat (H), g_sig8 (8)) along rows — build by parts
-    dWfs_f = mmT_acc(g_feat, h7)  # (H, H)
-    dWfs_s = mmT_acc(g_sig8, h7)  # (8, H)
-    dWfs = jnp.concatenate([dWfs_f, dWfs_s], axis=0)
-    dbfs = jnp.concatenate([dbias(g_feat), dbias(g_sig8)], axis=0)
-    g_h7 = (mTg(wts.Wfs[:H], g_feat) + mTg(wts.Wfs[H:], g_sig8)) * _relu_mask(h7)
+    # folded color+sigma head: one gradient pass over the stacked rows
+    g_cs = jnp.concatenate([g_hc, g_sig8], axis=0)  # (H//2 + 8, TR)
+    dWcs = mmT_acc(g_cs, h7)
+    dbcs = dbias(g_cs)
+    g_h7 = mTg(wts.Wcs, g_cs) * _relu_mask(h7)
     # post layers
     dWp1 = mmT_acc(g_h7, h6)
     dbp1 = dbias(g_h7)
@@ -519,8 +546,7 @@ def _backprop_tile(
         Wt3=dWt3, bt3=dbt3, Wt4=dWt4, bt4=dbt4,
         Wsh=dWsh, Wsx=dWsx, bs=dbs,
         Wp0=dWp0, bp0=dbp0, Wp1=dWp1, bp1=dbp1,
-        Wfs=dWfs, bfs=dbfs,
-        Wcf=dWcf, Wcd=dWcd, bc0=dbc0,
+        Wcs=dWcs, bcs=dbcs, Wcd=dWcd,
         Wc1=dWc1, bc1=dbc1,
     )
 
@@ -552,6 +578,7 @@ def _fused_mlp_bwd(
     rows = xT.shape[1]
     assert rows % tile_rows == 0
     grid = (rows // tile_rows,)
+    wts = _cast_weights(wts, compute_dtype)
 
     extras = [_spread_x(model), _spread_d(model)]
 
@@ -759,6 +786,7 @@ def fused_train_step(
     B = rows // N
     grid = (rows // tile_rows,)
     scale = 1.0 / (3.0 * B)
+    wts = _cast_weights(wts, compute_dtype)
 
     lane = np.arange(tile_rows)
     ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
@@ -881,6 +909,7 @@ def fused_render(
     assert tile_rows % N == 0 and rows % tile_rows == 0
     R = tile_rows // N
     grid = (rows // tile_rows,)
+    wts = _cast_weights(wts, compute_dtype)
     lane = np.arange(tile_rows)
     ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
     extras = [_spread_x(model), _spread_d(model), ST]

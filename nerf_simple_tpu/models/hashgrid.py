@@ -65,8 +65,10 @@ class HashGridModel:
 
     Defaults follow the paper's NeRF configuration scaled for the
     framework's scene sizes: L=8 levels x F=4 features (32 encoded
-    features, same width as the paper's 16x2), 2^19-entry tables,
-    resolutions 16 -> 256 over the scene AABB.
+    features, same width as the paper's 16x2), 2^14-entry tables (the
+    TPU default — the paper's 2^19 hits the pathological XLA scatter
+    path, see the module docstring), resolutions 16 -> 256 over the
+    scene AABB.
     """
 
     L: int = 8  # grid levels

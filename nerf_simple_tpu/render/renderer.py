@@ -81,6 +81,12 @@ class RenderSettings:
     occ_Nb: int = 64
     occ_floor: float = 0.01
     occ_aabb: float = 4.0
+    # share one occupancy probe across each run of ``occ_group``
+    # consecutive rays (adjacent pixels at eval traverse the same grid
+    # cells) — divides the probe gather count, the occ sampler's dominant
+    # cost, by the group size. 1 = per-ray probes (always used for
+    # training's random ray batches).
+    occ_group: int = 1
 
 
 def render_rays(
@@ -327,6 +333,7 @@ def _chunked_render_fn(
         return occupancy_ts(
             k, rays_c, occ, N, settings.tn, settings.tf, settings.occ_aabb,
             Nb=settings.occ_Nb, floor=settings.occ_floor, det=True,
+            group=settings.occ_group,
         )
 
     def _scan_chunks(params, rays_chunks, idxs, key, occ):
@@ -412,9 +419,15 @@ def render_rays_chunked(
     ``mesh``: optional ``parallel.make_mesh`` device mesh — chunks are
     sharded over its ``data`` axis (each chip renders its own block,
     params replicated, no collectives) with bit-identical results to
-    the single-chip path.
+    the single-chip path. Multi-host meshes work too: inputs are fed as
+    host numpy (every process holds identical copies; jax uploads each
+    process's addressable shards) and the sharded result is assembled on
+    every host with ``multihost_utils.process_allgather``.
     """
     R = rays.shape[0]
+    multihost = mesh is not None and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
     # Align the chunk to 1024 rays: MXU-friendly tiling, and unaligned
     # sizes can crash the TPU AOT compiler (observed: a libtpu regalloc
     # RET_CHECK at chunk=16000 where 16384 compiles fine). The reference's
@@ -433,13 +446,25 @@ def render_rays_chunked(
         fixup = jnp.zeros((pad, 6), rays.dtype).at[:, 5].set(-1.0)
         rays_p = rays_p.at[R:].set(fixup)
     run = _chunked_render_fn(settings, model, chunk, mesh)
-    rgb, disp = run(
-        params,
-        rays_p.reshape(n_chunks, chunk, 6),
-        jnp.arange(n_chunks),
-        key,
-        occ,
-    )
+    rays_chunks = rays_p.reshape(n_chunks, chunk, 6)
+    idxs = jnp.arange(n_chunks)
+    if multihost:
+        # host numpy in (identical on every process -> jax uploads each
+        # process's addressable shards of the P("data") inputs and treats
+        # the replicated ones as such; device-local jax.Arrays would be
+        # rejected against a global sharding)
+        params = jax.device_get(params)
+        rays_chunks = np.asarray(rays_chunks)
+        idxs = np.asarray(idxs)
+        key = np.asarray(key)
+        occ = None if occ is None else np.asarray(occ)
+    rgb, disp = run(params, rays_chunks, idxs, key, occ)
+    if multihost:
+        # the result is sharded over non-addressable devices; assemble the
+        # full image on every host (one allgather over DCN per frame)
+        from jax.experimental import multihost_utils
+
+        rgb, disp = multihost_utils.process_allgather((rgb, disp), tiled=True)
     return rgb.reshape(-1, 3)[:R], disp.reshape(-1)[:R]
 
 

@@ -33,7 +33,7 @@ from nerf_simple_tpu.train.step import (
     build_train_step,
     make_train_state,
 )
-from nerf_simple_tpu.utils.profiling import Throughput
+from nerf_simple_tpu.utils.profiling import SteadyStateMeter, chunk_schedule
 from nerf_simple_tpu.utils.tb import Logger, run_log_dir
 
 
@@ -160,11 +160,10 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             model,
             chunk=16384,  # reference's 16000 eval chunk, MXU-aligned
             occ=state.occ if cfg.occupancy else None,
-            # single-process multi-chip runs shard eval chunks too; in
-            # multi-HOST runs the render must stay unsharded — a global
-            # mesh spans non-addressable devices and render_image's
-            # np.asarray on the sharded result would fail
-            mesh=mesh if jax.process_count() == 1 else None,
+            # chunks shard over the mesh data axis; in multi-HOST runs
+            # render_rays_chunked assembles the sharded result on every
+            # host via process_allgather, so the global mesh is safe here
+            mesh=mesh,
         )
         gt = np.asarray(rd.pixels[split]).reshape(-1, rd.H, rd.W, 3)[
             ii : ii + 1
@@ -180,7 +179,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             f"Loss/{tag}_Img_PSNR_{ii}", float(img_psnr(gt, rgb)), i + 1
         )
 
-    meter = Throughput()
+    meter = SteadyStateMeter(cfg.batch_size)
     start = int(state.step)
     # exact num_iters: full steps_per_call chunks + one remainder chunk
     # (the remainder compiles a second, shorter scan once)
@@ -193,7 +192,6 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             _dc.replace(cfg, steps_per_call=remainder), model, mesh,
             rays_per_image=rd.H * rd.W,
         )
-    n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
     if cfg.profile_dir and cfg.num_iters - start >= 2 * cfg.steps_per_call:
         # capture chunks 1-2 (post-compile) as a device trace; skipped when
         # fewer than two full chunks remain (a short run / late resume must
@@ -206,47 +204,32 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             state, losses = step_fn(state, rays, pixels, k_train)
             np.asarray(losses)
         start = int(state.step)
-        n_chunks = math.ceil((cfg.num_iters - start) / cfg.steps_per_call)
-        meter.reset()  # exclude compile + traced chunks from throughput
+        meter.discard_warmup()  # exclude compile + traced chunks
     elif cfg.profile_dir:
         print(
             f"profile_dir set but only {cfg.num_iters - start} iters remain "
             f"(< 2*steps_per_call={2 * cfg.steps_per_call}); skipping trace"
         )
-    steady_iters = 0  # iters excluded from the steady-state meter
-    first_sync_done = False
-    for c in range(n_chunks):
-        chunk_start = start + c * cfg.steps_per_call
-        last = c == n_chunks - 1
-        if last and remainder:
-            state, losses = rem_step_fn(state, rays, pixels, k_train)
-            spc = remainder
-        else:
+    for chunk_start, spc, boundary in chunk_schedule(
+        start,
+        cfg.num_iters,
+        cfg.steps_per_call,
+        (cfg.ckpt_loss, cfg.ckpt_images, cfg.ckpt_model),
+    ):
+        if spc == cfg.steps_per_call:
             state, losses = step_fn(state, rays, pixels, k_train)
-            spc = cfg.steps_per_call
+        else:
+            state, losses = rem_step_fn(state, rays, pixels, k_train)
         # Only synchronize with the device when this chunk crosses a
         # logging/checkpoint boundary — otherwise chunks stay enqueued and
         # the device never idles waiting on the host (each sync costs a
         # full tunnel round trip).
-        boundary = (
-            any((chunk_start + j) % cfg.ckpt_loss == 0 for j in range(spc))
-            or any((chunk_start + j) % cfg.ckpt_images == 0 for j in range(spc))
-            or any((chunk_start + j) % cfg.ckpt_model == 0 for j in range(spc))
-            or c == n_chunks - 1
-        )
         if not boundary:
             continue
         losses = np.asarray(losses)  # device sync
-        done = chunk_start + spc - start
-        if not first_sync_done:
-            # first sync includes jit compile (and, cold, data load) —
-            # reset so reported rays/s is steady-state (VERDICT r1 item 9)
-            meter.reset()
-            steady_iters = done
-            first_sync_done = True
-        else:
-            meter.tick(done - steady_iters - meter.iters,
-                       (done - steady_iters - meter.iters) * cfg.batch_size)
+        # first sync includes jit compile (and, cold, data load) — the
+        # meter excludes it so reported rays/s is steady-state
+        meter.sync(chunk_start + spc - start)
 
         for j, loss in enumerate(losses):
             i = chunk_start + j

@@ -72,7 +72,35 @@ def main() -> None:
     state, losses = step_fn(state, rays, pixels, jax.random.PRNGKey(1))
     losses = np.asarray(losses)
     assert losses.shape == (2,) and np.isfinite(losses).all()
+
+    # multi-host sharded eval: chunks split over the 4-device global mesh
+    # (2 non-addressable from each process's view); render_rays_chunked
+    # must assemble the full image on BOTH hosts and match the local
+    # single-chip render exactly
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_chunked,
+    )
+
+    es = RenderSettings(N=8)
+    eval_rays = rng.normal(size=(256, 6)).astype(np.float32)
+    host_params = jax.device_get(state.params)
+    rgb_1, disp_1 = render_rays_chunked(
+        host_params, eval_rays, jax.random.PRNGKey(2), es, model, chunk=32
+    )
+    rgb_n, disp_n = render_rays_chunked(
+        host_params, eval_rays, jax.random.PRNGKey(2), es, model, chunk=32,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_n), np.asarray(rgb_1), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(disp_n), np.asarray(disp_1), rtol=1e-5, atol=1e-6
+    )
+
     print(f"RESULT {pi} {losses[0]:.10f} {losses[1]:.10f}", flush=True)
+    print(f"EVAL_OK {pi}", flush=True)
 
 
 if __name__ == "__main__":

@@ -64,3 +64,7 @@ def test_two_process_distributed_train_step():
     assert set(results) == {0, 1}, f"missing worker results: {outs}"
     # pmean-replicated losses: bit-identical on both processes
     assert results[0] == results[1], results
+    # the multi-host sharded eval render matched the single-chip render
+    # on both hosts (asserted inside each worker)
+    for out in outs:
+        assert "EVAL_OK" in out, f"sharded eval parity missing:\n{out}"

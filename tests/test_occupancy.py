@@ -329,3 +329,52 @@ def test_occupancy_toggle_across_checkpoints(tmp_path):
     template_16 = make_train_state(jax.random.PRNGKey(1), cfg_on16, model)
     back3 = restore_checkpoint(str(tmp_path / "b" / "ckpt_9"), template_16)
     assert back3.occ.shape == (16, 16, 16)
+
+
+def test_binned_pdf_ts_zero_mass_falls_back_to_uniform():
+    """occ_floor=0.0 + an all-empty probe row must not produce NaNs: the
+    zero-mass ray falls back to a uniform PDF (ADVICE r2)."""
+    key = jax.random.PRNGKey(3)
+    w = jnp.stack(
+        [jnp.zeros(8), jnp.ones(8)]
+    )  # ray 0: zero mass everywhere
+    ts = binned_pdf_ts(key, w, 16, 2.0, 6.0)
+    assert bool(jnp.all(jnp.isfinite(ts)))
+    assert bool(jnp.all((ts >= 2.0) & (ts <= 6.0)))
+    # zero-mass ray is spread over the range, not collapsed into one bin
+    assert float(ts[0].max() - ts[0].min()) > 2.0
+    # deterministic path too
+    ts_det = binned_pdf_ts(key, w, 16, 2.0, 6.0, det=True)
+    assert bool(jnp.all(jnp.isfinite(ts_det)))
+
+
+def test_occupancy_ts_zero_floor_all_empty_grid():
+    """End-to-end: floor=0 with an all-zero grid yields finite sorted ts."""
+    key = jax.random.PRNGKey(4)
+    grid = jnp.zeros((8, 8, 8))
+    rays = jnp.concatenate(
+        [jnp.zeros((4, 3)), jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))],
+        axis=1,
+    )
+    ts = occupancy_ts(key, rays, grid, 32, 2.0, 6.0, aabb=2.0, Nb=8, floor=0.0)
+    assert bool(jnp.all(jnp.isfinite(ts)))
+    assert bool(jnp.all(jnp.diff(ts, axis=-1) >= 0))
+
+
+def test_occupancy_ts_probe_grouping_matches_per_ray_on_coherent_rays():
+    """occ_group shares probes across adjacent coherent rays: on a batch
+    of near-identical rays the grouped sampler must draw the same
+    distribution as per-ray probes (identical PDFs -> identical det
+    quantiles), and a non-dividing group falls back to per-ray."""
+    key = jax.random.PRNGKey(7)
+    grid = init_occ_grid(16).at[:, :, :8].set(0.0)  # front half empty
+    base = jnp.array([0.0, 0.0, 0.0, 0.01, 0.01, -1.0])
+    jitter = 1e-4 * jax.random.normal(key, (8, 6))
+    rays = base[None, :] + jitter  # 8 nearly identical rays
+    kw = dict(N=16, tn=2.0, tf=6.0, aabb=2.0, Nb=8, floor=0.01, det=True)
+    ts1 = occupancy_ts(key, rays, grid, **kw)
+    ts4 = occupancy_ts(key, rays, grid, **kw, group=4)
+    np.testing.assert_allclose(np.asarray(ts1), np.asarray(ts4), atol=1e-5)
+    # non-dividing group (8 % 3 != 0) silently uses per-ray probes
+    ts3 = occupancy_ts(key, rays, grid, **kw, group=3)
+    np.testing.assert_allclose(np.asarray(ts1), np.asarray(ts3), atol=0)
