@@ -72,10 +72,10 @@ def main():
         1, rd.H, rd.W, 3
     )
 
-    def eval_at(N, use_occ):
+    def eval_at(N, use_occ, Nb=64, group=1):
         s = RenderSettings(
             N=N, compute_dtype=jnp.bfloat16, backend="pallas",
-            occ_aabb=2.0, occ_Nb=64, occ_floor=0.01,
+            occ_aabb=2.0, occ_Nb=Nb, occ_floor=0.01, occ_group=group,
         )
         g = occ if use_occ else None
         rgb, _ = render_rays_chunked(
@@ -102,16 +102,23 @@ def main():
         "train_iters": ITERS, "train_s": train_s, "final_loss": final_loss,
         "occupied_frac": occ_frac, "sweep": [],
     }
+    # (sampler, Nb, group): stratified baseline; r2 per-ray occ probes;
+    # r3 cheap probes (Nb=32 + one probe per 4 adjacent rays)
+    variants = [
+        ("stratified", 64, 1, False),
+        ("occ", 64, 1, True),
+        ("occ-cheap", 32, 4, True),
+    ]
     for N in (16, 32, 64, 128):
-        for use_occ in (False, True):
-            psnr, dt = eval_at(N, use_occ)
+        for name, Nb, group, use_occ in variants:
+            psnr, dt = eval_at(N, use_occ, Nb=Nb, group=group)
             row = {
                 "N": N,
-                "sampler": "occ" if use_occ else "stratified",
+                "sampler": name,
                 "psnr_half_res_test": round(psnr, 2),
                 "frame_800_s": round(dt, 3),
             }
-            print(row)
+            print(row, flush=True)
             results["sweep"].append(row)
 
     os.makedirs(OUT, exist_ok=True)

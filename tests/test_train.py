@@ -27,6 +27,12 @@ def tiny_scene(tmp_path_factory):
     return RayDataset.from_blender(data)
 
 
+# small arch for the slow step-level tests: every property they check is
+# architecture-independent, and a 32-wide net compiles/runs ~5x faster on
+# the CPU test backend than the flagship H=256
+SMALL_MODEL = NerfMLP(Lp=4, Ld=2, H=32)
+
+
 def _tiny_cfg(**kw):
     base = dict(
         datapath="unused",
@@ -90,7 +96,7 @@ def test_lr_schedule_replicates_reference_quirk():
 @pytest.mark.slow
 def test_train_step_runs_and_decreases_loss(tiny_scene):
     cfg = _tiny_cfg()
-    model = NerfMLP()
+    model = SMALL_MODEL
     state = make_train_state(jax.random.PRNGKey(0), cfg, model)
     step_fn = build_train_step(cfg, model, donate=False)
     rays, pixels = tiny_scene.rays["train"], tiny_scene.pixels["train"]
@@ -111,7 +117,7 @@ def test_train_step_runs_and_decreases_loss(tiny_scene):
 @pytest.mark.slow
 def test_train_step_hierarchical(tiny_scene):
     cfg = _tiny_cfg(hierarchical=True, steps_per_call=5, num_iters=10)
-    model = NerfMLP()
+    model = SMALL_MODEL
     state = make_train_state(jax.random.PRNGKey(0), cfg, model)
     assert set(state.params) == {"coarse", "fine"}
     step_fn = build_train_step(cfg, model, donate=False)
@@ -128,7 +134,7 @@ def test_checkpoint_roundtrip_and_resume(tiny_scene, tmp_path):
     from nerf_simple_tpu.train import checkpoint as ck
 
     cfg = _tiny_cfg(steps_per_call=5, num_iters=10)
-    model = NerfMLP()
+    model = SMALL_MODEL
     state = make_train_state(jax.random.PRNGKey(0), cfg, model)
     step_fn = build_train_step(cfg, model, donate=False)
     rays, pixels = tiny_scene.rays["train"], tiny_scene.pixels["train"]
@@ -208,6 +214,9 @@ def test_train_driver_exact_num_iters(tiny_scene, tmp_path):
         steps_per_call=10,
         half_res=False,
         num_train_imgs=-1,
+        net_H=32,
+        net_Lp=4,
+        net_Ld=2,
         ckpt_loss=1000,
         ckpt_images=10**9,
         ckpt_model=10**9,
@@ -223,7 +232,7 @@ def test_training_is_bitwise_deterministic(tiny_scene):
     """Same seed + same data -> bit-identical parameters (the reference
     has no seed control at all; we guarantee full determinism)."""
     cfg = _tiny_cfg(steps_per_call=5, num_iters=10)
-    model = NerfMLP()
+    model = SMALL_MODEL
     rays, pixels = tiny_scene.rays["train"], tiny_scene.pixels["train"]
 
     def run():
@@ -271,7 +280,7 @@ def test_debug_nan_flag_wraps_train_step(tiny_scene):
     """debug_nan: true raises host-side (with a location) when a NaN
     appears inside the jitted step (r1 VERDICT item 6)."""
     cfg = _tiny_cfg(debug_nan=True, steps_per_call=2, num_iters=4)
-    model = NerfMLP()
+    model = SMALL_MODEL
     state = make_train_state(jax.random.PRNGKey(0), cfg, model)
     step = build_train_step(cfg, model)
 
@@ -347,7 +356,7 @@ def test_train_im_idxs_restricts_sampling(tiny_scene):
     pixels[per_img:] = np.nan
 
     cfg = _tiny_cfg(train_im_idxs=(0,), steps_per_call=5, num_iters=10)
-    model = NerfMLP()
+    model = SMALL_MODEL
     state = make_train_state(jax.random.PRNGKey(0), cfg, model)
     step = build_train_step(cfg, model, rays_per_image=per_img)
     state, losses = step(
