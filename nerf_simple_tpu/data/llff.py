@@ -47,10 +47,21 @@ def load_llff(
     llffhold: int = 8,
     bd_factor: float = 0.75,
 ) -> BlenderData:
-    """Load an LLFF scene directory (images/ + poses_bounds.npy)."""
+    """Load an LLFF scene directory (images/ + poses_bounds.npy).
+
+    A raw COLMAP reconstruction (images/ + sparse/0/) works too: when
+    ``poses_bounds.npy`` is absent it is built from the COLMAP model
+    first (data/colmap.py — the reference's "Integrate ColMap" roadmap
+    item, reference README.md:55).
+    """
     import cv2
 
-    pb = np.load(os.path.join(path, "poses_bounds.npy"))  # (N, 17)
+    pb_path = os.path.join(path, "poses_bounds.npy")
+    if not os.path.exists(pb_path):
+        from nerf_simple_tpu.data.colmap import ensure_poses_bounds
+
+        ensure_poses_bounds(path)
+    pb = np.load(pb_path)  # (N, 17)
     poses_raw = pb[:, :15].reshape(-1, 3, 5)
     bounds = pb[:, 15:]  # (N, 2)
 
