@@ -34,10 +34,24 @@ _BLOBS = (
     ((0.1, -0.6, -0.4), 5.0, (0.9, 0.8, 0.1), 0.30),
 )
 
+# Hard-surface "machine" scene: sharp-edged boxes (near-binary density)
+# occupying ~2% of the [-2, 2]^3 volume — the canonical-lego regime
+# (opaque surfaces, large empty margins) that the smooth blob cluster
+# cannot emulate. (center, half-extents, color)
+_HARD_PARTS = (
+    ((0.0, 0.0, -0.55), (0.90, 0.60, 0.10), (0.80, 0.72, 0.20)),  # base
+    ((0.0, 0.0, -0.25), (0.55, 0.45, 0.20), (0.85, 0.12, 0.10)),  # body
+    ((-0.15, 0.0, 0.10), (0.30, 0.30, 0.15), (0.90, 0.85, 0.30)),  # cab
+    ((0.55, 0.0, -0.05), (0.12, 0.12, 0.45), (0.40, 0.40, 0.45)),  # mast
+    ((0.80, 0.0, 0.32), (0.35, 0.10, 0.08), (0.30, 0.30, 0.35)),  # arm
+    ((-0.45, 0.45, -0.62), (0.15, 0.08, 0.15), (0.10, 0.10, 0.12)),
+    ((0.35, 0.45, -0.62), (0.15, 0.08, 0.15), (0.10, 0.10, 0.12)),
+    ((-0.45, -0.45, -0.62), (0.15, 0.08, 0.15), (0.10, 0.10, 0.12)),
+    ((0.35, -0.45, -0.62), (0.15, 0.08, 0.15), (0.10, 0.10, 0.12)),
+)
 
-def field(locs: jnp.ndarray) -> jnp.ndarray:
-    """Analytic radiance field: (..., 3) positions -> (..., 4) rgb+sigma
-    (sigma is pre-softplus, matching the raw MLP output convention)."""
+
+def _field_blobs(locs: jnp.ndarray) -> jnp.ndarray:
     sigma = jnp.full(locs.shape[:-1], -10.0, locs.dtype)
     rgb_acc = jnp.zeros((*locs.shape[:-1], 3), locs.dtype)
     w_acc = jnp.zeros(locs.shape[:-1], locs.dtype)
@@ -49,6 +63,42 @@ def field(locs: jnp.ndarray) -> jnp.ndarray:
         w_acc = w_acc + g
     rgb = rgb_acc / jnp.maximum(w_acc[..., None], 1e-6)
     return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+def _field_hard(locs: jnp.ndarray) -> jnp.ndarray:
+    """Near-binary box densities: sigma transitions over ~0.07 world
+    units (sigmoid sharpness 30) to a pre-softplus peak of 40 — one
+    sample inside the wall saturates alpha, like an opaque surface."""
+    SHARP, PEAK = 30.0, 40.0
+    sigma = jnp.full(locs.shape[:-1], -10.0, locs.dtype)
+    rgb_acc = jnp.zeros((*locs.shape[:-1], 3), locs.dtype)
+    w_acc = jnp.zeros(locs.shape[:-1], locs.dtype)
+    for center, half, color in _HARD_PARTS:
+        q = jnp.max(
+            jnp.abs(locs - jnp.asarray(center, locs.dtype))
+            / jnp.asarray(half, locs.dtype),
+            axis=-1,
+        )
+        m = jax.nn.sigmoid(SHARP * (1.0 - q))
+        sigma = sigma + PEAK * m
+        rgb_acc = rgb_acc + m[..., None] * jnp.asarray(color, locs.dtype)
+        w_acc = w_acc + m
+    rgb = rgb_acc / jnp.maximum(w_acc[..., None], 1e-6)
+    return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+_STYLES = {"blobs": _field_blobs, "hard": _field_hard}
+
+
+def field(locs: jnp.ndarray, style: str = "blobs") -> jnp.ndarray:
+    """Analytic radiance field: (..., 3) positions -> (..., 4) rgb+sigma
+    (sigma is pre-softplus, matching the raw MLP output convention).
+
+    ``style``: "blobs" (smooth Gaussian cluster — the fast-converging
+    test fixture) or "hard" (sharp-edged low-occupancy machine — the
+    canonical-lego regime for occupancy/hierarchical/hashgrid benches).
+    """
+    return _STYLES[style](locs)
 
 
 def orbit_cameras(
@@ -74,6 +124,7 @@ def render_gt(
     N: int = 192,
     tn: float = 2.0,
     tf: float = 6.0,
+    style: str = "blobs",
 ) -> np.ndarray:
     """Ground-truth images via dense midpoint sampling of the analytic
     field, composited with ops.volume.composite. Returns (P, H, W, 3) in
@@ -87,7 +138,7 @@ def render_gt(
         origins, dirs = rays[:, :3], rays[:, 3:]
         locs = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
         unit = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        out = field(locs)
+        out = field(locs, style)
         comp = composite(out, ts, unit)
         return jnp.clip(comp.rgb, 0.0, 1.0).reshape(H, W, 3)
 
@@ -105,6 +156,7 @@ def write_blender_scene(
     W: int = 64,
     fov_x: float = 0.6911112070083618,  # lego's camera_angle_x
     train_jitter: int = 0,
+    style: str = "blobs",
 ) -> None:
     """Write the synthetic scene to ``path`` in nerf_synthetic layout.
 
@@ -114,10 +166,15 @@ def write_blender_scene(
     but grid-capacity models exploit: measured 26 dB test / 40 dB train
     for the hashgrid family on it, vs 33/33 with jittered elevations).
     Set a nonzero seed for a fair novel-view-generalization fixture.
+
+    ``style``: "blobs" (smooth, fast-converging) or "hard" (sharp-edged
+    ~2%-occupancy machine; GT is sampled at 3x density to resolve the
+    near-binary walls).
     """
     import cv2
 
     f = W / (2.0 * np.tan(fov_x / 2.0))
+    gt_N = 576 if style == "hard" else 192
     specs = {
         "train": orbit_cameras(n_train, seed_jitter=train_jitter),
         "val": orbit_cameras(n_val, seed_jitter=1),
@@ -126,7 +183,7 @@ def write_blender_scene(
     for split, poses in specs.items():
         split_dir = os.path.join(path, split)
         os.makedirs(split_dir, exist_ok=True)
-        imgs = render_gt(poses, H, W, f)
+        imgs = render_gt(poses, H, W, f, N=gt_N, style=style)
         frames = []
         for i, (img, pose) in enumerate(zip(imgs, poses)):
             fname = f"r_{i}.png"

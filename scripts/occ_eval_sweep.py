@@ -31,7 +31,9 @@ from nerf_simple_tpu.render.renderer import RenderSettings, render_rays_chunked
 from nerf_simple_tpu.train.metrics import img_psnr
 from nerf_simple_tpu.train.step import build_train_step, make_train_state
 
-SCENE = "/tmp/occ_sweep/scene"
+SCENE = os.environ.get("OCC_SWEEP_SCENE", "/tmp/occ_sweep/scene")
+STYLE = os.environ.get("OCC_SWEEP_STYLE", "blobs")
+TAG = os.environ.get("OCC_SWEEP_TAG", "")  # output file suffix
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
 ITERS = 3000
 SPC = 40
@@ -41,7 +43,9 @@ BATCH = 4096
 def main():
     os.makedirs(os.path.dirname(SCENE), exist_ok=True)
     if not os.path.exists(SCENE):
-        write_blender_scene(SCENE, n_train=25, n_val=2, n_test=2, H=400, W=400)
+        write_blender_scene(
+            SCENE, n_train=25, n_val=2, n_test=2, H=400, W=400, style=STYLE
+        )
     data = load_blender(SCENE, half_res=True)
     rd = RayDataset.from_blender(data)
     rays, pixels = rd.rays["train"], rd.pixels["train"]
@@ -122,7 +126,7 @@ def main():
             results["sweep"].append(row)
 
     os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, "occ_eval_sweep.json"), "w") as fh:
+    with open(os.path.join(OUT, f"occ_eval_sweep{TAG}.json"), "w") as fh:
         json.dump(results, fh, indent=1)
     print("wrote benchmarks/occ_eval_sweep.json")
 

@@ -175,3 +175,33 @@ def test_white_bkgd_compositing(tmp_path):
     np.testing.assert_allclose(
         white.splits["train"].images[0, 0, 1], [1, 0, 0], atol=1e-6
     )
+
+
+def test_hard_style_scene_is_sharp_and_sparse(tmp_path):
+    """The hard-surface procedural style (r3): near-binary densities at
+    ~2% volume occupancy — the canonical-lego regime the smooth blobs
+    can't emulate. Checks the field statistics and that the written
+    scene loads with visible content."""
+    import jax.numpy as jnp
+
+    from nerf_simple_tpu.data.synthetic import field
+
+    g = jnp.stack(
+        jnp.meshgrid(*([jnp.linspace(-2, 2, 32)] * 3), indexing="ij"), -1
+    ).reshape(-1, 3)
+    sigma = field(g, style="hard")[:, 3]
+    occ_frac = float((sigma > 0).mean())
+    assert 0.005 < occ_frac < 0.06  # sparse like lego, not like blobs
+    # near-binary: saturated interiors exist, and the soft transition
+    # band is a thin shell (<2% of the volume; the blobs style by
+    # contrast is ALL soft gradient)
+    assert float((sigma > 30.0).mean()) > 0.001
+    assert float(((sigma > 0) & (sigma < 30.0)).mean()) < 0.02
+
+    d = str(tmp_path / "hard")
+    write_blender_scene(d, n_train=2, n_val=1, n_test=1, H=24, W=24,
+                        style="hard")
+    data = load_blender(d, half_res=False)
+    img = data.splits["train"].images[0]
+    cover = float((img.sum(-1) > 0.05).mean())
+    assert 0.05 < cover < 0.7  # object visible, background empty
