@@ -248,9 +248,11 @@ class TestConfig:
     occ_floor: float = 0.01
     occ_aabb: float = 4.0
     # eval probe sharing: one grid probe per run of occ_group adjacent
-    # pixel rays (they traverse the same cells) — divides the probe
-    # gather cost by the group. 1 = per-ray probes.
-    occ_group: int = 4
+    # pixel rays — divides the probe gather cost by the group. Default 1
+    # (per-ray probes, exact); set 4 for cheap probes (~free on smooth
+    # scenes, costs ~1 dB on thin-structure scenes where adjacent rays
+    # straddle geometry — see docs/PERFORMANCE.md eval sweeps).
+    occ_group: int = 1
     # data-parallel eval chips: render chunks sharded over the mesh data
     # axis (bit-identical to single-chip); 0/1 = single chip, -1 = all
     num_data_shards: int = 1

@@ -124,12 +124,15 @@ def read_images_bin(path: str) -> dict[int, dict]:
 def read_images_txt(path: str) -> dict[int, dict]:
     images = {}
     with open(path) as fh:
+        # keep BLANK lines: COLMAP always writes the points2D line, and
+        # it is empty for an image with zero 2D points — stripping blanks
+        # would shift the header/track pairing for every later image
         lines = [
-            l.strip()
-            for l in fh
-            if l.strip() and not l.strip().startswith("#")
+            l.strip() for l in fh if not l.strip().startswith("#")
         ]
     for i in range(0, len(lines), 2):
+        if not lines[i]:
+            continue  # trailing blank line(s)
         parts = lines[i].split()
         image_id = int(parts[0])
         track = lines[i + 1].split() if i + 1 < len(lines) else []
@@ -140,7 +143,10 @@ def read_images_txt(path: str) -> dict[int, dict]:
             "qvec": np.array([float(p) for p in parts[1:5]]),
             "tvec": np.array([float(p) for p in parts[5:8]]),
             "camera_id": int(parts[8]),
-            "name": parts[9],
+            # names may contain spaces (the binary format is
+            # NUL-terminated; the text row's name is everything after
+            # the camera id)
+            "name": " ".join(parts[9:]),
             "point3d_ids": point3d_ids,
         }
     return images
@@ -235,7 +241,12 @@ def colmap_to_poses_bounds(scene_dir: str, model_dir: str | None = None):
         np.stack(list(points3d.values())) if points3d else np.zeros((0, 3))
     )
 
-    order = sorted(images, key=lambda i: images[i]["name"])
+    # sort with the SAME natural key load_llff applies to the image files
+    # on disk — a lexicographic sort would silently mispair poses with
+    # images for unpadded numeric names (frame2 vs frame10)
+    from nerf_simple_tpu.data.blender import _natural_key
+
+    order = sorted(images, key=lambda i: _natural_key(images[i]["name"]))
     rows = []
     for iid in order:
         im = images[iid]
@@ -256,11 +267,10 @@ def colmap_to_poses_bounds(scene_dir: str, model_dir: str | None = None):
         # near/far from the forward depths of this image's own tracks
         ids = im["point3d_ids"]
         ids = ids[ids >= 0]
-        vis = (
-            np.stack([points3d[int(i)] for i in ids if int(i) in points3d])
-            if len(ids)
-            else cloud
-        )
+        tracked = [points3d[int(i)] for i in ids if int(i) in points3d]
+        # fall back to the global cloud when the image has no resolvable
+        # tracks (incl. a missing points3D file: ids exist, dict empty)
+        vis = np.stack(tracked) if tracked else cloud
         if len(vis):
             depths = (vis - c2w_t) @ c2w_R[:, 2]  # along camera forward
             depths = depths[depths > 0]

@@ -440,11 +440,12 @@ def render_rays_chunked(
         n_chunks = -(-n_chunks // n_dev) * n_dev
     pad = n_chunks * chunk - R
     rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
-    # Padded rays have zero direction -> zero norm; make them unit-z so the
-    # normalize in sample_points stays finite (results are stripped anyway).
+    # Padded rays have zero direction -> zero norm; replicate the LAST
+    # REAL ray instead (keeps the normalize finite, and keeps occ probe
+    # GROUPS that straddle the real/pad boundary centered on a real ray
+    # rather than a synthetic one — results are stripped anyway).
     if pad:
-        fixup = jnp.zeros((pad, 6), rays.dtype).at[:, 5].set(-1.0)
-        rays_p = rays_p.at[R:].set(fixup)
+        rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, 6)))
     run = _chunked_render_fn(settings, model, chunk, mesh)
     rays_chunks = rays_p.reshape(n_chunks, chunk, 6)
     idxs = jnp.arange(n_chunks)

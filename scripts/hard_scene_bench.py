@@ -16,77 +16,18 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
-
-import jax
-import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from bench_common import run_one
 from nerf_simple_tpu.config import TrainConfig
 from nerf_simple_tpu.data.blender import load_blender
 from nerf_simple_tpu.data.dataset import RayDataset
-from nerf_simple_tpu.models import model_from_train_config
-from nerf_simple_tpu.render.renderer import RenderSettings, render_rays_chunked
-from nerf_simple_tpu.train.metrics import img_psnr
-from nerf_simple_tpu.train.step import build_train_step, make_train_state
 
 SCENE = "/tmp/hard_scene/scene"
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
 SPC = 100
 BATCH = 4096
-
-
-def run_one(name: str, cfg: TrainConfig, rd) -> dict:
-    model = model_from_train_config(cfg)
-    key = jax.random.PRNGKey(0)
-    state = make_train_state(key, cfg, model)
-    step_fn = build_train_step(cfg, model, donate=False)
-    rays, pixels = rd.rays["train"], rd.pixels["train"]
-    state, losses = step_fn(state, rays, pixels, jax.random.fold_in(key, 0))
-    float(losses[-1])
-    t0 = time.time()
-    n_chunks = cfg.num_iters // cfg.steps_per_call
-    for i in range(1, n_chunks):
-        state, losses = step_fn(state, rays, pixels, jax.random.fold_in(key, i))
-    final_loss = float(losses[-1])
-    steady_s = time.time() - t0
-
-    if cfg.hierarchical:
-        es = RenderSettings(
-            N=128, N_coarse=cfg.Nc, compute_dtype=cfg.render_dtype,
-            backend=cfg.backend,
-        )
-        eval_params = state.params
-    else:
-        es = RenderSettings(
-            N=128, compute_dtype=cfg.render_dtype, backend=cfg.backend
-        )
-        eval_params = state.params
-    n = rd.H * rd.W
-    psnrs = []
-    for ti in range(2):
-        test_rays = rd.rays["test"][ti * n : (ti + 1) * n]
-        gt = np.asarray(rd.pixels["test"][ti * n : (ti + 1) * n]).reshape(
-            1, rd.H, rd.W, 3
-        )
-        rgb, _ = render_rays_chunked(
-            eval_params, test_rays, jax.random.PRNGKey(1), es, model
-        )
-        psnrs.append(
-            float(img_psnr(gt, np.asarray(rgb).reshape(1, rd.H, rd.W, 3)))
-        )
-    row = {
-        "config": name,
-        "iters": cfg.num_iters,
-        "steady_wall_s_full_run_est": round(
-            steady_s * n_chunks / (n_chunks - 1), 1
-        ),
-        "final_loss": final_loss,
-        "test_psnr": [round(p, 2) for p in psnrs],
-    }
-    print(row, flush=True)
-    return row
 
 
 def main():

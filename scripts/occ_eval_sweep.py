@@ -128,7 +128,7 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, f"occ_eval_sweep{TAG}.json"), "w") as fh:
         json.dump(results, fh, indent=1)
-    print("wrote benchmarks/occ_eval_sweep.json")
+    print(f"wrote benchmarks/occ_eval_sweep{TAG}.json")
 
 
 if __name__ == "__main__":

@@ -189,3 +189,51 @@ def test_load_llff_auto_converts_colmap_scene(tmp_path):
     assert n_train + n_test == 4 and n_test == 2
     assert np.isfinite(data.splits["train"].poses).all()
     assert data.world_near < data.world_far
+
+
+def test_unpadded_numeric_names_pair_naturally(tmp_path):
+    """frame2 vs frame10: poses_bounds must follow the NATURAL sort
+    load_llff applies to image files, not lexicographic order."""
+    model, c2ws = _make_model(n_imgs=4)
+    # rename: frame1, frame2, frame10, frame11 (lexicographic would put
+    # frame10 before frame2)
+    names = ["frame1.png", "frame2.png", "frame10.png", "frame11.png"]
+    for iid, name in zip(sorted(model["images"]), names):
+        model["images"][iid]["name"] = name
+    _write_txt(model, str(tmp_path / "sparse" / "0"))
+    pb = colmap_to_poses_bounds(str(tmp_path))
+    # row order must match the natural name order == image id order here
+    for i, (c2w, c) in enumerate(c2ws):
+        pose = pb[i, :15].reshape(3, 5)
+        np.testing.assert_allclose(pose[:, 3], c, atol=1e-10)
+
+
+def test_images_txt_blank_track_line_and_spaced_names(tmp_path):
+    """COLMAP writes an EMPTY points2D line for images with no tracks,
+    and filenames may contain spaces — neither may shift the pairing."""
+    model, c2ws = _make_model(n_imgs=3)
+    iids = sorted(model["images"])
+    model["images"][iids[0]]["point3d_ids"] = np.array([], np.int64)
+    model["images"][iids[1]]["name"] = "im 1 with spaces.png"
+    _write_txt(model, str(tmp_path / "m"))
+    _, images, _ = load_colmap_model(str(tmp_path / "m"))
+    assert len(images) == 3
+    assert images[iids[1]]["name"] == "im 1 with spaces.png"
+    # the zero-track image parsed cleanly and the NEXT image's pose is
+    # still correct (no line-pairing shift)
+    np.testing.assert_allclose(
+        images[iids[2]]["qvec"], model["images"][iids[2]]["qvec"], atol=1e-12
+    )
+
+
+def test_missing_points3d_file_uses_default_bounds(tmp_path):
+    """images carry track ids but points3D.{bin,txt} is absent: bounds
+    fall back to permissive defaults instead of crashing."""
+    model, _ = _make_model(n_imgs=2)
+    d = str(tmp_path / "sparse" / "0")
+    _write_txt(model, d)
+    os.remove(os.path.join(d, "points3D.txt"))
+    pb = colmap_to_poses_bounds(str(tmp_path))
+    assert pb.shape == (2, 17)
+    np.testing.assert_allclose(pb[:, 15], 0.1)
+    np.testing.assert_allclose(pb[:, 16], 100.0)

@@ -119,3 +119,40 @@ def test_sigma_noise_regularizer():
     )
     assert not np.allclose(np.asarray(on.weights), np.asarray(base.weights))
     assert np.isfinite(np.asarray(on.rgb)).all()
+
+
+def test_chunk_padding_replicates_last_ray_for_occ_groups():
+    """Non-chunk-aligned ray counts pad by replicating the LAST REAL ray
+    (not a synthetic -z ray), so occ probe groups straddling the
+    real/pad boundary stay centered on real geometry. The padded render
+    must still equal the unpadded rays' render for every real pixel."""
+    import jax
+
+    from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
+    from nerf_simple_tpu.ops.occupancy import init_occ_grid
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rng = np.random.default_rng(3)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.05, (13, 3)), rng.normal(size=(13, 3))], -1
+        ),
+        jnp.float32,
+    )  # 13 rays, chunk 8 -> 3-ray pad in the last chunk
+    occ = init_occ_grid(8).at[:, :, :4].set(0.0)
+    s = RenderSettings(N=8, occ_Nb=8, occ_aabb=2.0, occ_group=4)
+    rgb_pad, disp_pad = render_rays_chunked(
+        params, rays, jax.random.PRNGKey(1), s, model, chunk=8, occ=occ
+    )
+    assert np.isfinite(np.asarray(rgb_pad)).all()
+    assert rgb_pad.shape == (13, 3)
+    # reference: render the same rays padded BY THE CALLER to a clean
+    # multiple by replicating the last ray — identical per-pixel result
+    rays16 = jnp.concatenate([rays, jnp.tile(rays[-1:], (3, 1))], axis=0)
+    rgb16, _ = render_rays_chunked(
+        params, rays16, jax.random.PRNGKey(1), s, model, chunk=8, occ=occ
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_pad), np.asarray(rgb16[:13]), atol=1e-6
+    )
