@@ -237,3 +237,50 @@ def test_missing_points3d_file_uses_default_bounds(tmp_path):
     assert pb.shape == (2, 17)
     np.testing.assert_allclose(pb[:, 15], 0.1)
     np.testing.assert_allclose(pb[:, 16], 100.0)
+
+
+@pytest.mark.slow
+def test_colmap_scene_trains_e2e(tmp_path):
+    """Raw COLMAP reconstruction -> dataset: llff -> a few train steps:
+    the full ingestion pipeline produces finite losses and a renderable
+    model (the reference roadmap's ColMap item, end to end)."""
+    import cv2
+
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.train.loop import train
+
+    model, _ = _make_model(n_imgs=6)
+    scene = str(tmp_path / "scene")
+    _write_bin(model, os.path.join(scene, "sparse", "0"))
+    img_dir = os.path.join(scene, "images")
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    for im in model["images"].values():
+        # smooth gradient images so a tiny net can reduce loss
+        y, x = np.mgrid[0:48, 0:64]
+        img = np.stack([x * 2, y * 3, (x + y)], -1).astype(np.uint8)
+        img += rng.integers(0, 10, img.shape, dtype=np.uint8)
+        cv2.imwrite(os.path.join(img_dir, im["name"]), img)
+    cfg = TrainConfig(
+        datapath=scene,
+        savepath=str(tmp_path / "models"),
+        exp_name="colmap_e2e",
+        dataset="llff",
+        llff_factor=1,
+        ndc=False,
+        Nf=8,
+        num_iters=10,
+        batch_size=64,
+        steps_per_call=5,
+        net_H=32,
+        net_Lp=2,
+        net_Ld=2,
+        ckpt_loss=1000,
+        ckpt_images=10**9,
+        ckpt_model=10**9,
+        val_idxs=(0,),
+        log_dir=str(tmp_path / "logs"),
+    )
+    state = train(cfg)
+    assert int(state.step) == 10
+    assert os.path.exists(os.path.join(scene, "poses_bounds.npy"))
