@@ -51,6 +51,14 @@ class TrainConfig:
     # composite RGBA onto white at load (original-NeRF convention; the
     # reference drops alpha). Off = reference behavior.
     white_bkgd: bool = False
+    # depth-supervised training (DS-NeRF-style): add
+    # weight * L2(expected termination depth, metric GT depth) to the
+    # loss. Requires <datapath>/depth/train/r_<i>.npy sidecars
+    # (data/synthetic.py write_depth=True emits them; the reference
+    # PARSES test-split depth PNGs, utils/dataload.py:87-99, but nothing
+    # consumes them — this consumes the metric counterpart). 0.0 = off.
+    # Runs the autodiff XLA loss path (the fused kernel is MSE-only).
+    depth_loss_weight: float = 0.0
     # restrict training ray sampling to these train-image indices — the
     # reference's commented-out select_imgs mode (train.py:48,
     # dataload.py:155-179). Empty = sample the whole split (default).
@@ -157,6 +165,10 @@ class TrainConfig:
             )
         if self.num_iters <= 0:
             raise ValueError(f"num_iters must be positive, got {self.num_iters}")
+        if self.depth_loss_weight < 0:
+            raise ValueError(
+                f"depth_loss_weight must be >= 0, got {self.depth_loss_weight}"
+            )
         if self.steps_per_call <= 0:
             raise ValueError(
                 f"steps_per_call must be positive, got {self.steps_per_call}"
@@ -256,6 +268,12 @@ class TestConfig:
     # data-parallel eval chips: render chunks sharded over the mesh data
     # axis (bit-identical to single-chip); 0/1 = single chip, -1 = all
     num_data_shards: int = 1
+    # also render per-pixel surface normals (from density gradients —
+    # render/renderer.py::render_normals_chunked) and save
+    # normal_<i>.png beside each still. The reference LOADS GT normal
+    # maps (dataload.py:38-40) but never consumes them; this produces
+    # the predicted counterpart.
+    normals: bool = False
 
     @property
     def render_dtype(self):

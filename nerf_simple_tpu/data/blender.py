@@ -74,6 +74,12 @@ class BlenderSplit:
     # test split extras (reference utils/dataload.py:87-99); None elsewhere
     depth_images: np.ndarray | None = None
     normal_images: np.ndarray | None = None
+    # metric GT depth from the <scene>/depth/<split>/r_<i>.npy sidecars
+    # (written by data/synthetic.py write_depth=True); (N, H, W) float32
+    # expected termination distance, or None when the sidecar dir is
+    # absent. Unlike depth_images (the reference's 8-bit visualization
+    # PNGs), this is supervisable — see TrainConfig.depth_loss_weight.
+    metric_depth: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.images)
@@ -180,11 +186,34 @@ def load_blender(
                     [_imread_rgb(p).astype(np.float32) for p in npaths[:n]]
                 )
 
+        # metric depth sidecars: <path>/depth/<split>/r_<i>.npy, one per
+        # kept image (all-or-nothing — a partial set is ignored with a
+        # warning rather than silently mis-aligning rows)
+        metric = None
+        ddir = os.path.join(path, "depth", split)
+        if os.path.isdir(ddir):
+            dpaths_m = [os.path.join(ddir, f"r_{i}.npy") for i in range(n)]
+            if all(os.path.exists(p) for p in dpaths_m):
+                maps = [np.load(p).astype(np.float32) for p in dpaths_m]
+                if half_res:
+                    # area-average metric depth alongside the images
+                    maps = [_half(m) for m in maps]
+                metric = np.stack(maps)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"{ddir} exists but is missing some of r_0..r_{n - 1}"
+                    ".npy; ignoring metric depth for this split",
+                    stacklevel=2,
+                )
+
         splits[split] = BlenderSplit(
             images=np.stack(imgs),
             poses=np.stack(poses),
             depth_images=depth,
             normal_images=normal,
+            metric_depth=metric,
         )
         H, W = imgs[-1].shape[:2]
 

@@ -125,10 +125,14 @@ def render_gt(
     tn: float = 2.0,
     tf: float = 6.0,
     style: str = "blobs",
-) -> np.ndarray:
+    return_depth: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Ground-truth images via dense midpoint sampling of the analytic
     field, composited with ops.volume.composite. Returns (P, H, W, 3) in
-    [0, 1] float32 (clipped like eval renders)."""
+    [0, 1] float32 (clipped like eval renders); with ``return_depth``
+    also the (P, H, W) expected termination depth (sum of w*t — the same
+    quantity a trained model's composite predicts, so depth supervision
+    targets are exactly representable)."""
 
     @jax.jit
     def render_one(pose):
@@ -140,11 +144,17 @@ def render_gt(
         unit = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
         out = field(locs, style)
         comp = composite(out, ts, unit)
-        return jnp.clip(comp.rgb, 0.0, 1.0).reshape(H, W, 3)
+        return (
+            jnp.clip(comp.rgb, 0.0, 1.0).reshape(H, W, 3),
+            comp.depth.reshape(H, W),
+        )
 
-    return np.stack(
-        [np.asarray(render_one(jnp.asarray(p))) for p in poses]
-    ).astype(np.float32)
+    outs = [render_one(jnp.asarray(p)) for p in poses]
+    imgs = np.stack([np.asarray(o[0]) for o in outs]).astype(np.float32)
+    if not return_depth:
+        return imgs
+    depths = np.stack([np.asarray(o[1]) for o in outs]).astype(np.float32)
+    return imgs, depths
 
 
 def write_blender_scene(
@@ -157,6 +167,7 @@ def write_blender_scene(
     fov_x: float = 0.6911112070083618,  # lego's camera_angle_x
     train_jitter: int = 0,
     style: str = "blobs",
+    write_depth: bool = False,
 ) -> None:
     """Write the synthetic scene to ``path`` in nerf_synthetic layout.
 
@@ -170,6 +181,15 @@ def write_blender_scene(
     ``style``: "blobs" (smooth, fast-converging) or "hard" (sharp-edged
     ~2%-occupancy machine; GT is sampled at 3x density to resolve the
     near-binary walls).
+
+    ``write_depth``: also save metric GT depth (expected termination
+    distance) per image as ``<path>/depth/<split>/r_<i>.npy`` — a
+    SIDECAR dir, deliberately outside the split dirs the Blender loader
+    globs (train/val list every file, data/blender.py:134-136).
+    Consumed by depth-supervised training (TrainConfig.depth_loss_weight)
+    and eval depth metrics. The reference parses test-split depth PNGs
+    (utils/dataload.py:87-99) but nothing consumes them; these are the
+    metric counterpart that something does.
     """
     import cv2
 
@@ -183,7 +203,14 @@ def write_blender_scene(
     for split, poses in specs.items():
         split_dir = os.path.join(path, split)
         os.makedirs(split_dir, exist_ok=True)
-        imgs = render_gt(poses, H, W, f, N=gt_N, style=style)
+        imgs, depths = render_gt(
+            poses, H, W, f, N=gt_N, style=style, return_depth=True
+        )
+        if write_depth:
+            ddir = os.path.join(path, "depth", split)
+            os.makedirs(ddir, exist_ok=True)
+            for i, d in enumerate(depths):
+                np.save(os.path.join(ddir, f"r_{i}.npy"), d)
         frames = []
         for i, (img, pose) in enumerate(zip(imgs, poses)):
             fname = f"r_{i}.png"

@@ -195,9 +195,14 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         gt = np.asarray(rd.pixels[cfg.im_set]).reshape(-1, rd.H, rd.W, 3)[
             idx : idx + 1
         ]
+        ssim_txt = ""
+        if min(rd.H, rd.W) >= 11:  # SSIM needs one full 11x11 window
+            from nerf_simple_tpu.train.metrics import img_ssim
+
+            ssim_txt = f" ssim={float(img_ssim(gt, rgb)):.4f}"
         print(
             f"im {idx}: mse={float(img_mse(gt, rgb)):.5f} "
-            f"psnr={float(img_psnr(gt, rgb)):.2f}"
+            f"psnr={float(img_psnr(gt, rgb)):.2f}" + ssim_txt
         )
         # gt-beside-prediction grid, like the reference's make_grid
         # (test.py:43-44)
@@ -207,8 +212,39 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             cv2.cvtColor((grid * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
         )
         d = disp[0, ..., 0]
+        # metric depth accuracy when the scene ships GT depth sidecars
+        # (data/synthetic.py write_depth=True). acc == 1 identically
+        # (the 1e10 tail delta saturates the last alpha), so predicted
+        # depth is exactly 1/disparity — no extra render output needed.
+        md = getattr(data.splits[cfg.im_set], "metric_depth", None)
+        if md is not None:
+            depth_pred = 1.0 / np.maximum(np.asarray(d), 1e-10)
+            gt_d = md[idx]
+            valid = np.isfinite(gt_d) & (gt_d > 0)
+            rmse = float(
+                np.sqrt(np.mean((depth_pred - gt_d)[valid] ** 2))
+            )
+            print(f"im {idx}: depth_rmse={rmse:.4f} (metric GT)")
         d = d / max(d.max(), 1e-9)
         cv2.imwrite(
             os.path.join(out_dir, f"depth_{idx}.png"),
             (d * 255).astype(np.uint8),
         )
+        if cfg.normals:
+            from nerf_simple_tpu.render.renderer import render_normals_chunked
+
+            n = rd.H * rd.W
+            frame_rays = jax.lax.dynamic_slice_in_dim(
+                rd.rays[cfg.im_set], idx * n, n, axis=0
+            )
+            nrm = render_normals_chunked(
+                params, frame_rays, jax.random.fold_in(key, 1000 + idx),
+                settings, model, chunk=cfg.batch_size,
+            ).reshape(rd.H, rd.W, 3)
+            cv2.imwrite(
+                os.path.join(out_dir, f"normal_{idx}.png"),
+                cv2.cvtColor(
+                    ((nrm * 0.5 + 0.5) * 255).astype(np.uint8),
+                    cv2.COLOR_RGB2BGR,
+                ),
+            )

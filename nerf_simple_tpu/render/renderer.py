@@ -469,6 +469,102 @@ def render_rays_chunked(
     return rgb.reshape(-1, 3)[:R], disp.reshape(-1)[:R]
 
 
+# ---------------------------------------------------------------------------
+# Normal-map rendering (eval extra; no reference analogue — the reference
+# LOADS GT normal maps, dataload.py:38-40, but nothing consumes them).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _normals_chunk_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
+    """Jitted chunk renderer for surface normals: composite the
+    density-gradient direction n(x) = -normalize(∇ softplus σ(x)) with
+    the same per-sample weights the rgb render uses."""
+    from nerf_simple_tpu.models import apply_model
+
+    @jax.jit
+    def run(params, rays_c, key):
+        ts = stratified_ts(
+            key, rays_c.shape[0], settings.N, settings.tn, settings.tf,
+            rays_c.dtype,
+        )
+        out = _render_at_ts(params, rays_c, ts, settings, model)
+        locs, _ = sample_points(rays_c, ts)
+        flat = locs.reshape(-1, 3)
+        # grad of the SUMMED density = per-row gradients (sigma depends
+        # only on its own row), as ONE batched matmul-shaped backward
+        # pass — a per-row vmap(grad) lowers to a scalar-address program
+        # that trips the libtpu regalloc RET_CHECK at these shapes.
+        dirs = jnp.zeros_like(flat).at[:, 2].set(-1.0)  # sigma ignores dir
+
+        def sigma_sum(x):
+            v = jnp.concatenate([x, dirs], axis=-1)
+            return jnp.sum(
+                jax.nn.softplus(
+                    apply_model(params, v, model, settings.compute_dtype)[:, 3]
+                )
+            )
+
+        g = jax.grad(sigma_sum)(flat).reshape(locs.shape)
+        n = -g / jnp.maximum(
+            jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8
+        )
+        # Two deliberate choices, both validated against the analytic
+        # hard-surface field (box faces -> flat colors, background ->
+        # gray):
+        # - the TAIL sample is excluded: the 1e10 tail delta makes the
+        #   last weight absorb all remaining transmittance (acc == 1
+        #   even for empty rays), so including it would composite pure
+        #   gradient noise at the far plane on background pixels;
+        # - the composite is NOT renormalized: its magnitude is the
+        #   foreground/coherence mass, so empty or diffuse regions map
+        #   to gray instead of amplified unit-length noise.
+        return jnp.einsum(
+            "bn,bnc->bc", out.weights[:, :-1], n[:, :-1]
+        )
+
+    return run
+
+
+def render_normals_chunked(
+    params: Params,
+    rays: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings = RenderSettings(),
+    model: NerfMLP = NerfMLP(),
+    chunk: int = 16384,
+) -> np.ndarray:
+    """Render per-pixel surface normals for ``rays``: the per-sample
+    density-gradient directions composited with the render weights,
+    shape (R, 3), values in [-1, 1] with ||n|| <= 1 (magnitude =
+    gradient coherence; ~0 over empty or diffuse regions). Hierarchical
+    settings use the fine net at the plain N-sample setting (normals
+    need one density field)."""
+    if isinstance(params, dict) and "fine" in params:
+        params = params["fine"]
+    s = dataclasses.replace(settings, N_coarse=0, backend="xla")
+    R = rays.shape[0]
+    chunk = max(1024 * (-(-chunk // 1024)), 1024) if R >= 1024 else chunk
+    n_chunks = -(-R // chunk)
+    pad = n_chunks * chunk - R
+    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+    if pad:
+        rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, 6)))
+    run = _normals_chunk_fn(s, model, chunk)
+    outs = []
+    for i in range(n_chunks):
+        outs.append(
+            np.asarray(
+                run(
+                    params,
+                    jax.lax.dynamic_slice_in_dim(rays_p, i * chunk, chunk),
+                    jax.random.fold_in(key, i),
+                )
+            )
+        )
+    return np.concatenate(outs)[:R]
+
+
 def render_image(
     params: Params,
     rays_split: jnp.ndarray,

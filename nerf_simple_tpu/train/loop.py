@@ -98,6 +98,22 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     rd = RayDataset.from_blender(data)
     rays = rd.rays["train"]
     pixels = rd.pixels["train"]
+    if cfg.depth_loss_weight > 0:
+        # depth supervision: metric GT depth rides as a 4th pixel channel
+        # so the sampler/step signatures are unchanged (step.py splits it)
+        md = getattr(data.splits.get("train"), "metric_depth", None)
+        if md is None:
+            raise ValueError(
+                "depth_loss_weight > 0 but the train split has no metric "
+                f"depth sidecars ({cfg.datapath}/depth/train/r_<i>.npy — "
+                "data/synthetic.py write_blender_scene(write_depth=True) "
+                "emits them)"
+            )
+        import jax.numpy as jnp
+
+        pixels = jnp.concatenate(
+            [pixels, jnp.asarray(md.reshape(-1, 1))], axis=1
+        )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -144,6 +160,15 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     )
 
     def render_and_log(split: str, ii: int, i: int) -> None:
+        n_split = rd.split_size(split) // (rd.H * rd.W)
+        if ii >= n_split:
+            # default val_idxs=(0, 1) vs a 1-image split: skip rather
+            # than hand TensorBoard an empty image stack (ZeroDivision
+            # inside its make_grid)
+            print(
+                f"skipping {split} render {ii}: split has {n_split} images"
+            )
+            return
         # state.params is the full coarse+fine dict when hierarchical —
         # the renderer runs the two-pass path on it. Occupancy runs pass
         # the live grid: an occupancy-reduced Nf budget rendered with
@@ -178,6 +203,12 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         logger.scalar(
             f"Loss/{tag}_Img_PSNR_{ii}", float(img_psnr(gt, rgb)), i + 1
         )
+        if min(rd.H, rd.W) >= 11:  # SSIM needs one full 11x11 window
+            from nerf_simple_tpu.train.metrics import img_ssim
+
+            logger.scalar(
+                f"Loss/{tag}_Img_SSIM_{ii}", float(img_ssim(gt, rgb)), i + 1
+            )
 
     meter = SteadyStateMeter(cfg.batch_size)
     start = int(state.step)

@@ -177,21 +177,42 @@ def build_train_step(
             floor=cfg.occ_floor,
         )
 
+    def _depth_term(out, gt_d):
+        """Masked L2 on expected termination depth (DS-NeRF eqn. 3
+        analogue). gt_d <= 0 / non-finite rows (holes in real depth
+        data) contribute nothing; the mean is over valid rays only."""
+        valid = jnp.isfinite(gt_d) & (gt_d > 0)
+        sq = jnp.where(valid, (out.depth - gt_d) ** 2, 0.0)
+        return jnp.sum(sq) / jnp.maximum(jnp.sum(valid), 1)
+
     def loss_fn(params, rays_b, pix_b, key, occ):
+        # depth supervision rides as a 4th pixel channel (loop.py packs
+        # it) so every signature downstream of the sampler is unchanged
+        gt_d = None
+        if cfg.depth_loss_weight > 0:
+            pix_b, gt_d = pix_b[:, :3], pix_b[:, 3]
         if cfg.hierarchical:
             coarse, fine = render_rays_hierarchical(
                 params["coarse"], params["fine"], rays_b, key, settings, model,
                 ts_coarse=_maybe_occ_ts(key, rays_b, occ, cfg.Nc),
             )
             # standard NeRF total loss (paper eqn. 6): both heads to gt
-            return jnp.mean((coarse.rgb - pix_b) ** 2) + jnp.mean(
+            loss = jnp.mean((coarse.rgb - pix_b) ** 2) + jnp.mean(
                 (fine.rgb - pix_b) ** 2
             )
+            if gt_d is not None:
+                loss = loss + cfg.depth_loss_weight * (
+                    _depth_term(coarse, gt_d) + _depth_term(fine, gt_d)
+                )
+            return loss
         out = render_rays(
             params, rays_b, key, settings, model,
             ts=_maybe_occ_ts(key, rays_b, occ, cfg.Nf),
         )
-        return jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
+        loss = jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
+        if gt_d is not None:
+            loss = loss + cfg.depth_loss_weight * _depth_term(out, gt_d)
+        return loss
 
     def _pick_tile(N: int, batch_rows: int) -> int | None:
         """Largest power-of-two rays-per-tile R with N*R <= 1024 and
@@ -239,6 +260,7 @@ def build_train_step(
         fused_ok = (
             cfg.backend == "pallas"
             and cfg.sigma_noise == 0.0
+            and cfg.depth_loss_weight == 0.0
             and _kernel_supported(model)
             and None not in (tile_f, tile_c, tile_u)
         )
@@ -249,6 +271,9 @@ def build_train_step(
                 reason = (
                     "sigma_noise > 0"
                     if cfg.sigma_noise != 0.0
+                    else "depth_loss_weight > 0 (the fused kernel's "
+                    "in-VMEM backward is MSE-only)"
+                    if cfg.depth_loss_weight > 0
                     else f"arch (Lp,Ld,H)={(model.Lp, model.Ld, model.H)} "
                     "(needs H % 16 == 0, H >= 16)"
                     if not _kernel_supported(model)

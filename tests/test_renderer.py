@@ -156,3 +156,60 @@ def test_chunk_padding_replicates_last_ray_for_occ_groups():
     np.testing.assert_allclose(
         np.asarray(rgb_pad), np.asarray(rgb16[:13]), atol=1e-6
     )
+
+
+def test_render_normals_matches_finite_differences():
+    """Autodiff density-gradient normals agree with numerical gradients
+    of the same field, and the weighted composite stays in the unit
+    ball (magnitude encodes coherence, never renormalized up)."""
+    import jax
+
+    from nerf_simple_tpu.models import apply_model
+    from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
+    from nerf_simple_tpu.render.renderer import render_normals_chunked
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rng = np.random.default_rng(5)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.05, (8, 3)), rng.normal(size=(8, 3))], -1
+        ),
+        jnp.float32,
+    )
+    s = RenderSettings(N=8)
+    nrm = render_normals_chunked(
+        params, rays, jax.random.PRNGKey(1), s, model, chunk=8
+    )
+    assert nrm.shape == (8, 3)
+    assert np.isfinite(nrm).all()
+    # composite of unit normals by weights summing to <= 1 stays in
+    # the unit ball
+    assert (np.linalg.norm(nrm, axis=-1) <= 1.0 + 1e-4).all()
+
+    # cross-check the gradient direction at one point vs central
+    # differences of the raw density
+    def sigma(p):
+        v = np.concatenate([p, [0.0, 0.0, -1.0]])
+        return float(
+            jax.nn.softplus(
+                apply_model(params, jnp.asarray(v)[None], model, jnp.float32)[0, 3]
+            )
+        )
+
+    p0 = np.array([0.1, -0.2, 0.05], np.float32)
+    eps = 1e-3
+    g_num = np.array([
+        (sigma(p0 + eps * e) - sigma(p0 - eps * e)) / (2 * eps)
+        for e in np.eye(3, dtype=np.float32)
+    ])
+    n_num = -g_num / np.linalg.norm(g_num)
+
+    def sigma_j(p):
+        v = jnp.concatenate([p, jnp.array([0.0, 0.0, -1.0])])
+        return jax.nn.softplus(apply_model(params, v[None], model, jnp.float32)[0, 3])
+
+    g_ad = np.asarray(jax.grad(sigma_j)(jnp.asarray(p0)))
+    n_ad = -g_ad / np.linalg.norm(g_ad)
+    # f32 central differences at eps=1e-3 carry ~1e-3 error
+    np.testing.assert_allclose(n_ad, n_num, atol=5e-3)
