@@ -59,6 +59,12 @@ class TrainConfig:
     # consumes them — this consumes the metric counterpart). 0.0 = off.
     # Runs the autodiff XLA loss path (the fused kernel is MSE-only).
     depth_loss_weight: float = 0.0
+    # mip-NeRF 360 distortion regularizer weight (ops/volume.py::
+    # distortion_loss): penalizes weight mass spread along rays
+    # ("fog"/floaters — what makes vanilla-NeRF density-gradient
+    # normals noisy). 0.0 = off. Typical: 1e-3..1e-2. Runs the
+    # autodiff XLA loss path (the fused kernel is MSE-only).
+    distortion_loss_weight: float = 0.0
     # restrict training ray sampling to these train-image indices — the
     # reference's commented-out select_imgs mode (train.py:48,
     # dataload.py:155-179). Empty = sample the whole split (default).
@@ -168,6 +174,11 @@ class TrainConfig:
         if self.depth_loss_weight < 0:
             raise ValueError(
                 f"depth_loss_weight must be >= 0, got {self.depth_loss_weight}"
+            )
+        if self.distortion_loss_weight < 0:
+            raise ValueError(
+                "distortion_loss_weight must be >= 0, got "
+                f"{self.distortion_loss_weight}"
             )
         if self.steps_per_call <= 0:
             raise ValueError(

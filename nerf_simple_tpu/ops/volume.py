@@ -104,3 +104,36 @@ def composite(
     disp = 1.0 / jnp.maximum(1e-10, depth / acc)
 
     return CompositeOut(rgb, disp, alpha, acc, weights, depth)
+
+
+def distortion_loss(weights: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
+    """Mip-NeRF 360 distortion regularizer (eqn. 15), O(N) cumsum form.
+
+    L = sum_ij w_i w_j |t_i - t_j|  +  (1/3) sum_i w_i^2 delta_i,
+
+    per ray, averaged over the batch. Penalizes weight mass that is
+    spread along the ray ("fog"/floaters) while leaving a single
+    concentrated surface almost free — the standard fix for the hazy
+    density fields vanilla NeRF learns (no reference analogue; opt-in
+    via TrainConfig.distortion_loss_weight).
+
+    TPU shape: the naive double sum is O(N^2) per ray; since ``ts`` is
+    sorted, sum_{i<j} w_i w_j (t_j - t_i) telescopes into two cumsums.
+    The TAIL sample is excluded — its artificial 1e10 delta (composite's
+    boundary absorber) would otherwise dominate the self term, and its
+    weight is the leftover transmittance, not real density mass.
+
+    Args: weights (B, N) from ``composite``; ts (B, N) sorted sample
+    distances (the same tensor the render consumed).
+    """
+    w = weights[:, :-1]
+    m = ts[:, :-1]
+    delta = ts[:, 1:] - ts[:, :-1]  # gap to the next sample, (B, N-1)
+    acc = jnp.cumsum(w, axis=-1)
+    acc_m = jnp.cumsum(w * m, axis=-1)
+    # 2 * sum_j w_j * (t_j * A_{j-1} - B_{j-1}), prefix sums exclusive
+    cross = 2.0 * jnp.sum(
+        w * (m * (acc - w) - (acc_m - w * m)), axis=-1
+    )
+    self_term = jnp.sum(w * w * delta, axis=-1) / 3.0
+    return jnp.mean(cross + self_term)

@@ -217,6 +217,7 @@ def render_rays_hierarchical(
     model: NerfMLP = NerfMLP(),
     det_fine: bool = False,
     ts_coarse: jnp.ndarray | None = None,
+    return_ts: bool = False,
 ) -> tuple[CompositeOut, CompositeOut]:
     """Coarse+fine rendering (reference roadmap feature, built per the NeRF
     paper sec. 5.2): Nc stratified coarse samples -> weight PDF ->
@@ -226,7 +227,9 @@ def render_rays_hierarchical(
     ``ts_coarse`` optionally replaces the stratified coarse samples (e.g.
     occupancy-informed, ops/occupancy.py).
 
-    Returns (coarse_out, fine_out).
+    Returns (coarse_out, fine_out); with ``return_ts``, additionally the
+    (ts_coarse, ts_union) sample distances (the distortion regularizer
+    needs the ts each composite consumed).
     """
     assert settings.N_coarse > 0, "hierarchical path needs N_coarse > 0"
     k_strat, k_imp = jax.random.split(key)
@@ -247,6 +250,8 @@ def render_rays_hierarchical(
     )
     ts_all = merge_sorted(ts_c, ts_f)  # both sorted: O(N) rank merge
     fine_out = _render_at_ts(params_fine, rays, ts_all, settings, model)
+    if return_ts:
+        return coarse_out, fine_out, (ts_c, ts_all)
     return coarse_out, fine_out
 
 

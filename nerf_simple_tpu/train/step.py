@@ -192,9 +192,10 @@ def build_train_step(
         if cfg.depth_loss_weight > 0:
             pix_b, gt_d = pix_b[:, :3], pix_b[:, 3]
         if cfg.hierarchical:
-            coarse, fine = render_rays_hierarchical(
+            coarse, fine, (_, ts_all) = render_rays_hierarchical(
                 params["coarse"], params["fine"], rays_b, key, settings, model,
                 ts_coarse=_maybe_occ_ts(key, rays_b, occ, cfg.Nc),
+                return_ts=True,
             )
             # standard NeRF total loss (paper eqn. 6): both heads to gt
             loss = jnp.mean((coarse.rgb - pix_b) ** 2) + jnp.mean(
@@ -204,14 +205,35 @@ def build_train_step(
                 loss = loss + cfg.depth_loss_weight * (
                     _depth_term(coarse, gt_d) + _depth_term(fine, gt_d)
                 )
+            if cfg.distortion_loss_weight > 0:
+                # regularize the FINE field (what eval renders; the
+                # coarse net only steers sampling)
+                from nerf_simple_tpu.ops.volume import distortion_loss
+
+                loss = loss + cfg.distortion_loss_weight * distortion_loss(
+                    fine.weights, ts_all
+                )
             return loss
-        out = render_rays(
-            params, rays_b, key, settings, model,
-            ts=_maybe_occ_ts(key, rays_b, occ, cfg.Nf),
-        )
+        ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
+        if ts is None and cfg.distortion_loss_weight > 0:
+            # materialize the same stratified ts render_rays would draw
+            # internally (identical key -> identical stream), so the
+            # regularizer sees the ts the composite consumed
+            from nerf_simple_tpu.ops.sampling import stratified_ts
+
+            ts = stratified_ts(
+                key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
+            )
+        out = render_rays(params, rays_b, key, settings, model, ts=ts)
         loss = jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
         if gt_d is not None:
             loss = loss + cfg.depth_loss_weight * _depth_term(out, gt_d)
+        if cfg.distortion_loss_weight > 0:
+            from nerf_simple_tpu.ops.volume import distortion_loss
+
+            loss = loss + cfg.distortion_loss_weight * distortion_loss(
+                out.weights, ts
+            )
         return loss
 
     def _pick_tile(N: int, batch_rows: int) -> int | None:
@@ -261,6 +283,7 @@ def build_train_step(
             cfg.backend == "pallas"
             and cfg.sigma_noise == 0.0
             and cfg.depth_loss_weight == 0.0
+            and cfg.distortion_loss_weight == 0.0
             and _kernel_supported(model)
             and None not in (tile_f, tile_c, tile_u)
         )
@@ -274,6 +297,9 @@ def build_train_step(
                     else "depth_loss_weight > 0 (the fused kernel's "
                     "in-VMEM backward is MSE-only)"
                     if cfg.depth_loss_weight > 0
+                    else "distortion_loss_weight > 0 (the fused kernel's "
+                    "in-VMEM backward is MSE-only)"
+                    if cfg.distortion_loss_weight > 0
                     else f"arch (Lp,Ld,H)={(model.Lp, model.Ld, model.H)} "
                     "(needs H % 16 == 0, H >= 16)"
                     if not _kernel_supported(model)

@@ -165,3 +165,48 @@ def test_eval_reports_depth_rmse(depth_scene, tmp_path, capsys):
     )
     outp = capsys.readouterr().out
     assert "depth_rmse=" in outp
+
+
+def test_distortion_regularizer_reduces_ray_spread(depth_scene, tmp_path):
+    """Training with distortion_loss_weight yields lower measured
+    distortion (weight spread along rays) than the plain run at equal
+    iterations/PRNG — the fog the density-normal experiment exposed."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_simple_tpu.data.dataset import RayDataset
+    from nerf_simple_tpu.models.nerf import NerfMLP
+    from nerf_simple_tpu.ops.sampling import stratified_ts
+    from nerf_simple_tpu.ops.volume import distortion_loss
+    from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    data = load_blender(depth_scene, half_res=False)
+    rd = RayDataset.from_blender(data)
+    rays, pixels = rd.rays["train"], rd.pixels["train"]
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+    base = dict(
+        datapath=depth_scene, savepath=str(tmp_path / "m"),
+        batch_size=256, Nf=16, num_iters=80, steps_per_call=40,
+        half_res=False, net_Lp=4, net_Ld=2, net_H=32,
+        honor_lr_init=True, lr_init=5e-3, lr_final=5e-3,
+    )
+
+    def run(weight):
+        cfg = TrainConfig(distortion_loss_weight=weight, **base)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False)
+        for _ in range(2):
+            state, losses = step(state, rays, pixels, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(losses)).all()
+        probe = rays[:256]
+        ts = stratified_ts(
+            jax.random.PRNGKey(7), 256, 32, 2.0, 6.0, jnp.float32
+        )
+        out = render_rays(
+            state.params, probe, jax.random.PRNGKey(7),
+            RenderSettings(N=32), model, ts=ts,
+        )
+        return float(distortion_loss(out.weights, ts))
+
+    assert run(0.05) < run(0.0)

@@ -50,3 +50,61 @@ def test_empty_space_zero_weights_and_disp_floor():
     dirs = np.tile(np.array([[0, 0, -1]], np.float32), (B, 1))
     out = composite(jnp.asarray(rgb_sigma), jnp.asarray(ts), jnp.asarray(dirs))
     assert np.asarray(out.weights)[:, :-1].max() < 1e-5
+
+
+def test_distortion_loss_matches_quadratic_oracle():
+    """O(N) cumsum form == the literal O(N^2) mip-NeRF 360 eqn. 15
+    (float64, tail sample excluded in both)."""
+    import jax.numpy as jnp
+
+    from nerf_simple_tpu.ops.volume import distortion_loss
+
+    rng = np.random.default_rng(0)
+    B, N = 7, 33
+    ts = np.sort(rng.uniform(2, 6, (B, N)), axis=-1)
+    w = rng.uniform(0, 0.2, (B, N))
+    wo = w[:, :-1].astype(np.float64)
+    mo = ts[:, :-1].astype(np.float64)
+    d = (ts[:, 1:] - ts[:, :-1]).astype(np.float64)
+    cross = np.einsum(
+        "bi,bj,bij->b", wo, wo, np.abs(mo[:, :, None] - mo[:, None, :])
+    )
+    want = float(np.mean(cross + np.sum(wo * wo * d, -1) / 3.0))
+    got = float(
+        distortion_loss(jnp.asarray(w, jnp.float32), jnp.asarray(ts, jnp.float32))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_distortion_penalizes_fog_not_surfaces():
+    """A single concentrated surface scores far lower than the same
+    total mass spread along the ray (the regularizer's entire point)."""
+    import jax.numpy as jnp
+
+    from nerf_simple_tpu.ops.volume import distortion_loss
+
+    N = 64
+    ts = np.broadcast_to(np.linspace(2, 6, N, dtype=np.float32), (1, N))
+    surface = np.zeros((1, N), np.float32)
+    surface[0, 30] = 0.9
+    fog = np.full((1, N), 0.9 / (N - 1), np.float32)
+    fog[0, -1] = 0.0
+    l_surface = float(distortion_loss(jnp.asarray(surface), jnp.asarray(ts)))
+    l_fog = float(distortion_loss(jnp.asarray(fog), jnp.asarray(ts)))
+    assert l_fog > 20 * l_surface
+
+
+def test_distortion_ignores_tail_sample():
+    """Mass on the tail sample (the 1e10 boundary absorber) must not
+    contribute."""
+    import jax.numpy as jnp
+
+    from nerf_simple_tpu.ops.volume import distortion_loss
+
+    ts = np.broadcast_to(np.linspace(2, 6, 16, dtype=np.float32), (1, 16))
+    w0 = np.zeros((1, 16), np.float32)
+    w1 = w0.copy()
+    w1[0, -1] = 1.0
+    assert float(distortion_loss(jnp.asarray(w1), jnp.asarray(ts))) == float(
+        distortion_loss(jnp.asarray(w0), jnp.asarray(ts))
+    )
