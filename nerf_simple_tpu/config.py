@@ -45,6 +45,18 @@ class TrainConfig:
     honor_lr_init: bool = False
     # hierarchical coarse+fine sampling (reference roadmap item)
     hierarchical: bool = False
+    # proposal-network sampling (mip-NeRF 360; models/proposal.py): a
+    # tiny density-only MLP places the Nf main samples, trained by the
+    # interlevel bound loss (ops/volume.py::interlevel_loss) — the
+    # hierarchical scheme's sample quality at ~1/30th the coarse-pass
+    # FLOPs, and the main net evaluates Nf points instead of Nc + Nf.
+    # Mutually exclusive with ``hierarchical``.
+    proposal: bool = False
+    Np: int = 64  # proposal probes per ray (when proposal=True)
+    prop_Lp: int = 6  # proposal position-encoding octaves
+    prop_D: int = 4  # proposal hidden layers
+    prop_H: int = 64  # proposal hidden width
+    proposal_loss_weight: float = 1.0
     # train-time Gaussian sigma-noise regularizer std (reference TODO at
     # utils/rendering.py:63); 0.0 = off
     sigma_noise: float = 0.0
@@ -154,6 +166,27 @@ class TrainConfig:
             raise ValueError(
                 f"hierarchical=True needs Nc > 0 coarse samples, got Nc={self.Nc}"
             )
+        if self.proposal and self.hierarchical:
+            raise ValueError(
+                "proposal and hierarchical are alternative sampling "
+                "schemes (proposal replaces the coarse NeRF with a tiny "
+                "density MLP); enable at most one"
+            )
+        if self.proposal and self.Np <= 0:
+            raise ValueError(
+                f"proposal=True needs Np > 0 probe samples, got Np={self.Np}"
+            )
+        if self.proposal and min(self.prop_Lp, self.prop_D, self.prop_H) <= 0:
+            raise ValueError(
+                "proposal MLP dims must be positive, got "
+                f"prop_Lp={self.prop_Lp} prop_D={self.prop_D} "
+                f"prop_H={self.prop_H}"
+            )
+        if self.proposal_loss_weight < 0:
+            raise ValueError(
+                "proposal_loss_weight must be >= 0, got "
+                f"{self.proposal_loss_weight}"
+            )
         if self.compute_dtype not in ("f32", "bf16"):
             raise ValueError(
                 f"compute_dtype must be 'f32' or 'bf16', got {self.compute_dtype!r}"
@@ -254,6 +287,10 @@ class TestConfig:
     tf: float = 6.0
     N_samples: int = 128  # hardcoded 128 in the reference (rendering.py:102)
     Nc: int = 0  # >0 = hierarchical eval
+    # >0 = proposal-guided eval: Np deterministic probes of the
+    # checkpoint's proposal net place the N_samples budget (needs a
+    # proposal-trained checkpoint; models/proposal.py)
+    Np: int = 0
     compute_dtype: str = "f32"
     backend: str = "xla"
     seed: int = 0
@@ -285,6 +322,13 @@ class TestConfig:
     # maps (dataload.py:38-40) but never consumes them; this produces
     # the predicted counterpart.
     normals: bool = False
+
+    def __post_init__(self):
+        if self.Np > 0 and self.Nc > 0:
+            raise ValueError(
+                "Np > 0 (proposal-guided eval) and Nc > 0 (hierarchical "
+                "eval) are alternative samplers; set at most one"
+            )
 
     @property
     def render_dtype(self):

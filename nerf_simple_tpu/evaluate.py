@@ -76,7 +76,9 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     out_dir = os.path.join(cfg.savepath, cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
 
-    params = load_params(cfg.loadpath, keep_hierarchy=cfg.Nc > 0)
+    params = load_params(
+        cfg.loadpath, keep_hierarchy=cfg.Nc > 0 or cfg.Np > 0
+    )
     # adapt to the checkpoint's model: exact rebuild from the model.json
     # sidecar when present, else infer the architecture from weight shapes
     from nerf_simple_tpu.models import infer_model
@@ -90,9 +92,21 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             "Nc > 0 requests hierarchical eval but the checkpoint has no "
             "coarse/fine nets"
         )
+    prop_model = None
+    if cfg.Np > 0:
+        if not (isinstance(params, dict) and "prop" in params):
+            raise ValueError(
+                "Np > 0 requests proposal-guided eval but the checkpoint "
+                "has no proposal net (train with proposal: true)"
+            )
+        from nerf_simple_tpu.models.proposal import infer_proposal_arch
+
+        # the ProposalMLP arch is fully determined by its weight shapes
+        prop_model = infer_proposal_arch(params["prop"])
     settings = RenderSettings(
         N=cfg.N_samples,
         N_coarse=cfg.Nc,
+        N_prop=cfg.Np,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
@@ -171,6 +185,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             apply_ndc=apply_ndc,
             occ=occ,
             mesh=mesh,
+            prop_model=prop_model,
         )
         print(f"wrote {out}")
         return
@@ -191,6 +206,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             chunk=cfg.batch_size,
             occ=occ,
             mesh=mesh,
+            prop_model=prop_model,
         )
         gt = np.asarray(rd.pixels[cfg.im_set]).reshape(-1, rd.H, rd.W, 3)[
             idx : idx + 1

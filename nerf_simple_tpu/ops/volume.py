@@ -106,6 +106,79 @@ def composite(
     return CompositeOut(rgb, disp, alpha, acc, weights, depth)
 
 
+def weights_from_sigma(
+    sigma: jnp.ndarray, ts: jnp.ndarray, unit_dirs: jnp.ndarray
+) -> jnp.ndarray:
+    """Compositing weights alone from raw density — the color-free slice
+    of ``composite`` (identical math: softplus activation, 1e10 tail
+    delta, ||dir|| scaling, fusion-proof log-space exclusive cumprod).
+    Used by the proposal pass (models/proposal.py), which needs sample
+    weights but renders nothing.
+
+    Args: sigma (B, N) raw (pre-softplus) density; ts (B, N) ascending;
+    unit_dirs (B, 3). Returns (B, N) weights.
+    """
+    deltas = ts[:, 1:] - ts[:, :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[:, :1], 1e10)], axis=-1
+    )
+    deltas = deltas * jnp.linalg.norm(unit_dirs, axis=-1, keepdims=True)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * deltas)
+    log_trans = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+    excl = jnp.cumsum(log_trans, axis=-1) - log_trans
+    return alpha * jnp.exp(excl)
+
+
+def interlevel_loss(
+    w: jnp.ndarray,
+    ts: jnp.ndarray,
+    w_prop: jnp.ndarray,
+    ts_prop: jnp.ndarray,
+) -> jnp.ndarray:
+    """Proposal supervision (mip-NeRF 360 eqn. 13, point-sample form).
+
+    Bins are the proposal samples' midpoint cells (the same piecewise
+    geometry ``importance_ts`` builds its PDF over). For each bin j the
+    main field's weight mass landing in it,
+
+        bound_j = sum_i w_i * 1[t_i in bin j],
+
+    must be covered by the proposal's own weight there; only
+    under-coverage is penalized, normalized so dividing mass among many
+    bins can't cheat the bound:
+
+        L = mean_rays sum_j relu(bound_j - wp_j)^2 / (wp_j + eps).
+
+    The caller stop-gradients ``w`` (the proposal distills FROM the main
+    field; the main field never chases the proposal). The main field's
+    TAIL sample is excluded from the bound — its weight is leftover
+    transmittance absorbed by the artificial 1e10 delta, not scene mass.
+
+    TPU shape: bin lookup is one broadcast-compare reduce (VPU) and the
+    per-bin accumulation one one-hot matmul (MXU) — no searchsorted, no
+    scatter (cf. ops/sampling.py::importance_ts rationale).
+
+    Args: w (B, N) main-field weights at ts (B, N); w_prop (B, Np)
+    proposal weights at ts_prop (B, Np), both ascending per ray.
+    """
+    Np = ts_prop.shape[-1]
+    mids = 0.5 * (ts_prop[:, 1:] + ts_prop[:, :-1])  # (B, Np-1) interior edges
+    wi = w[:, :-1]
+    ti = ts[:, :-1]
+    # bin of t = #(edges <= t), clipped into [0, Np-1]
+    idx = jnp.sum(
+        (mids[:, None, :] <= ti[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    onehot = (idx[:, :, None] == jnp.arange(Np, dtype=jnp.int32)).astype(
+        w.dtype
+    )
+    bound = jnp.einsum(
+        "bn,bnp->bp", wi, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    excess = jax.nn.relu(bound - w_prop)
+    return jnp.mean(jnp.sum(excess**2 / (w_prop + 1e-4), axis=-1))
+
+
 def distortion_loss(weights: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
     """Mip-NeRF 360 distortion regularizer (eqn. 15), O(N) cumsum form.
 

@@ -51,6 +51,11 @@ class RenderSettings:
 
     N: int = 128  # samples per ray (fine count when hierarchical)
     N_coarse: int = 0  # >0 enables hierarchical coarse+fine
+    # >0 enables proposal-guided sampling (models/proposal.py): N_prop
+    # cheap density probes place the N main samples. Mutually exclusive
+    # with N_coarse; the chunked render entry points also need the
+    # ProposalMLP arch (``prop_model``) and {"prop", "fine"} params.
+    N_prop: int = 0
     tn: float = 2.0
     tf: float = 6.0
     compute_dtype: Any = jnp.float32
@@ -255,6 +260,56 @@ def render_rays_hierarchical(
     return coarse_out, fine_out
 
 
+def render_rays_proposal(
+    params: dict,
+    rays: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings,
+    model: NerfMLP = NerfMLP(),
+    prop_model=None,
+    det_fine: bool = False,
+    ts_prop: jnp.ndarray | None = None,
+    return_aux: bool = False,
+):
+    """Proposal-guided rendering (mip-NeRF 360 scheme, models/proposal.py):
+    N_prop stratified probes of the tiny proposal density -> weight PDF ->
+    the main net evaluates ONLY the N importance samples (no coarse∪fine
+    union — the proposal net exists so the expensive field never touches
+    badly-placed points).
+
+    ``params`` = {"prop": proposal params, "fine": main-field params}.
+    ``ts_prop`` optionally replaces the stratified probe distances (e.g.
+    occupancy-informed). ``return_aux`` additionally returns
+    (ts_prop, w_prop, ts_fine) — the interlevel loss consumes them;
+    ``w_prop`` is differentiable wrt the proposal params.
+    """
+    from nerf_simple_tpu.models.proposal import ProposalMLP, proposal_weights
+
+    assert settings.N_prop > 0, "proposal path needs N_prop > 0"
+    if prop_model is None:
+        prop_model = ProposalMLP()
+    k_strat, k_imp = jax.random.split(key)
+    B = rays.shape[0]
+    if ts_prop is None:
+        ts_prop = stratified_ts(
+            k_strat, B, settings.N_prop, settings.tn, settings.tf, rays.dtype
+        )
+    w_prop = proposal_weights(
+        params["prop"], rays, ts_prop, prop_model, settings.compute_dtype
+    )
+    ts_f = importance_ts(
+        k_imp,
+        ts_prop,
+        jax.lax.stop_gradient(w_prop),
+        settings.N,
+        det=det_fine,
+    )
+    out = _render_at_ts(params["fine"], rays, ts_f, settings, model)
+    if return_aux:
+        return out, (ts_prop, w_prop, ts_f)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Tiled full-image rendering.
 # ---------------------------------------------------------------------------
@@ -266,6 +321,7 @@ def _fused_render_tile_for(settings: RenderSettings, chunk: int) -> int:
         not settings.fused_eval
         or settings.backend != "pallas"
         or settings.N_coarse > 0
+        or settings.N_prop > 0
     ):
         return 0
     N = settings.N
@@ -279,7 +335,11 @@ def _fused_render_tile_for(settings: RenderSettings, chunk: int) -> int:
 
 @functools.lru_cache(maxsize=32)
 def _chunked_render_fn(
-    settings: RenderSettings, model: NerfMLP, chunk: int, mesh=None
+    settings: RenderSettings,
+    model: NerfMLP,
+    chunk: int,
+    mesh=None,
+    prop_model=None,
 ):
     """Build a jitted fn mapping padded (n_chunks, chunk, 6) rays ->
     (rgb, disp) with one compiled chunk program scanned over chunks.
@@ -363,6 +423,14 @@ def _chunked_render_fn(
                     model, det_fine=True,
                     ts_coarse=_occ_ts(occ, rays_c, k, settings.N_coarse),
                 )
+            elif settings.N_prop > 0:
+                # proposal eval: params = {"prop", "fine"}; deterministic
+                # quantiles of the proposal PDF
+                out = render_rays_proposal(
+                    params, rays_c, k, settings, model, prop_model,
+                    det_fine=True,
+                    ts_prop=_occ_ts(occ, rays_c, k, settings.N_prop),
+                )
             else:
                 out = render_rays(
                     params, rays_c, k, settings, model,
@@ -409,6 +477,7 @@ def render_rays_chunked(
     chunk: int = 16384,
     occ: jnp.ndarray | None = None,
     mesh=None,
+    prop_model=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render an arbitrary number of rays in fixed-size padded chunks.
 
@@ -451,7 +520,7 @@ def render_rays_chunked(
     # rather than a synthetic one — results are stripped anyway).
     if pad:
         rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, 6)))
-    run = _chunked_render_fn(settings, model, chunk, mesh)
+    run = _chunked_render_fn(settings, model, chunk, mesh, prop_model)
     rays_chunks = rays_p.reshape(n_chunks, chunk, 6)
     idxs = jnp.arange(n_chunks)
     if multihost:
@@ -547,7 +616,7 @@ def render_normals_chunked(
     need one density field)."""
     if isinstance(params, dict) and "fine" in params:
         params = params["fine"]
-    s = dataclasses.replace(settings, N_coarse=0, backend="xla")
+    s = dataclasses.replace(settings, N_coarse=0, N_prop=0, backend="xla")
     R = rays.shape[0]
     chunk = max(1024 * (-(-chunk // 1024)), 1024) if R >= 1024 else chunk
     n_chunks = -(-R // chunk)
@@ -582,6 +651,7 @@ def render_image(
     chunk: int = 16384,
     occ: jnp.ndarray | None = None,
     mesh=None,
+    prop_model=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render image ``im_idx`` from a precomputed per-split ray tensor.
 
@@ -592,7 +662,8 @@ def render_image(
     n = H * W
     rays = jax.lax.dynamic_slice_in_dim(rays_split, im_idx * n, n, axis=0)
     rgb, disp = render_rays_chunked(
-        params, rays, key, settings, model, chunk, occ=occ, mesh=mesh
+        params, rays, key, settings, model, chunk, occ=occ, mesh=mesh,
+        prop_model=prop_model,
     )
     return (
         np.asarray(rgb).reshape(1, H, W, 3),
@@ -616,6 +687,7 @@ def render_orbit_video(
     ndc_near: float = 1.0,
     occ: jnp.ndarray | None = None,
     mesh=None,
+    prop_model=None,
 ) -> str:
     """Render a pose orbit and write an mp4 (equivalent of
     utils/rendering.py:116-160, reference writes 15fps mp4).
@@ -649,7 +721,7 @@ def render_orbit_video(
         frame_rays = jax.lax.dynamic_slice_in_dim(rays_all, i * n, n, axis=0)
         rgb, _ = render_rays_chunked(
             params, frame_rays, jax.random.fold_in(key, i), settings, model,
-            chunk, occ=occ, mesh=mesh,
+            chunk, occ=occ, mesh=mesh, prop_model=prop_model,
         )
         img = np.asarray(rgb).reshape(H, W, 3)
         bgr = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)

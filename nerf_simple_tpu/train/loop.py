@@ -147,9 +147,15 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             print(f"resumed from {latest} at step {int(state.step)}")
 
     step_fn = build_train_step(cfg, model, mesh, rays_per_image=rd.H * rd.W)
+    prop_arch = None
+    if cfg.proposal:
+        from nerf_simple_tpu.models.proposal import proposal_from_train_config
+
+        prop_arch = proposal_from_train_config(cfg)
     eval_settings = RenderSettings(
         N=cfg.Nf,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
+        N_prop=cfg.Np if cfg.proposal else 0,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
@@ -189,6 +195,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             # render_rays_chunked assembles the sharded result on every
             # host via process_allgather, so the global mesh is safe here
             mesh=mesh,
+            prop_model=prop_arch,
         )
         gt = np.asarray(rd.pixels[split]).reshape(-1, rd.H, rd.W, 3)[
             ii : ii + 1
@@ -300,7 +307,9 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         # reference has no hash-grid module to load other families into.
         try:
             host_params = jax.device_get(state.params)
-            if "coarse" in host_params and "trunk0" not in host_params:
+            # hierarchical/proposal states export the fine net — the
+            # reference's single-network semantics
+            if "fine" in host_params and "trunk0" not in host_params:
                 host_params = host_params["fine"]
             ckpt.export_params_pth(
                 os.path.join(exp_dir, f"params_{int(state.step)}.pth"),

@@ -85,6 +85,17 @@ def make_train_state(
             "coarse": init_model_params(kc, model),
             "fine": init_model_params(kf, model),
         }
+    elif cfg.proposal:
+        from nerf_simple_tpu.models.proposal import (
+            init_proposal_params,
+            proposal_from_train_config,
+        )
+
+        kp, kf = jax.random.split(key)
+        params = {
+            "prop": init_proposal_params(kp, proposal_from_train_config(cfg)),
+            "fine": init_model_params(kf, model),
+        }
     else:
         params = init_model_params(key, model)
     opt_state = make_optimizer(cfg).init(params)
@@ -150,12 +161,18 @@ def build_train_step(
     settings = RenderSettings(
         N=cfg.Nf,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
+        N_prop=cfg.Np if cfg.proposal else 0,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
         backend=cfg.backend,
         sigma_noise=cfg.sigma_noise,
     )
+    prop_arch = None
+    if cfg.proposal:
+        from nerf_simple_tpu.models.proposal import proposal_from_train_config
+
+        prop_arch = proposal_from_train_config(cfg)
 
     def _maybe_occ_ts(key, rays_b, occ, N):
         """Occupancy-informed (B, N) samples, or None -> the callee runs
@@ -212,6 +229,31 @@ def build_train_step(
 
                 loss = loss + cfg.distortion_loss_weight * distortion_loss(
                     fine.weights, ts_all
+                )
+            return loss
+        if cfg.proposal:
+            from nerf_simple_tpu.ops.volume import interlevel_loss
+            from nerf_simple_tpu.render.renderer import render_rays_proposal
+
+            out, (ts_p, w_prop, ts_f) = render_rays_proposal(
+                params, rays_b, key, settings, model,
+                prop_model=prop_arch,
+                ts_prop=_maybe_occ_ts(key, rays_b, occ, cfg.Np),
+                return_aux=True,
+            )
+            loss = jnp.mean((out.rgb - pix_b) ** 2)
+            # distill the proposal from the main field's weights; the
+            # stop_gradient keeps the main field from chasing its student
+            loss = loss + cfg.proposal_loss_weight * interlevel_loss(
+                jax.lax.stop_gradient(out.weights), ts_f, w_prop, ts_p
+            )
+            if gt_d is not None:
+                loss = loss + cfg.depth_loss_weight * _depth_term(out, gt_d)
+            if cfg.distortion_loss_weight > 0:
+                from nerf_simple_tpu.ops.volume import distortion_loss
+
+                loss = loss + cfg.distortion_loss_weight * distortion_loss(
+                    out.weights, ts_f
                 )
             return loss
         ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
@@ -364,6 +406,52 @@ def build_train_step(
 
             return core
 
+        if cfg.proposal:
+            from nerf_simple_tpu.models.proposal import proposal_weights
+            from nerf_simple_tpu.ops.volume import interlevel_loss
+
+            def core(params, rays_b, pix_b, key, occ):
+                # proposal probes + importance placement run in XLA (tiny
+                # MXU matmuls, <3% of step time); only the main field's
+                # fwd+bwd goes through the fused kernel. The kernel's
+                # weights output is non-differentiable, which IS the
+                # intended stop_gradient on the distillation target.
+                B = rays_b.shape[0]
+                k_strat, k_imp = jax.random.split(key)
+                ts_p = _maybe_occ_ts(key, rays_b, occ, cfg.Np)
+                if ts_p is None:
+                    ts_p = stratified_ts(
+                        k_strat, B, cfg.Np, cfg.tn, cfg.tf, rays_b.dtype
+                    )
+                w_prop, vjp_p = jax.vjp(
+                    lambda pp: proposal_weights(
+                        pp, rays_b, ts_p, prop_arch, cfg.render_dtype
+                    ),
+                    params["prop"],
+                )
+                ts_f = importance_ts(
+                    k_imp, ts_p, jax.lax.stop_gradient(w_prop), cfg.Nf
+                )
+                wts_f, vjp_f = jax.vjp(_pack, params["fine"])
+                loss_mse, dwts_f, w_f = fused_train_step(
+                    wts_f,
+                    _build_x16(rays_b, ts_f, pix_b),
+                    cfg.Nf,
+                    tile_f,
+                    cfg.render_dtype,
+                    out_weights=True,
+                    model=model,
+                )
+                il, d_wprop = jax.value_and_grad(
+                    lambda wp: interlevel_loss(w_f, ts_f, wp, ts_p)
+                )(w_prop)
+                return loss_mse + cfg.proposal_loss_weight * il, {
+                    "prop": vjp_p(cfg.proposal_loss_weight * d_wprop)[0],
+                    "fine": vjp_f(dwts_f)[0],
+                }
+
+            return core
+
         def core(params, rays_b, pix_b, key, occ):
             ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
             if ts is None:
@@ -440,7 +528,7 @@ def build_train_step(
         from nerf_simple_tpu.ops.occupancy import density_fn, update_occ_grid
 
         density_params = (
-            params["fine"] if cfg.hierarchical else params
+            params["fine"] if cfg.hierarchical or cfg.proposal else params
         )  # the fine field is what eval renders
         return update_occ_grid(
             occ,
