@@ -317,10 +317,22 @@ def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
     block slice (pad rows evaluate to garbage under zeroed weight
     columns — harmless)."""
     sbx, sbd = _sin_block(model.Lp), _sin_block(model.Ld)
+
+    def raw_with_rail(ang8):
+        # Bias-gradient rail: raw rows 3..7 are structural pad (zero under
+        # zeroed weight columns — forward output is unaffected), so row 3
+        # carries a constant 1. The backward dW matmuls against pos* then
+        # emit the layer's BIAS gradient in pad column 3 for free on the
+        # MXU (dW[:, 3] = Σ_rows g), replacing (H, TR) VPU row-sum
+        # reductions; pack_weights' vjp drops pad columns via the valid
+        # mask, so the rail never leaks into parameter gradients.
+        rows = jax.lax.broadcasted_iota(jnp.int32, ang8.shape, 0)
+        return jnp.where(rows == 3, 1.0, ang8)
+
     ang_x = _mm(Sx, x, jnp.float32)  # full precision angles
     posx = jnp.concatenate(
         [
-            ang_x[0:8],
+            raw_with_rail(ang_x[0:8]),
             jnp.sin(ang_x[8 : 8 + sbx]),
             jnp.cos(ang_x[8 + sbx : 8 + 2 * sbx]),
         ],
@@ -329,7 +341,7 @@ def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
     ang_d = _mm(Sd, x, jnp.float32)
     posd = jnp.concatenate(
         [
-            ang_d[0:8],
+            raw_with_rail(ang_d[0:8]),
             jnp.sin(ang_d[8 : 8 + sbd]),
             jnp.cos(ang_d[8 + sbd : 8 + 2 * sbd]),
         ],
@@ -500,16 +512,29 @@ def _backprop_tile(
     def dbias(gout):
         return jnp.sum(gout, axis=1, keepdims=True)
 
+    def rail(dW):
+        """Extract bias-rail column 3 of a pos* dW (see _encode) as an
+        offset-0 (rows, 1) vector. A masked lane-reduce rather than a
+        [:, 3:4] slice: Mosaic propagates the slice's lane offset into
+        the result layout and then cannot concatenate/store it against
+        offset-0 vectors ("result/input offset mismatch"). The reduce is
+        over FX~68 lanes vs the (rows, TR) row-sum it replaces."""
+        lanes = jax.lax.broadcasted_iota(jnp.int32, dW.shape, 1)
+        return jnp.sum(
+            jnp.where(lanes == 3, dW, 0.0), axis=1, keepdims=True
+        )
+
     # color1
     dWc1 = mmT_acc(g_rgb8, hc)
     dbc1 = dbias(g_rgb8)
     g_hc = mTg(wts.Wc1, g_rgb8) * _relu_mask(hc)
-    # posd half of the color head
+    # posd half of the color head; its pad column 3 is the bias rail
+    # (see _encode): dWcd[:, 3] = Σ g_hc = the color half of dbcs
     dWcd = mmT_acc(g_hc, posd)
     # folded color+sigma head: one gradient pass over the stacked rows
     g_cs = jnp.concatenate([g_hc, g_sig8], axis=0)  # (H//2 + 8, TR)
     dWcs = mmT_acc(g_cs, h7)
-    dbcs = dbias(g_cs)
+    dbcs = jnp.concatenate([rail(dWcd), dbias(g_sig8)], axis=0)
     g_h7 = mTg(wts.Wcs, g_cs) * _relu_mask(h7)
     # post layers
     dWp1 = mmT_acc(g_h7, h6)
@@ -518,10 +543,10 @@ def _backprop_tile(
     dWp0 = mmT_acc(g_h6, h5)
     dbp0 = dbias(g_h6)
     g_h5 = mTg(wts.Wp0, g_h6) * _relu_mask(h5)
-    # skip layer
+    # skip layer; dWsx pad column 3 = Σ g_h5 via the bias rail
     dWsh = mmT_acc(g_h5, h4)
     dWsx = mmT_acc(g_h5, posx)
-    dbs = dbias(g_h5)
+    dbs = rail(dWsx)
     g_h4 = mTg(wts.Wsh, g_h5) * _relu_mask(h4)
     # trunk
     dWt4 = mmT_acc(g_h4, h3)
@@ -537,7 +562,7 @@ def _backprop_tile(
     dbt1 = dbias(g_h1)
     g_h0 = mTg(wts.Wt1, g_h1) * _relu_mask(h0)
     dW1 = mmT_acc(g_h0, posx)
-    db1 = dbias(g_h0)
+    db1 = rail(dW1)
     # (no gradient w.r.t. x needed: rays/ts carry no trainable state)
 
     return FusedWeights(

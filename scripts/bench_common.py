@@ -41,15 +41,21 @@ def run_one(name: str, cfg: TrainConfig, rd, n_eval_views: int = 2) -> dict:
     iters_timed = (n_chunks - 1) * cfg.steps_per_call
     rays_per_sec = cfg.batch_size * iters_timed / max(steady_s, 1e-9)
 
-    # hierarchical nets evaluate on their OWN path: the fine net trains
-    # on surface-concentrated samples, so a plain stratified eval is
-    # off-distribution for it
+    # hierarchical/proposal nets evaluate on their OWN path: the fine net
+    # trains on surface-concentrated samples, so a plain stratified eval
+    # is off-distribution for it
     es = RenderSettings(
         N=128,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
+        N_prop=cfg.Np if cfg.proposal else 0,
         compute_dtype=cfg.render_dtype,
         backend=cfg.backend,
     )
+    prop_model = None
+    if cfg.proposal:
+        from nerf_simple_tpu.models.proposal import proposal_from_train_config
+
+        prop_model = proposal_from_train_config(cfg)
     n = rd.H * rd.W
     psnrs = []
     for ti in range(n_eval_views):
@@ -58,7 +64,8 @@ def run_one(name: str, cfg: TrainConfig, rd, n_eval_views: int = 2) -> dict:
             1, rd.H, rd.W, 3
         )
         rgb, _ = render_rays_chunked(
-            state.params, test_rays, jax.random.PRNGKey(1), es, model
+            state.params, test_rays, jax.random.PRNGKey(1), es, model,
+            prop_model=prop_model,
         )
         psnrs.append(
             float(img_psnr(gt, np.asarray(rgb).reshape(1, rd.H, rd.W, 3)))
@@ -68,6 +75,7 @@ def run_one(name: str, cfg: TrainConfig, rd, n_eval_views: int = 2) -> dict:
         "Nf": cfg.Nf,
         "occupancy": cfg.occupancy,
         "hierarchical": cfg.hierarchical,
+        "proposal": cfg.proposal,
         "iters": cfg.num_iters,
         "steady_wall_s_full_run_est": round(
             steady_s * n_chunks / max(n_chunks - 1, 1), 1
