@@ -56,6 +56,18 @@ class RenderServer:
         self.params = jax.tree.map(jax.numpy.asarray, params)
         self.model = model or infer_model(params)
         self.settings = settings or RenderSettings()
+        self.prop_model = None
+        if self.settings.N_prop > 0:
+            # proposal-guided serving: the tiny density MLP places the
+            # N-sample budget per frame (needs a proposal-trained ckpt)
+            if not (isinstance(params, dict) and "prop" in params):
+                raise ValueError(
+                    "settings.N_prop > 0 needs a proposal-trained "
+                    "checkpoint ({'prop', 'fine'} params)"
+                )
+            from nerf_simple_tpu.models.proposal import infer_proposal_arch
+
+            self.prop_model = infer_proposal_arch(params["prop"])
         self.H, self.W, self.f = H, W, float(f)
         self.occ = None
         if occupancy:
@@ -92,7 +104,7 @@ class RenderServer:
         with self._lock:
             rgb, _ = render_rays_chunked(
                 self.params, rays, self._key, self.settings, self.model,
-                occ=self.occ,
+                occ=self.occ, prop_model=self.prop_model,
             )
             frame = np.asarray(rgb).reshape(self.H, self.W, 3)
         return (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
@@ -127,6 +139,7 @@ def _make_handler(server: RenderServer):
                         "arch": dataclasses.asdict(server.model),
                         "backend": server.settings.backend,
                         "occupancy": server.occ is not None,
+                        "proposal": server.prop_model is not None,
                     },
                 )
                 return
@@ -184,6 +197,9 @@ def main() -> None:
                     help="rebuild an occupancy grid from the checkpoint "
                     "and concentrate --samples in occupied space")
     ap.add_argument("--occ-R", type=int, default=64)
+    ap.add_argument("--proposal-samples", type=int, default=0,
+                    help="> 0: proposal-guided sampling with this many "
+                    "probes (needs a proposal-trained checkpoint)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -192,12 +208,15 @@ def main() -> None:
     from nerf_simple_tpu.render.renderer import RenderSettings
     from nerf_simple_tpu.train.checkpoint import load_model_meta
 
-    params = load_params(args.loadpath)
+    params = load_params(
+        args.loadpath, keep_hierarchy=args.proposal_samples > 0
+    )
     # the model.json sidecar carries statics (hash-grid N_min/N_max/aabb)
     # that weight shapes can't recover — same resolution order as eval
     model = load_model_meta(args.loadpath)
     settings = RenderSettings(
         N=args.samples,
+        N_prop=args.proposal_samples,
         backend=args.backend,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )

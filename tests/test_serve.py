@@ -94,3 +94,43 @@ def test_health_hashgrid_and_occupancy_render():
         assert frame.shape == (16, 16, 3) and frame.dtype == np.uint8
     finally:
         httpd.shutdown()
+
+
+def test_proposal_serving_mode():
+    """N_prop > 0 serving: {prop, fine} params, proposal-guided frames."""
+    import cv2
+    import urllib.request as rq
+
+    from nerf_simple_tpu.models.proposal import (
+        ProposalMLP,
+        init_proposal_params,
+    )
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    pm = ProposalMLP(Lp=4, D=2, H=32)
+    params = {
+        "prop": init_proposal_params(jax.random.PRNGKey(0), pm),
+        "fine": init_nerf_params(jax.random.PRNGKey(1), model),
+    }
+    srv = RenderServer(
+        params, 12, 16, 14.0, RenderSettings(N=8, N_prop=4), model,
+        warmup=False,
+    )
+    assert srv.prop_model == pm  # arch recovered from weight shapes
+    httpd, url = _start(srv)
+    try:
+        with rq.urlopen(url + "/health", timeout=30) as r:
+            assert json.loads(r.read())["proposal"] is True
+        with rq.urlopen(url + "/render?r=4&theta=-30", timeout=120) as r:
+            img = cv2.imdecode(
+                np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR
+            )
+        assert img.shape == (12, 16, 3)
+    finally:
+        httpd.shutdown()
+    # a proposal-less checkpoint must be rejected loudly
+    with pytest.raises(ValueError, match="proposal-trained"):
+        RenderServer(
+            init_nerf_params(jax.random.PRNGKey(2), model), 12, 16, 14.0,
+            RenderSettings(N=8, N_prop=4), model, warmup=False,
+        )
