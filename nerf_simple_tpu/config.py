@@ -57,6 +57,14 @@ class TrainConfig:
     prop_D: int = 4  # proposal hidden layers
     prop_H: int = 64  # proposal hidden width
     proposal_loss_weight: float = 1.0
+    # mip-NeRF cone casting (Barron et al. 2021): samples become conical
+    # frustum Gaussians and the position encoding integrates over them
+    # (ops/encoding.py::gamma_ipe) — anti-aliased rendering across
+    # scales. NerfMLP family, XLA compute path; mutually exclusive with
+    # the resampling schemes (hierarchical/proposal/occupancy place
+    # POINT samples). The per-frame cone radius is derived from the
+    # dataset focal by the drivers.
+    mip: bool = False
     # train-time Gaussian sigma-noise regularizer std (reference TODO at
     # utils/rendering.py:63); 0.0 = off
     sigma_noise: float = 0.0
@@ -187,6 +195,27 @@ class TrainConfig:
                 "proposal_loss_weight must be >= 0, got "
                 f"{self.proposal_loss_weight}"
             )
+        if self.mip:
+            bad = [
+                name
+                for name, on in (
+                    ("hierarchical", self.hierarchical),
+                    ("proposal", self.proposal),
+                    ("occupancy", self.occupancy),
+                    ("model_family=hashgrid", self.model_family == "hashgrid"),
+                    (
+                        "distortion_loss_weight > 0",
+                        self.distortion_loss_weight > 0,
+                    ),
+                )
+                if on
+            ]
+            if bad:
+                raise ValueError(
+                    f"mip=True is incompatible with {', '.join(bad)}: cone "
+                    "casting integrates frustum VOLUMES (NerfMLP IPE only) "
+                    "and draws its own interval edges"
+                )
         if self.compute_dtype not in ("f32", "bf16"):
             raise ValueError(
                 f"compute_dtype must be 'f32' or 'bf16', got {self.compute_dtype!r}"
@@ -291,6 +320,9 @@ class TestConfig:
     # checkpoint's proposal net place the N_samples budget (needs a
     # proposal-trained checkpoint; models/proposal.py)
     Np: int = 0
+    # mip-NeRF cone-cast eval (anti-aliased; pairs with mip-trained
+    # checkpoints but renders any NerfMLP checkpoint)
+    mip: bool = False
     compute_dtype: str = "f32"
     backend: str = "xla"
     seed: int = 0
@@ -328,6 +360,11 @@ class TestConfig:
             raise ValueError(
                 "Np > 0 (proposal-guided eval) and Nc > 0 (hierarchical "
                 "eval) are alternative samplers; set at most one"
+            )
+        if self.mip and (self.Np > 0 or self.Nc > 0 or self.occupancy):
+            raise ValueError(
+                "mip=True (cone-cast eval) draws its own interval edges; "
+                "it excludes Nc/Np/occupancy point-resampling"
             )
 
     @property

@@ -107,6 +107,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         N=cfg.N_samples,
         N_coarse=cfg.Nc,
         N_prop=cfg.Np,
+        mip=cfg.mip,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
@@ -151,8 +152,14 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     from nerf_simple_tpu.data.dataset import apply_dataset_bounds
 
     cfg = apply_dataset_bounds(cfg, data)
-    settings = dataclasses.replace(settings, tn=cfg.tn, tf=cfg.tf)
     rd = RayDataset.from_blender(data)
+    settings = dataclasses.replace(
+        settings,
+        tn=cfg.tn,
+        tf=cfg.tf,
+        # mip cone radius from the eval frame's focal (2/sqrt(12)/f)
+        base_radius=(2.0 / 12.0**0.5 / rd.f) if cfg.mip else 0.0,
+    )
 
     if cfg.animation:
         if cfg.dataset == "llff":

@@ -146,6 +146,40 @@ def nerf_apply(
     outputs — the TPU fast path. f32 is the parity path.
     """
     posx, posd = positional_encoder(v, Lp=model.Lp, Ld=model.Ld)
+    return _apply_encoded(params, posx, posd, compute_dtype)
+
+
+def nerf_apply_mip(
+    params: Params,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    dirs: jnp.ndarray,
+    model: NerfMLP = NerfMLP(),
+    compute_dtype: Any = jnp.float32,
+) -> jnp.ndarray:
+    """Mip forward pass: frustum Gaussians instead of points.
+
+    Same trunk/heads/params as ``nerf_apply`` — only the position
+    encoder differs (integrated PE over N(mean, diag var),
+    ops/encoding.py::ipe_encoder), so mip checkpoints are
+    arch-indistinguishable from point-sampled ones and every load/infer
+    path works unchanged.
+
+    Args: mean/var (B, 3) frustum Gaussian moments
+    (ops/sampling.py::conical_gaussian); dirs (B, 3) unit view dirs.
+    """
+    from nerf_simple_tpu.ops.encoding import ipe_encoder
+
+    posx, posd = ipe_encoder(mean, var, dirs, Lp=model.Lp, Ld=model.Ld)
+    return _apply_encoded(params, posx, posd, compute_dtype)
+
+
+def _apply_encoded(
+    params: Params,
+    posx: jnp.ndarray,
+    posd: jnp.ndarray,
+    compute_dtype: Any,
+) -> jnp.ndarray:
     posx = posx.astype(compute_dtype)
     posd = posd.astype(compute_dtype)
 

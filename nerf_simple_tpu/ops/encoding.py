@@ -43,6 +43,50 @@ def gamma(x: jnp.ndarray, L: int = 4) -> jnp.ndarray:
     return enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * L)
 
 
+def gamma_ipe(mean: jnp.ndarray, var: jnp.ndarray, L: int = 10) -> jnp.ndarray:
+    """Integrated positional encoding (mip-NeRF, Barron et al. 2021,
+    eqn. 14): the EXPECTED frequency encoding of x ~ N(mean, diag(var)),
+
+        E[sin(2^i x)] = sin(2^i mean) * exp(-0.5 * 4^i * var)
+
+    (and likewise cos) — closed form, exact for Gaussians. Frequencies
+    whose period is smaller than the Gaussian's support damp to zero, so
+    a sample that integrates a wide conical frustum (a far/low-res
+    pixel) stops aliasing against sub-footprint detail. Layout matches
+    ``gamma`` exactly (interleaved sin/cos per channel); var -> 0
+    recovers ``gamma(mean)`` bitwise.
+
+    TPU shape: pure broadcast VPU math on the same (..., C, L) lattice
+    as ``gamma`` — XLA fuses it into the consuming matmul's operand
+    producer just like the plain encoder.
+    """
+    freqs = 2.0 ** jnp.arange(L, dtype=mean.dtype)  # (L,)
+    ang = mean[..., None] * freqs
+    damp = jnp.exp(-0.5 * var[..., None] * freqs * freqs)
+    enc = jnp.stack([jnp.sin(ang) * damp, jnp.cos(ang) * damp], axis=-1)
+    return enc.reshape(*mean.shape[:-1], mean.shape[-1] * 2 * L)
+
+
+def ipe_encoder(
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    dirs: jnp.ndarray,
+    Lp: int = 10,
+    Ld: int = 4,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mip positional encoder: IPE position branch + the ordinary
+    direction branch (directions are points, not volumes).
+
+    The raw-prepend quirk is kept — the position branch emits
+    ``[mean, gamma_ipe(mean, var)]`` — so the SAME NerfMLP architecture
+    (in_Cx = 6*Lp + 3) consumes either encoder and a mip-trained
+    checkpoint round-trips through every existing load/infer path.
+    """
+    posx = jnp.concatenate([mean, gamma_ipe(mean, var, Lp)], axis=-1)
+    posd = jnp.concatenate([dirs, gamma(dirs, Ld)], axis=-1)
+    return posx, posd
+
+
 def positional_encoder(
     vec: jnp.ndarray, Lp: int = 10, Ld: int = 4
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -172,3 +172,55 @@ def sample_points(
     locs = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
     unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     return locs, unit_dirs
+
+
+def conical_gaussian(
+    rays: jnp.ndarray, t_edges: jnp.ndarray, base_radius: float
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gaussian approximation of the conical frustums between sample
+    edges (mip-NeRF, Barron et al. 2021, eqn. 7 — the numerically stable
+    reparameterization).
+
+    Each pixel's ray is widened into a cone of radius ``base_radius * t``
+    (for the framework's unnormalized-direction convention the per-frame
+    ``base_radius`` is ``2/sqrt(12) / focal`` — the pixel's world-space
+    half-width at unit distance along the image plane, matching the
+    reference dir grid spacing 1/f at ops/rays.py). The frustum between
+    consecutive edges is summarized by a Gaussian with along-ray moments
+    (mu_t, sigma_t^2) and perpendicular variance sigma_r^2; projected to
+    world axes the diagonal covariance is
+
+        var = sigma_t^2 * d^2 + sigma_r^2 * (1 - d^2 / ||d||^2).
+
+    Pure broadcast arithmetic — no gathers, no control flow; XLA fuses
+    the whole thing into the encoder's operand producer.
+
+    Args:
+      rays: (B, 6) packed ``[origin | direction]`` (direction
+        unnormalized — the cone lives in the same t-units as sampling).
+      t_edges: (B, N+1) ascending interval edges.
+      base_radius: cone radius growth per unit t.
+
+    Returns:
+      means (B, N, 3), vars (B, N, 3), t_mids (B, N) — the frustum
+      Gaussian centers' distances along the ray (mu_t).
+    """
+    origins, d = rays[:, :3], rays[:, 3:]
+    t0, t1 = t_edges[:, :-1], t_edges[:, 1:]
+    t_mu = 0.5 * (t0 + t1)
+    t_d = 0.5 * (t1 - t0)
+    denom = 3.0 * t_mu**2 + t_d**2
+    mu_t = t_mu + 2.0 * t_mu * t_d**2 / denom
+    sig_t2 = t_d**2 / 3.0 - (4.0 * t_d**4 * (12.0 * t_mu**2 - t_d**2)) / (
+        15.0 * denom**2
+    )
+    sig_r2 = base_radius**2 * (
+        t_mu**2 / 4.0 + 5.0 * t_d**2 / 12.0 - 4.0 * t_d**4 / (15.0 * denom)
+    )
+    means = origins[:, None, :] + d[:, None, :] * mu_t[..., None]
+    d2 = d**2
+    n2 = jnp.sum(d2, axis=-1, keepdims=True)
+    vars_ = sig_t2[..., None] * d2[:, None, :] + sig_r2[..., None] * (
+        1.0 - d2[:, None, :] / n2[:, None, :]
+    )
+    return means, vars_, mu_t

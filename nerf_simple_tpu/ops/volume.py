@@ -106,6 +106,38 @@ def composite(
     return CompositeOut(rgb, disp, alpha, acc, weights, depth)
 
 
+def composite_intervals(
+    rgb_sigma: jnp.ndarray,
+    t_edges: jnp.ndarray,
+    t_mids: jnp.ndarray,
+    unit_dirs: jnp.ndarray,
+) -> CompositeOut:
+    """``composite`` for interval samples (the mip path): each of the N
+    rgb/sigma rows describes the frustum BETWEEN consecutive edges, so
+    deltas are the true finite interval widths — no 1e10 tail hack (a
+    frustum has a far face; leftover transmittance simply stays
+    unabsorbed, acc < 1 over empty space, exactly mip-NeRF's convention).
+    Same softplus / log-space exclusive-cumprod machinery as
+    ``composite``; depth/disparity use the frustum centers ``t_mids``.
+
+    Args: rgb_sigma (B, N, 4); t_edges (B, N+1) ascending;
+    t_mids (B, N); unit_dirs (B, 3).
+    """
+    deltas = t_edges[:, 1:] - t_edges[:, :-1]
+    deltas = deltas * jnp.linalg.norm(unit_dirs, axis=-1, keepdims=True)
+    sigma = rgb_sigma[..., 3]
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * deltas)
+    log_trans = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+    excl = jnp.cumsum(log_trans, axis=-1) - log_trans
+    weights = alpha * jnp.exp(excl)
+
+    rgb = jnp.sum(weights[..., None] * rgb_sigma[..., :3], axis=1)
+    depth = jnp.sum(weights * t_mids, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    return CompositeOut(rgb, disp, alpha, acc, weights, depth)
+
+
 def weights_from_sigma(
     sigma: jnp.ndarray, ts: jnp.ndarray, unit_dirs: jnp.ndarray
 ) -> jnp.ndarray:

@@ -58,6 +58,15 @@ class RenderSettings:
     N_prop: int = 0
     tn: float = 2.0
     tf: float = 6.0
+    # Mip-NeRF cone casting (ops/sampling.py::conical_gaussian +
+    # integrated PE): samples become conical-frustum Gaussians and the
+    # position encoding damps frequencies below the pixel footprint —
+    # anti-aliased rendering at any scale. ``base_radius`` is the cone
+    # radius growth per unit t, 2/sqrt(12)/focal for a pinhole frame
+    # (the drivers compute it). NerfMLP-family, XLA compute (the IPE
+    # encoder is fused VPU work; the MLP FLOPs dominate either way).
+    mip: bool = False
+    base_radius: float = 0.0
     compute_dtype: Any = jnp.float32
     # Max sample rows per MLP call; larger batches are lax.map'd in equal
     # chunks. Identical math — purely a program-structure knob: a single
@@ -114,14 +123,74 @@ def render_rays(
     Returns CompositeOut; ``.rgb`` is raw/unclipped like the reference.
     """
     B = rays.shape[0]
+    # noise key derived by fold_in so the ts stream is unchanged whether or
+    # not the regularizer is enabled (parity when sigma_noise == 0)
+    noise_key = jax.random.fold_in(key, 1) if settings.sigma_noise > 0 else None
+    if settings.mip:
+        assert ts is None, "mip rendering draws its own interval edges"
+        return _render_mip(params, rays, key, settings, model, noise_key)
     if ts is None:
         ts = stratified_ts(
             key, B, settings.N, settings.tn, settings.tf, rays.dtype
         )
-    # noise key derived by fold_in so the ts stream is unchanged whether or
-    # not the regularizer is enabled (parity when sigma_noise == 0)
-    noise_key = jax.random.fold_in(key, 1) if settings.sigma_noise > 0 else None
     return _render_at_ts(params, rays, ts, settings, model, noise_key)
+
+
+def _render_mip(
+    params: Params,
+    rays: jnp.ndarray,
+    key: jax.Array,
+    settings: RenderSettings,
+    model: NerfMLP,
+    noise_key: jax.Array | None = None,
+) -> CompositeOut:
+    """Cone-cast rendering: N+1 stratified edges -> N conical-frustum
+    Gaussians -> IPE forward -> interval compositing (finite deltas, no
+    1e10 tail). One fused XLA program like the point path."""
+    from nerf_simple_tpu.models.nerf import nerf_apply_mip
+    from nerf_simple_tpu.ops.sampling import conical_gaussian
+    from nerf_simple_tpu.ops.volume import composite_intervals
+
+    assert isinstance(model, NerfMLP), (
+        "mip rendering is NerfMLP-family only (the hash encoding has no "
+        "integrated form)"
+    )
+    B, N = rays.shape[0], settings.N
+    edges = stratified_ts(
+        key, B, N + 1, settings.tn, settings.tf, rays.dtype
+    )
+    means, vars_, t_mids = conical_gaussian(rays, edges, settings.base_radius)
+    dirs = rays[:, 3:]
+    unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    rows = B * N
+    q = jnp.concatenate(
+        [
+            means.reshape(rows, 3),
+            vars_.reshape(rows, 3),
+            jnp.broadcast_to(unit_dirs[:, None, :], (B, N, 3)).reshape(
+                rows, 3
+            ),
+        ],
+        axis=-1,
+    )
+
+    def f(qq):
+        return nerf_apply_mip(
+            params, qq[:, :3], qq[:, 3:6], qq[:, 6:9], model,
+            settings.compute_dtype,
+        )
+
+    k = 1
+    while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
+        k *= 2
+    out = (
+        jax.lax.map(f, q.reshape(k, rows // k, 9)) if k > 1 else f(q)
+    ).reshape(B, N, 4)
+    if noise_key is not None and settings.sigma_noise > 0:
+        noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
+        out = out.at[..., 3].add(noise)
+    return composite_intervals(out, edges, t_mids, unit_dirs)
 
 
 def _render_at_ts(
@@ -322,6 +391,7 @@ def _fused_render_tile_for(settings: RenderSettings, chunk: int) -> int:
         or settings.backend != "pallas"
         or settings.N_coarse > 0
         or settings.N_prop > 0
+        or settings.mip
     ):
         return 0
     N = settings.N
@@ -616,7 +686,9 @@ def render_normals_chunked(
     need one density field)."""
     if isinstance(params, dict) and "fine" in params:
         params = params["fine"]
-    s = dataclasses.replace(settings, N_coarse=0, N_prop=0, backend="xla")
+    s = dataclasses.replace(
+        settings, N_coarse=0, N_prop=0, mip=False, backend="xla"
+    )
     R = rays.shape[0]
     chunk = max(1024 * (-(-chunk // 1024)), 1024) if R >= 1024 else chunk
     n_chunks = -(-R // chunk)

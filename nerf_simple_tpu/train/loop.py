@@ -146,7 +146,13 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             state = ckpt.restore_checkpoint(latest, state)
             print(f"resumed from {latest} at step {int(state.step)}")
 
-    step_fn = build_train_step(cfg, model, mesh, rays_per_image=rd.H * rd.W)
+    # mip cone radius: pixel world-space half-width at unit distance
+    # (2/sqrt(12) * the 1/f dir-grid spacing, mip-NeRF sec. 3.1)
+    base_radius = 2.0 / math.sqrt(12.0) / rd.f if cfg.mip else 0.0
+    step_fn = build_train_step(
+        cfg, model, mesh, rays_per_image=rd.H * rd.W,
+        base_radius=base_radius,
+    )
     prop_arch = None
     if cfg.proposal:
         from nerf_simple_tpu.models.proposal import proposal_from_train_config
@@ -156,6 +162,8 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         N=cfg.Nf,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
         N_prop=cfg.Np if cfg.proposal else 0,
+        mip=cfg.mip,
+        base_radius=base_radius,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
@@ -228,7 +236,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
 
         rem_step_fn = build_train_step(
             _dc.replace(cfg, steps_per_call=remainder), model, mesh,
-            rays_per_image=rd.H * rd.W,
+            rays_per_image=rd.H * rd.W, base_radius=base_radius,
         )
     if cfg.profile_dir and cfg.num_iters - start >= 2 * cfg.steps_per_call:
         # capture chunks 1-2 (post-compile) as a device trace; skipped when

@@ -115,6 +115,7 @@ def build_train_step(
     mesh=None,
     donate: bool = True,
     rays_per_image: int | None = None,
+    base_radius: float = 0.0,
 ):
     """Build ``step_fn(state, rays, pixels, key) -> (state, losses)``.
 
@@ -125,7 +126,15 @@ def build_train_step(
     ``rays_per_image`` (= H*W) is required only when
     ``cfg.train_im_idxs`` restricts sampling to specific train images
     (the reference's commented-out select_imgs mode, train.py:48).
+
+    ``base_radius`` (cfg.mip only): per-frame cone radius growth,
+    2/sqrt(12)/focal — the train driver computes it from the dataset.
     """
+    if cfg.mip and base_radius <= 0:
+        raise ValueError(
+            "cfg.mip=True needs base_radius > 0 (2/sqrt(12)/focal; the "
+            "train driver passes it automatically)"
+        )
     if cfg.train_im_idxs and rays_per_image is None:
         raise ValueError(
             "cfg.train_im_idxs needs rays_per_image (= H*W) to map image "
@@ -162,6 +171,8 @@ def build_train_step(
         N=cfg.Nf,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
         N_prop=cfg.Np if cfg.proposal else 0,
+        mip=cfg.mip,
+        base_radius=base_radius if cfg.mip else 0.0,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
@@ -323,6 +334,7 @@ def build_train_step(
         )
         fused_ok = (
             cfg.backend == "pallas"
+            and not cfg.mip
             and cfg.sigma_noise == 0.0
             and cfg.depth_loss_weight == 0.0
             and cfg.distortion_loss_weight == 0.0
@@ -334,7 +346,10 @@ def build_train_step(
                 import warnings
 
                 reason = (
-                    "sigma_noise > 0"
+                    "mip=True (cone casting composites frustum "
+                    "intervals, not the kernel's point samples)"
+                    if cfg.mip
+                    else "sigma_noise > 0"
                     if cfg.sigma_noise != 0.0
                     else "depth_loss_weight > 0 (the fused kernel's "
                     "in-VMEM backward is MSE-only)"
