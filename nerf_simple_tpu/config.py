@@ -60,11 +60,21 @@ class TrainConfig:
     # mip-NeRF cone casting (Barron et al. 2021): samples become conical
     # frustum Gaussians and the position encoding integrates over them
     # (ops/encoding.py::gamma_ipe) — anti-aliased rendering across
-    # scales. NerfMLP family, XLA compute path; mutually exclusive with
-    # the resampling schemes (hierarchical/proposal/occupancy place
-    # POINT samples). The per-frame cone radius is derived from the
-    # dataset focal by the drivers.
+    # scales. NerfMLP family; backend="pallas" runs the fused train
+    # kernel with the in-kernel IPE encoder (kernels/mlp.py mip=True).
+    # Mutually exclusive with the resampling schemes
+    # (hierarchical/proposal/occupancy place POINT samples). The
+    # per-frame cone radius is derived from the dataset focal by the
+    # drivers.
     mip: bool = False
+    # 2 = the full mip-NeRF algorithm: a SINGLE shared MLP renders Nf
+    # coarse frustums, the fine level resamples Nf new interval edges
+    # from the (dilated) coarse weight histogram
+    # (ops/sampling.py::resample_edges), and the loss is
+    # mip_coarse_weight * coarse + fine (paper sec. 3.3 — half the
+    # parameters of classic hierarchical, which keeps two nets)
+    mip_levels: int = 1
+    mip_coarse_weight: float = 0.1
     # train-time Gaussian sigma-noise regularizer std (reference TODO at
     # utils/rendering.py:63); 0.0 = off
     sigma_noise: float = 0.0
@@ -216,6 +226,18 @@ class TrainConfig:
                     "casting integrates frustum VOLUMES (NerfMLP IPE only) "
                     "and draws its own interval edges"
                 )
+        if self.mip_levels not in (1, 2):
+            raise ValueError(
+                f"mip_levels must be 1 or 2, got {self.mip_levels}"
+            )
+        if self.mip_levels == 2 and not self.mip:
+            raise ValueError(
+                "mip_levels=2 (coarse+fine cone casting) requires mip=True"
+            )
+        if self.mip_coarse_weight < 0:
+            raise ValueError(
+                f"mip_coarse_weight must be >= 0, got {self.mip_coarse_weight}"
+            )
         if self.compute_dtype not in ("f32", "bf16"):
             raise ValueError(
                 f"compute_dtype must be 'f32' or 'bf16', got {self.compute_dtype!r}"
@@ -321,8 +343,10 @@ class TestConfig:
     # proposal-trained checkpoint; models/proposal.py)
     Np: int = 0
     # mip-NeRF cone-cast eval (anti-aliased; pairs with mip-trained
-    # checkpoints but renders any NerfMLP checkpoint)
+    # checkpoints but renders any NerfMLP checkpoint); mip_levels=2 adds
+    # the paper's fine-level resampling pass (single shared MLP)
     mip: bool = False
+    mip_levels: int = 1
     compute_dtype: str = "f32"
     backend: str = "xla"
     seed: int = 0
@@ -364,7 +388,16 @@ class TestConfig:
         if self.mip and (self.Np > 0 or self.Nc > 0 or self.occupancy):
             raise ValueError(
                 "mip=True (cone-cast eval) draws its own interval edges; "
-                "it excludes Nc/Np/occupancy point-resampling"
+                "it excludes Nc/Np/occupancy point-resampling "
+                "(mip_levels: 2 is the cone-cast hierarchical scheme)"
+            )
+        if self.mip_levels not in (1, 2):
+            raise ValueError(
+                f"mip_levels must be 1 or 2, got {self.mip_levels}"
+            )
+        if self.mip_levels == 2 and not self.mip:
+            raise ValueError(
+                "mip_levels=2 (coarse+fine cone casting) requires mip=True"
             )
 
     @property

@@ -108,6 +108,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         N_coarse=cfg.Nc,
         N_prop=cfg.Np,
         mip=cfg.mip,
+        mip_levels=cfg.mip_levels,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,

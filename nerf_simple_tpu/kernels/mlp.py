@@ -167,6 +167,23 @@ def _spread_d(model: NerfMLP = FLAGSHIP) -> np.ndarray:
     return _spread(model.Ld, 3)
 
 
+def _spread_v(model: NerfMLP = FLAGSHIP) -> np.ndarray:
+    """Sv (_enc_rows(Lp), 8) for the mip path: ``lam = Sv @ v8`` places
+    ``4^i * var_c`` in each sin AND cos row of the posx layout (raw rows
+    stay 0, so their damp factor exp(-lam/2) is exactly 1). ``v8`` is
+    x16[8:16] with the per-sample diagonal variances on its rows 3..5
+    (x16 rows 11..13 — rows 8..10 hold gt colors in the train kernel and
+    are untouched by Sv)."""
+    L = model.Lp
+    sb = _sin_block(L)
+    S = np.zeros((_enc_rows(L), 8), np.float32)
+    for c in range(3):
+        for i in range(L):
+            S[8 + L * c + i, 3 + c] = 4.0**i
+            S[8 + sb + L * c + i, 3 + c] = 4.0**i
+    return S
+
+
 class FusedWeights(NamedTuple):
     """Kernel-layout weights. All (out_features, in_features) f32; biases
     (out_features, 1)."""
@@ -310,12 +327,19 @@ def _mm(a, b, dtype):
     )
 
 
-def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
+def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP, v8=None, Sv=None):
     """x: (8, TR) f32 -> posx (FX, TR), posd (FD, TR).
 
     Aligned raw/sin/cos row blocks: sin and cos each run on only their own
     block slice (pad rows evaluate to garbage under zeroed weight
-    columns — harmless)."""
+    columns — harmless).
+
+    Mip (integrated PE) when ``v8``/``Sv`` given: the sin/cos blocks are
+    damped by ``exp(-0.5 * 4^i * var_c)`` — the closed-form expectation
+    of the encoding over the sample's frustum Gaussian
+    (ops/encoding.py::gamma_ipe). One extra (FX, 8) spread matmul + a
+    VPU exp/multiply on the encoded lattice; raw rows (incl. the bias
+    rail) are untouched (their Sv rows are zero -> damp 1)."""
     sbx, sbd = _sin_block(model.Lp), _sin_block(model.Ld)
 
     def raw_with_rail(ang8):
@@ -330,12 +354,15 @@ def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
         return jnp.where(rows == 3, 1.0, ang8)
 
     ang_x = _mm(Sx, x, jnp.float32)  # full precision angles
+    sin_x = jnp.sin(ang_x[8 : 8 + sbx])
+    cos_x = jnp.cos(ang_x[8 + sbx : 8 + 2 * sbx])
+    if v8 is not None:
+        lam = _mm(Sv, v8, jnp.float32)  # (FX, TR): 4^i * var_c rows
+        damp = jnp.exp(-0.5 * lam)
+        sin_x = sin_x * damp[8 : 8 + sbx]
+        cos_x = cos_x * damp[8 + sbx : 8 + 2 * sbx]
     posx = jnp.concatenate(
-        [
-            raw_with_rail(ang_x[0:8]),
-            jnp.sin(ang_x[8 : 8 + sbx]),
-            jnp.cos(ang_x[8 + sbx : 8 + 2 * sbx]),
-        ],
+        [raw_with_rail(ang_x[0:8]), sin_x, cos_x],
         axis=0,
     )
     ang_d = _mm(Sd, x, jnp.float32)
@@ -350,10 +377,17 @@ def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
     return posx.astype(dtype), posd.astype(dtype)
 
 
-def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP):
-    """Shared fwd math: x (8, TR) -> (out (8, TR), residuals for bwd)."""
+def _forward_tile(
+    x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP,
+    v8=None, Sv=None,
+):
+    """Shared fwd math: x (8, TR) -> (out (8, TR), residuals for bwd).
+    ``v8``/``Sv`` switch the encoder to integrated PE (mip) — everything
+    downstream (trunk, heads, backward) is unchanged: the damped posx
+    lands in the residuals, so the existing dW matmuls are automatically
+    the correct mip gradients (x itself is never differentiated)."""
     H = model.H
-    posx, posd = _encode(x, Sx, Sd, dtype, model)
+    posx, posd = _encode(x, Sx, Sd, dtype, model, v8, Sv)
     relu = lambda v: jnp.maximum(v, 0.0)
 
     h0 = relu(_mm(wts.W1, posx, dtype) + wts.b1)
@@ -389,18 +423,26 @@ def _forward_tile(x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP
 _N_W = len(FusedWeights._fields)
 
 
-def _fwd_kernel(dtype, model, x_ref, *refs):
-    # refs: _N_W weight refs, Sx, Sd, out_ref
+def _fwd_kernel(dtype, model, mip, x_ref, *refs):
+    # refs: _N_W weight refs, Sx, Sd[, Sv], out_ref
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
-    out_ref = refs[_N_W + 2]
-    out, _ = _forward_tile(x_ref[:], wts, Sx, Sd, dtype, model)
+    if mip:
+        Sv = refs[_N_W + 2][:]
+        out_ref = refs[_N_W + 3]
+        x16 = x_ref[:]
+        out, _ = _forward_tile(
+            x16[:8], wts, Sx, Sd, dtype, model, v8=x16[8:16], Sv=Sv
+        )
+    else:
+        out_ref = refs[_N_W + 2]
+        out, _ = _forward_tile(x_ref[:], wts, Sx, Sd, dtype, model)
     out_ref[:] = out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_rows", "compute_dtype", "model")
+    jax.jit, static_argnames=("tile_rows", "compute_dtype", "model", "mip")
 )
 def fused_mlp_forward(
     wts: FusedWeights,
@@ -408,6 +450,7 @@ def fused_mlp_forward(
     tile_rows: int = 1024,
     compute_dtype: Any = jnp.bfloat16,
     model: NerfMLP = FLAGSHIP,
+    mip: bool = False,
 ) -> jnp.ndarray:
     """Run the fused MLP forward.
 
@@ -415,16 +458,23 @@ def fused_mlp_forward(
       wts: pack_weights output.
       xT: (8, rows) f32 — rows 0..2 sample xyz, rows 3..5 unit view dir,
         rows 6..7 zero. ``rows`` must be a multiple of tile_rows.
+        With ``mip=True``: (16, rows) — rows 0..2 frustum Gaussian means,
+        3..5 unit view dirs, 11..13 diagonal variances, rest zero (the
+        encoder becomes integrated PE; models/nerf.py::nerf_apply_mip).
 
     Returns:
       (8, rows) f32 — rows 0..2 raw rgb, row 3 raw sigma.
     """
     rows = xT.shape[1]
+    in_rows = 16 if mip else 8
     assert rows % tile_rows == 0, (rows, tile_rows)
+    assert xT.shape[0] == in_rows, (xT.shape, mip)
     grid = (rows // tile_rows,)
     wts = _cast_weights(wts, compute_dtype)
 
     extras = [_spread_x(model), _spread_d(model)]
+    if mip:
+        extras.append(_spread_v(model))
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -432,7 +482,8 @@ def fused_mlp_forward(
     in_specs = (
         [
             pl.BlockSpec(
-                (8, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+                (in_rows, tile_rows), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
             )
         ]
         + [full(w) for w in wts]
@@ -443,7 +494,7 @@ def fused_mlp_forward(
     )
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, compute_dtype, model),
+        functools.partial(_fwd_kernel, compute_dtype, model, mip),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -461,18 +512,25 @@ def _relu_mask(h):
     return (h.astype(jnp.float32) > 0).astype(jnp.float32)
 
 
-def _bwd_kernel(dtype, model, x_ref, g_ref, *refs):
+def _bwd_kernel(dtype, model, mip, x_ref, g_ref, *refs):
     """Per tile: recompute fwd activations in VMEM, backprop, accumulate
     weight/bias grads across the grid into the outputs (same block every
     step — revisited-block accumulation)."""
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
-    grad_refs = refs[_N_W + 2 :]
+    n_extra = 3 if mip else 2
+    Sv = refs[_N_W + 2][:] if mip else None
+    grad_refs = refs[_N_W + n_extra :]
     assert len(grad_refs) == _N_W
 
     x = x_ref[:]
-    _, res = _forward_tile(x, wts, Sx, Sd, dtype, model)
+    if mip:
+        _, res = _forward_tile(
+            x[:8], wts, Sx, Sd, dtype, model, v8=x[8:16], Sv=Sv
+        )
+    else:
+        _, res = _forward_tile(x, wts, Sx, Sd, dtype, model)
 
     g = g_ref[:]  # (8, TR) f32: rows 0..2 d_rgb, row 3 d_sigma
     rows_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
@@ -590,7 +648,7 @@ def _accumulate_grads(grad_refs, grads) -> None:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_rows", "compute_dtype", "model")
+    jax.jit, static_argnames=("tile_rows", "compute_dtype", "model", "mip")
 )
 def _fused_mlp_bwd(
     wts: FusedWeights,
@@ -599,22 +657,30 @@ def _fused_mlp_bwd(
     tile_rows: int = 512,
     compute_dtype: Any = jnp.bfloat16,
     model: NerfMLP = FLAGSHIP,
+    mip: bool = False,
 ) -> FusedWeights:
     rows = xT.shape[1]
+    in_rows = 16 if mip else 8
     assert rows % tile_rows == 0
     grid = (rows // tile_rows,)
     wts = _cast_weights(wts, compute_dtype)
 
     extras = [_spread_x(model), _spread_d(model)]
+    if mip:
+        extras.append(_spread_v(model))
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    tile = lambda: pl.BlockSpec(
-        (8, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
+    def tile(nr):
+        return pl.BlockSpec(
+            (nr, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
     in_specs = (
-        [tile(), tile()] + [full(w) for w in wts] + [full(e) for e in extras]
+        [tile(in_rows), tile(8)]
+        + [full(w) for w in wts]
+        + [full(e) for e in extras]
     )
     out_specs = tuple(full(w) for w in wts)
     out_shape = tuple(
@@ -622,7 +688,7 @@ def _fused_mlp_bwd(
     )
 
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, compute_dtype, model),
+        functools.partial(_bwd_kernel, compute_dtype, model, mip),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -632,7 +698,7 @@ def _fused_mlp_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
 )
 def fused_mlp(
     wts: FusedWeights,
@@ -640,21 +706,22 @@ def fused_mlp(
     tile_rows: int = 1024,
     compute_dtype: Any = jnp.bfloat16,
     model: NerfMLP = FLAGSHIP,
+    mip: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused MLP (gradients w.r.t. weights only; xT is
     treated as non-differentiable input — ray geometry carries no params)."""
-    return fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model)
+    return fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model, mip)
 
 
-def _fused_mlp_fwd(wts, xT, tile_rows, compute_dtype, model=FLAGSHIP):
-    out = fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model)
+def _fused_mlp_fwd(wts, xT, tile_rows, compute_dtype, model=FLAGSHIP, mip=False):
+    out = fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model, mip)
     return out, (wts, xT)
 
 
-def _fused_mlp_bwd_rule(tile_rows, compute_dtype, model, res, g):
+def _fused_mlp_bwd_rule(tile_rows, compute_dtype, model, mip, res, g):
     wts, xT = res
     bwd_tile = min(tile_rows, 1024)  # bf16 residuals fit 1024-wide tiles
-    dw = _fused_mlp_bwd(wts, xT, g, bwd_tile, compute_dtype, model)
+    dw = _fused_mlp_bwd(wts, xT, g, bwd_tile, compute_dtype, model, mip)
     return dw, jnp.zeros_like(xT)
 
 
@@ -691,18 +758,23 @@ def _seg_cumsum(x, segpos, N):
     return x
 
 
-def _train_kernel(dtype, N, scale, want_w, model, x16_ref, *refs):
+def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
     Sx = refs[_N_W][:]
     Sd = refs[_N_W + 1][:]
-    ST = refs[_N_W + 2][:]  # (R, tile) 0/1 segment matrix
-    grad_refs = refs[_N_W + 3 : _N_W + 3 + _N_W]
-    loss_ref = refs[_N_W + 3 + _N_W]
-    w_ref = refs[_N_W + 4 + _N_W] if want_w else None
+    n_s = 3 if mip else 2
+    Sv = refs[_N_W + 2][:] if mip else None
+    ST = refs[_N_W + n_s][:]  # (R, tile) 0/1 segment matrix
+    grad_refs = refs[_N_W + n_s + 1 : _N_W + n_s + 1 + _N_W]
+    loss_ref = refs[_N_W + n_s + 1 + _N_W]
+    w_ref = refs[_N_W + n_s + 2 + _N_W] if want_w else None
 
     x16 = x16_ref[:]
     x8 = x16[:8]
-    out8, res = _forward_tile(x8, wts, Sx, Sd, dtype, model)
+    out8, res = _forward_tile(
+        x8, wts, Sx, Sd, dtype, model,
+        v8=x16[8:16] if mip else None, Sv=Sv,
+    )
 
     tile = x16.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
@@ -710,10 +782,16 @@ def _train_kernel(dtype, N, scale, want_w, model, x16_ref, *refs):
     segpos = lane1 % N
 
     # --- compositing forward (ops/volume.py math, segmented on lanes) ---
-    ts = x16[6:7, :]  # (1, tile)
     sig = out8[3:4, :]
-    ts_next = pltpu.roll(ts, tile - 1, axis=1)  # value at lane+1
-    delta = jnp.where(segpos == N - 1, 1e10, ts_next - ts)
+    if mip:
+        # interval compositing (ops/volume.py::composite_intervals): row 6
+        # carries the true finite frustum widths — no 1e10 tail, leftover
+        # transmittance stays unabsorbed
+        delta = x16[6:7, :]
+    else:
+        ts = x16[6:7, :]  # (1, tile)
+        ts_next = pltpu.roll(ts, tile - 1, axis=1)  # value at lane+1
+        delta = jnp.where(segpos == N - 1, 1e10, ts_next - ts)
     sp = jax.nn.softplus(sig)
     alpha = 1.0 - jnp.exp(-sp * delta)
     m = jnp.maximum(1.0 - alpha, 1e-10)
@@ -780,7 +858,9 @@ def _train_kernel(dtype, N, scale, want_w, model, x16_ref, *refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("N", "tile_rows", "compute_dtype", "out_weights", "model"),
+    static_argnames=(
+        "N", "tile_rows", "compute_dtype", "out_weights", "model", "mip"
+    ),
 )
 def fused_train_step(
     wts: FusedWeights,
@@ -790,6 +870,7 @@ def fused_train_step(
     compute_dtype: Any = jnp.bfloat16,
     out_weights: bool = False,
     model: NerfMLP = FLAGSHIP,
+    mip: bool = False,
 ):
     """One fused fwd+composite+MSE-grad+bwd pass.
 
@@ -798,6 +879,10 @@ def fused_train_step(
       x16: (16, B*N) f32 — rows 0..2 sample xyz, 3..5 unit view dirs,
         6 ts, 7 zero, 8..10 gt color broadcast per sample, 11..15 zero.
         B*N must be a multiple of tile_rows and tile_rows of N.
+        With ``mip=True``: rows 0..2 frustum Gaussian means, 6 the true
+        interval widths t1-t0 (composited directly — no 1e10 tail),
+        11..13 diagonal variances (IPE encoder), 14..15 zero
+        (train/step.py::_build_x16_mip).
       N: samples per ray.
       out_weights: also return the per-sample compositing weights (B, N)
         (used by the hierarchical path to drive importance sampling).
@@ -815,7 +900,10 @@ def fused_train_step(
 
     lane = np.arange(tile_rows)
     ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
-    extras = [_spread_x(model), _spread_d(model), ST]
+    extras = [_spread_x(model), _spread_d(model)]
+    if mip:
+        extras.append(_spread_v(model))
+    extras.append(ST)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -843,7 +931,7 @@ def fused_train_step(
 
     outs = pl.pallas_call(
         functools.partial(
-            _train_kernel, compute_dtype, N, scale, out_weights, model
+            _train_kernel, compute_dtype, N, scale, out_weights, model, mip
         ),
         grid=grid,
         in_specs=in_specs,

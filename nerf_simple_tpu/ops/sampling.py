@@ -113,6 +113,80 @@ def importance_ts(
     return mids_below + frac * (mids_above - mids_below)
 
 
+def resample_edges(
+    key: jax.Array,
+    edges: jnp.ndarray,
+    weights: jnp.ndarray,
+    N_new: int,
+    blur: float = 0.01,
+) -> jnp.ndarray:
+    """Mip-NeRF fine-level resampling: draw ``N_new + 1`` sorted samples
+    from the coarse piecewise-constant interval histogram, forming the
+    fine level's interval EDGES (Barron et al. 2021 sec. 3.2).
+
+    The histogram weights are first dilated with the paper's 2-tap
+    max-filter + uniform padding,
+
+        w'_k = 0.5 * (max(w_{k-1}, w_k) + max(w_k, w_{k+1})) + blur,
+
+    which stops the fine level from collapsing onto coarse spikes and
+    keeps a floor of exploration everywhere. Samples are drawn already
+    sorted via the same exponential order-statistic construction as
+    ``importance_ts``, and the inverse CDF is piecewise-linear against
+    the coarse EDGES (the histogram's true support — unlike
+    ``importance_ts``'s midpoint convention for point samples).
+
+    Args:
+      key: PRNG key.
+      edges: (B, N+1) ascending coarse interval edges.
+      weights: (B, N) coarse compositing weights (one per interval).
+      N_new: fine interval count; returns ``N_new + 1`` edges.
+      blur: uniform padding mass added per interval after dilation.
+
+    Returns: (B, N_new + 1) ascending fine edges within [edges min, max].
+    """
+    B, N = weights.shape
+    wpad = jnp.concatenate(
+        [weights[:, :1], weights, weights[:, -1:]], axis=-1
+    )
+    wmax = jnp.maximum(wpad[:, :-1], wpad[:, 1:])  # (B, N+1)
+    w = 0.5 * (wmax[:, :-1] + wmax[:, 1:]) + blur  # (B, N)
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )  # (B, N+1), aligned with edges
+
+    n_draw = N_new + 1
+    e = jax.random.exponential(key, (B, n_draw + 1), dtype=edges.dtype)
+    s = jnp.cumsum(e, axis=-1)
+    u = s[:, :n_draw] / s[:, n_draw:]  # sorted U(0,1) order statistics
+
+    # dense bin lookup (VPU compare + MXU one-hot gather; see
+    # importance_ts for the TPU rationale vs searchsorted)
+    M = N + 1
+    idx = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    below = jnp.clip(idx - 1, 0, M - 1)
+    above = jnp.clip(idx, 0, M - 1)
+    table = jnp.stack([cdf, edges], axis=-1)  # (B, M, 2)
+    grid = jnp.arange(M, dtype=jnp.int32)
+
+    def lookup(sel):
+        onehot = (sel[:, :, None] == grid).astype(edges.dtype)
+        vals = jnp.einsum(
+            "bfm,bmk->bfk", onehot, table,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return vals[..., 0], vals[..., 1]
+
+    cdf_b, edge_b = lookup(below)
+    cdf_a, edge_a = lookup(above)
+    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+    frac = (u - cdf_b) / denom
+    return edge_b + frac * (edge_a - edge_b)
+
+
 def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Merge two per-row ASCENDING arrays into one sorted row, without a
     sort: each element's output position is its rank in the union
@@ -174,6 +248,31 @@ def sample_points(
     return locs, unit_dirs
 
 
+def frustum_moments(
+    t0: jnp.ndarray, t1: jnp.ndarray, base_radius: float
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-interval conical-frustum Gaussian moments along the ray
+    (mip-NeRF eqn. 7, the stable form), shared by ``conical_gaussian``
+    and the fused kernel's feature-major x16 builder
+    (train/step.py::_build_x16_mip).
+
+    Args: t0/t1 (..., N) interval edges; base_radius cone growth per
+    unit t. Returns (mu_t, sig_t2, sig_r2), all (..., N): along-ray
+    mean/variance and perpendicular variance.
+    """
+    t_mu = 0.5 * (t0 + t1)
+    t_d = 0.5 * (t1 - t0)
+    denom = 3.0 * t_mu**2 + t_d**2
+    mu_t = t_mu + 2.0 * t_mu * t_d**2 / denom
+    sig_t2 = t_d**2 / 3.0 - (4.0 * t_d**4 * (12.0 * t_mu**2 - t_d**2)) / (
+        15.0 * denom**2
+    )
+    sig_r2 = base_radius**2 * (
+        t_mu**2 / 4.0 + 5.0 * t_d**2 / 12.0 - 4.0 * t_d**4 / (15.0 * denom)
+    )
+    return mu_t, sig_t2, sig_r2
+
+
 def conical_gaussian(
     rays: jnp.ndarray, t_edges: jnp.ndarray, base_radius: float
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -207,16 +306,7 @@ def conical_gaussian(
     """
     origins, d = rays[:, :3], rays[:, 3:]
     t0, t1 = t_edges[:, :-1], t_edges[:, 1:]
-    t_mu = 0.5 * (t0 + t1)
-    t_d = 0.5 * (t1 - t0)
-    denom = 3.0 * t_mu**2 + t_d**2
-    mu_t = t_mu + 2.0 * t_mu * t_d**2 / denom
-    sig_t2 = t_d**2 / 3.0 - (4.0 * t_d**4 * (12.0 * t_mu**2 - t_d**2)) / (
-        15.0 * denom**2
-    )
-    sig_r2 = base_radius**2 * (
-        t_mu**2 / 4.0 + 5.0 * t_d**2 / 12.0 - 4.0 * t_d**4 / (15.0 * denom)
-    )
+    mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, base_radius)
     means = origins[:, None, :] + d[:, None, :] * mu_t[..., None]
     d2 = d**2
     n2 = jnp.sum(d2, axis=-1, keepdims=True)

@@ -63,10 +63,13 @@ class RenderSettings:
     # position encoding damps frequencies below the pixel footprint —
     # anti-aliased rendering at any scale. ``base_radius`` is the cone
     # radius growth per unit t, 2/sqrt(12)/focal for a pinhole frame
-    # (the drivers compute it). NerfMLP-family, XLA compute (the IPE
-    # encoder is fused VPU work; the MLP FLOPs dominate either way).
+    # (the drivers compute it). NerfMLP-family; backend="pallas" runs
+    # the fused kernel with its in-kernel IPE encoder.
     mip: bool = False
     base_radius: float = 0.0
+    # 2 = full mip-NeRF: shared-MLP coarse render -> resampled fine
+    # edges (ops/sampling.py::resample_edges) -> fine render
+    mip_levels: int = 1
     compute_dtype: Any = jnp.float32
     # Max sample rows per MLP call; larger batches are lax.map'd in equal
     # chunks. Identical math — purely a program-structure knob: a single
@@ -143,10 +146,17 @@ def _render_mip(
     settings: RenderSettings,
     model: NerfMLP,
     noise_key: jax.Array | None = None,
-) -> CompositeOut:
+    return_coarse: bool = False,
+) -> CompositeOut | tuple[CompositeOut, CompositeOut]:
     """Cone-cast rendering: N+1 stratified edges -> N conical-frustum
     Gaussians -> IPE forward -> interval compositing (finite deltas, no
-    1e10 tail). One fused XLA program like the point path."""
+    1e10 tail). One fused XLA program like the point path.
+
+    ``settings.mip_levels == 2`` runs the full mip-NeRF algorithm: the
+    SAME params render a coarse level, the fine level's edges are
+    resampled from the (stop-gradient) coarse weight histogram
+    (ops/sampling.py::resample_edges), and the fine output is returned
+    (both with ``return_coarse=True`` — the train loss needs both)."""
     from nerf_simple_tpu.models.nerf import nerf_apply_mip
     from nerf_simple_tpu.ops.sampling import conical_gaussian
     from nerf_simple_tpu.ops.volume import composite_intervals
@@ -156,41 +166,78 @@ def _render_mip(
         "integrated form)"
     )
     B, N = rays.shape[0], settings.N
-    edges = stratified_ts(
-        key, B, N + 1, settings.tn, settings.tf, rays.dtype
-    )
-    means, vars_, t_mids = conical_gaussian(rays, edges, settings.base_radius)
     dirs = rays[:, 3:]
     unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    rows = B * N
-    q = jnp.concatenate(
-        [
-            means.reshape(rows, 3),
-            vars_.reshape(rows, 3),
-            jnp.broadcast_to(unit_dirs[:, None, :], (B, N, 3)).reshape(
-                rows, 3
-            ),
-        ],
-        axis=-1,
-    )
+    def one_level(edges, nk):
+        if settings.backend == "pallas":
+            # fused kernel with the IPE encoder (kernels/mlp.py
+            # mip=True); interval compositing stays in XLA like the
+            # point eval path
+            outT, t_mids = _fused_mlp_bn_mip(
+                params, rays, edges, settings, model
+            )
+            if nk is not None and settings.sigma_noise > 0:
+                noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
+                outT = outT.at[3].add(noise)
+            return composite_intervals(
+                jnp.moveaxis(outT, 0, -1), edges, t_mids, unit_dirs
+            )
 
-    def f(qq):
-        return nerf_apply_mip(
-            params, qq[:, :3], qq[:, 3:6], qq[:, 6:9], model,
-            settings.compute_dtype,
+        means, vars_, t_mids = conical_gaussian(
+            rays, edges, settings.base_radius
+        )
+        rows = B * N
+        q = jnp.concatenate(
+            [
+                means.reshape(rows, 3),
+                vars_.reshape(rows, 3),
+                jnp.broadcast_to(unit_dirs[:, None, :], (B, N, 3)).reshape(
+                    rows, 3
+                ),
+            ],
+            axis=-1,
         )
 
-    k = 1
-    while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
-        k *= 2
-    out = (
-        jax.lax.map(f, q.reshape(k, rows // k, 9)) if k > 1 else f(q)
-    ).reshape(B, N, 4)
-    if noise_key is not None and settings.sigma_noise > 0:
-        noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
-        out = out.at[..., 3].add(noise)
-    return composite_intervals(out, edges, t_mids, unit_dirs)
+        def f(qq):
+            return nerf_apply_mip(
+                params, qq[:, :3], qq[:, 3:6], qq[:, 6:9], model,
+                settings.compute_dtype,
+            )
+
+        k = 1
+        while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
+            k *= 2
+        out = (
+            jax.lax.map(f, q.reshape(k, rows // k, 9)) if k > 1 else f(q)
+        ).reshape(B, N, 4)
+        if nk is not None and settings.sigma_noise > 0:
+            noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
+            out = out.at[..., 3].add(noise)
+        return composite_intervals(out, edges, t_mids, unit_dirs)
+
+    edges = stratified_ts(
+        key, B, N + 1, settings.tn, settings.tf, rays.dtype
+    )
+    out_c = one_level(edges, noise_key)
+    if settings.mip_levels < 2:
+        return out_c
+
+    from nerf_simple_tpu.ops.sampling import resample_edges
+
+    edges_f = resample_edges(
+        jax.random.fold_in(key, 2),
+        edges,
+        jax.lax.stop_gradient(out_c.weights),
+        N,
+    )
+    out_f = one_level(
+        edges_f,
+        jax.random.fold_in(noise_key, 2) if noise_key is not None else None,
+    )
+    if return_coarse:
+        return out_c, out_f
+    return out_f
 
 
 def _render_at_ts(
@@ -238,6 +285,60 @@ def _render_at_ts(
         noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
         out = out.at[..., 3].add(noise)
     return composite(out, ts, unit_dirs)
+
+
+def _fused_mlp_bn_mip(
+    params: Params,
+    rays: jnp.ndarray,
+    edges: jnp.ndarray,
+    settings: RenderSettings,
+    model: NerfMLP,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``_fused_mlp_bn`` for the mip path: frustum Gaussian moments
+    (ops/sampling.py::frustum_moments) built directly in the kernel's
+    feature-major (16, B*N) layout — means rows 0..2, unit dirs 3..5,
+    diagonal variances 11..13 — evaluated by the fused kernel's IPE
+    encoder. Returns ((4, B, N) rgb/sigma, (B, N) frustum centers)."""
+    from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights, supported
+    from nerf_simple_tpu.ops.sampling import frustum_moments
+
+    assert supported(model), (
+        f"pallas backend needs H % 16 == 0, H >= 16 (got {model}); "
+        "use backend='xla' for other architectures"
+    )
+    B, N = edges.shape[0], edges.shape[1] - 1
+    oT = rays[:, :3].T
+    dT = rays[:, 3:].T
+    n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
+    unitT = dT / jnp.sqrt(n2)
+    mu_t, sig_t2, sig_r2 = frustum_moments(
+        edges[:, :-1], edges[:, 1:], settings.base_radius
+    )
+    meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
+    d2T = dT * dT
+    varT = (
+        sig_t2[None] * d2T[:, :, None]
+        + sig_r2[None] * (1.0 - d2T / n2)[:, :, None]
+    )
+    x = jnp.concatenate(
+        [
+            meanT,
+            jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+            jnp.zeros((5, B, N), rays.dtype),
+            varT,
+            jnp.zeros((2, B, N), rays.dtype),
+        ],
+        axis=0,
+    ).reshape(16, B * N)
+
+    rows = B * N
+    tile = 1024 if rows % 1024 == 0 else 128
+    rows_p = -(-rows // tile) * tile
+    if rows_p != rows:
+        x = jnp.pad(x, ((0, 0), (0, rows_p - rows)))
+    wts = pack_weights(params, model=model)
+    outT = fused_mlp(wts, x, tile, settings.compute_dtype, model, True)
+    return outT[:4, :rows].reshape(4, B, N), mu_t
 
 
 def _fused_mlp_bn(

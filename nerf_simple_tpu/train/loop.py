@@ -163,6 +163,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
         N_prop=cfg.Np if cfg.proposal else 0,
         mip=cfg.mip,
+        mip_levels=cfg.mip_levels,
         base_radius=base_radius,
         tn=cfg.tn,
         tf=cfg.tf,

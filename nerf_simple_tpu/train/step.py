@@ -172,6 +172,7 @@ def build_train_step(
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
         N_prop=cfg.Np if cfg.proposal else 0,
         mip=cfg.mip,
+        mip_levels=cfg.mip_levels,
         base_radius=base_radius if cfg.mip else 0.0,
         tn=cfg.tn,
         tf=cfg.tf,
@@ -267,6 +268,21 @@ def build_train_step(
                     out.weights, ts_f
                 )
             return loss
+        if cfg.mip and cfg.mip_levels == 2:
+            # full mip-NeRF: one shared MLP, coarse + resampled-fine
+            # cone-cast renders, weighted two-level loss (paper sec. 3.3)
+            from nerf_simple_tpu.render.renderer import _render_mip
+
+            nk = jax.random.fold_in(key, 1) if cfg.sigma_noise > 0 else None
+            out_c, out_f = _render_mip(
+                params, rays_b, key, settings, model, nk, return_coarse=True
+            )
+            loss = cfg.mip_coarse_weight * jnp.mean(
+                (out_c.rgb - pix_b) ** 2
+            ) + jnp.mean((out_f.rgb - pix_b) ** 2)
+            if gt_d is not None:
+                loss = loss + cfg.depth_loss_weight * _depth_term(out_f, gt_d)
+            return loss
         ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
         if ts is None and cfg.distortion_loss_weight > 0:
             # materialize the same stratified ts render_rays would draw
@@ -317,6 +333,41 @@ def build_train_step(
             axis=0,
         ).reshape(16, B * N)
 
+    def _build_x16_mip(rays_b, edges, pix_b):
+        """Feature-major x16 for the mip fused kernel: frustum Gaussian
+        means on rows 0..2, interval widths on row 6, diagonal variances
+        on rows 11..13 (ops/sampling.py::frustum_moments math, built
+        directly in the kernel's (16, B*N) layout — no (B, N, 3)
+        intermediates to re-transpose)."""
+        from nerf_simple_tpu.ops.sampling import frustum_moments
+
+        B = rays_b.shape[0]
+        N = edges.shape[1] - 1
+        oT = rays_b[:, :3].T  # (3, B)
+        dT = rays_b[:, 3:].T
+        n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
+        unitT = dT / jnp.sqrt(n2)
+        t0, t1 = edges[:, :-1], edges[:, 1:]  # (B, N)
+        mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, base_radius)
+        meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
+        d2T = dT * dT  # (3, B)
+        varT = (
+            sig_t2[None] * d2T[:, :, None]
+            + sig_r2[None] * (1.0 - d2T / n2)[:, :, None]
+        )
+        return jnp.concatenate(
+            [
+                meanT,
+                jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+                (t1 - t0)[None],
+                jnp.zeros((1, B, N), rays_b.dtype),
+                jnp.broadcast_to(pix_b.T[:, :, None], (3, B, N)),
+                varT,
+                jnp.zeros((2, B, N), rays_b.dtype),
+            ],
+            axis=0,
+        ).reshape(16, B * N)
+
     def _make_core(batch_rows: int):
         """(loss, grads) for one sampled batch. Uses the single fused
         fwd+composite+MSE+bwd kernel when eligible (flagship arch, MSE
@@ -334,7 +385,6 @@ def build_train_step(
         )
         fused_ok = (
             cfg.backend == "pallas"
-            and not cfg.mip
             and cfg.sigma_noise == 0.0
             and cfg.depth_loss_weight == 0.0
             and cfg.distortion_loss_weight == 0.0
@@ -346,10 +396,7 @@ def build_train_step(
                 import warnings
 
                 reason = (
-                    "mip=True (cone casting composites frustum "
-                    "intervals, not the kernel's point samples)"
-                    if cfg.mip
-                    else "sigma_noise > 0"
+                    "sigma_noise > 0"
                     if cfg.sigma_noise != 0.0
                     else "depth_loss_weight > 0 (the fused kernel's "
                     "in-VMEM backward is MSE-only)"
@@ -464,6 +511,48 @@ def build_train_step(
                     "prop": vjp_p(cfg.proposal_loss_weight * d_wprop)[0],
                     "fine": vjp_f(dwts_f)[0],
                 }
+
+            return core
+
+        if cfg.mip:
+            from nerf_simple_tpu.ops.sampling import resample_edges
+
+            def core(params, rays_b, pix_b, key, occ):
+                # same key -> identical edge stream as the XLA
+                # _render_mip path (renderer.py), so xla/pallas losses
+                # agree; mip excludes hierarchical/proposal/occupancy by
+                # config validation
+                edges = stratified_ts(
+                    key, rays_b.shape[0], cfg.Nf + 1, cfg.tn, cfg.tf,
+                    rays_b.dtype,
+                )
+                wts, vjp_fn = jax.vjp(_pack, params)
+                if cfg.mip_levels == 2:
+                    # the SAME packed weights serve both levels (the
+                    # paper's single shared MLP); the kernel's weights
+                    # output is non-differentiable, which IS the
+                    # stop_gradient on the resampling histogram
+                    loss_c, dw_c, w_c = fused_train_step(
+                        wts, _build_x16_mip(rays_b, edges, pix_b), cfg.Nf,
+                        tile_f, cfg.render_dtype, out_weights=True,
+                        model=model, mip=True,
+                    )
+                    edges_f = resample_edges(
+                        jax.random.fold_in(key, 2), edges, w_c, cfg.Nf
+                    )
+                    loss_f, dw_f = fused_train_step(
+                        wts, _build_x16_mip(rays_b, edges_f, pix_b),
+                        cfg.Nf, tile_f, cfg.render_dtype, model=model,
+                        mip=True,
+                    )
+                    cw = cfg.mip_coarse_weight
+                    dw = jax.tree.map(lambda a, b: cw * a + b, dw_c, dw_f)
+                    return cw * loss_c + loss_f, vjp_fn(dw)[0]
+                loss, dwts = fused_train_step(
+                    wts, _build_x16_mip(rays_b, edges, pix_b), cfg.Nf,
+                    tile_f, cfg.render_dtype, model=model, mip=True,
+                )
+                return loss, vjp_fn(dwts)[0]
 
             return core
 

@@ -170,6 +170,277 @@ def test_mip_render_shapes_and_antialias_effect(rng):
     assert np.abs(np.asarray(wide.rgb) - np.asarray(narrow.rgb)).max() > 1e-4
 
 
+def test_fused_mip_forward_matches_nerf_apply_mip(rng):
+    """The fused kernel's in-kernel IPE encoder (Sv spread matmul +
+    exp damp; kernels/mlp.py mip=True) must reproduce the XLA
+    nerf_apply_mip forward bitwise-close (f32, interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.kernels.mlp import fused_mlp_forward, pack_weights
+    from nerf_simple_tpu.models.nerf import nerf_apply_mip
+
+    model = NerfMLP(Lp=6, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rows = 128
+    mean = rng.normal(0, 1, (rows, 3)).astype(np.float32)
+    var = rng.uniform(0, 0.3, (rows, 3)).astype(np.float32)
+    dirs = rng.normal(size=(rows, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    want = np.asarray(
+        nerf_apply_mip(
+            params, jnp.asarray(mean), jnp.asarray(var), jnp.asarray(dirs),
+            model,
+        )
+    )
+
+    x16 = np.zeros((16, rows), np.float32)
+    x16[0:3] = mean.T
+    x16[3:6] = dirs.T
+    x16[11:14] = var.T
+    wts = pack_weights(params, model=model)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_mlp_forward(
+                wts, jnp.asarray(x16), 128, jnp.float32, model, True
+            )
+        )
+    np.testing.assert_allclose(got[:4].T, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_mip_train_step_matches_xla_loss_and_grads(rng):
+    """pallas+mip build_train_step core vs the XLA autodiff mip loss:
+    identical edges -> matching loss and parameter gradients (f32,
+    interpret mode). Covers the interval compositing (finite deltas, no
+    1e10 tail) and the damped-posx backward in one go."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
+    from nerf_simple_tpu.models.nerf import nerf_apply_mip
+    from nerf_simple_tpu.ops.sampling import stratified_ts
+
+    B, N, tile = 8, 16, 128
+    base_radius = 0.05
+    model = NerfMLP(Lp=6, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (B, 3)), rng.normal(size=(B, 3))], -1
+        ),
+        jnp.float32,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
+    edges = stratified_ts(jax.random.PRNGKey(1), B, N + 1, 2.0, 6.0)
+
+    def xla_loss(p):
+        mean, var, t_mids = conical_gaussian(rays, edges, base_radius)
+        unit = rays[:, 3:] / jnp.linalg.norm(
+            rays[:, 3:], axis=-1, keepdims=True
+        )
+        out = nerf_apply_mip(
+            p,
+            mean.reshape(B * N, 3),
+            var.reshape(B * N, 3),
+            jnp.broadcast_to(unit[:, None, :], (B, N, 3)).reshape(B * N, 3),
+            model,
+        ).reshape(B, N, 4)
+        comp = composite_intervals(out, edges, t_mids, unit)
+        return jnp.mean((comp.rgb - gt) ** 2)
+
+    ref_loss, ref_grads = jax.value_and_grad(xla_loss)(params)
+
+    from nerf_simple_tpu.ops.sampling import frustum_moments
+
+    oT, dT = rays[:, :3].T, rays[:, 3:].T
+    n2 = jnp.sum(dT * dT, axis=0, keepdims=True)
+    unitT = dT / jnp.sqrt(n2)
+    t0, t1 = edges[:, :-1], edges[:, 1:]
+    mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, base_radius)
+    meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]
+    d2T = dT * dT
+    varT = (
+        sig_t2[None] * d2T[:, :, None]
+        + sig_r2[None] * (1.0 - d2T / n2)[:, :, None]
+    )
+    x16 = jnp.concatenate(
+        [
+            meanT,
+            jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+            (t1 - t0)[None],
+            jnp.zeros((1, B, N)),
+            jnp.broadcast_to(gt.T[:, :, None], (3, B, N)),
+            varT,
+            jnp.zeros((2, B, N)),
+        ],
+        axis=0,
+    ).reshape(16, B * N)
+
+    def kern(p):
+        wts, vjp_fn = jax.vjp(
+            lambda pp: pack_weights(pp, model=model), p
+        )
+        loss, dwts = fused_train_step(
+            wts, x16, N, tile, jnp.float32, model=model, mip=True
+        )
+        return loss, vjp_fn(dwts)[0]
+
+    with pltpu.force_tpu_interpret_mode():
+        k_loss, k_grads = kern(params)
+
+    np.testing.assert_allclose(float(k_loss), float(ref_loss), rtol=1e-4)
+    for layer in ref_grads:
+        for kk in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(k_grads[layer][kk]),
+                np.asarray(ref_grads[layer][kk]),
+                atol=1e-5,
+                rtol=2e-3,
+                err_msg=f"{layer}/{kk}",
+            )
+
+
+def test_mip_render_pallas_matches_xla(rng):
+    """render_rays(mip) with backend='pallas' (fused IPE forward + XLA
+    interval compositing) vs backend='xla': identical rgb/depth (f32,
+    interpret mode, same key -> same edges)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+
+    model = NerfMLP(Lp=6, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    B = 8
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (B, 3)), rng.normal(size=(B, 3))], -1
+        ),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(3)
+    sx = RenderSettings(N=16, mip=True, base_radius=0.04, backend="xla")
+    sp = RenderSettings(N=16, mip=True, base_radius=0.04, backend="pallas")
+    a = render_rays(params, rays, key, sx, model)
+    with pltpu.force_tpu_interpret_mode():
+        b = render_rays(params, rays, key, sp, model)
+    np.testing.assert_allclose(
+        np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.depth), np.asarray(b.depth), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_resample_edges_tracks_weight_histogram(rng):
+    """Inverse-CDF fine edges: sorted, in-bounds, and the per-interval
+    draw counts match the dilated+padded histogram's expected counts."""
+    from nerf_simple_tpu.ops.sampling import resample_edges
+
+    B, N, Nf = 4, 16, 4096
+    edges = jnp.broadcast_to(jnp.linspace(2.0, 6.0, N + 1), (B, N + 1))
+    w = np.zeros((B, N), np.float32)
+    w[:, 5] = 10.0  # one dominant interval
+    w[:, 11] = 5.0
+    out = np.asarray(
+        resample_edges(
+            jax.random.PRNGKey(0), edges, jnp.asarray(w), Nf, blur=0.01
+        )
+    )
+    assert out.shape == (B, Nf + 1)
+    assert (np.diff(out, axis=-1) >= 0).all()
+    assert (out >= 2.0 - 1e-5).all() and (out <= 6.0 + 1e-5).all()
+    # expected mass after the paper's 2-tap max dilation + padding
+    wpad = np.concatenate([w[:, :1], w, w[:, -1:]], -1)
+    wmax = np.maximum(wpad[:, :-1], wpad[:, 1:])
+    wd = 0.5 * (wmax[:, :-1] + wmax[:, 1:]) + 0.01
+    pdf = wd / wd.sum(-1, keepdims=True)
+    grid = np.asarray(edges[0])
+    for b in range(B):
+        counts, _ = np.histogram(out[b], bins=grid)
+        np.testing.assert_allclose(
+            counts / (Nf + 1), pdf[b], atol=0.02
+        )
+
+
+def test_mip_two_level_render_runs_and_differs(rng):
+    """mip_levels=2 resamples the fine pass onto the coarse histogram —
+    output shape unchanged, values differ from single-level."""
+    from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+
+    model = NerfMLP(Lp=6, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (8, 3)), rng.normal(size=(8, 3))], -1
+        ),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(1)
+    s1 = RenderSettings(N=16, mip=True, base_radius=0.05)
+    s2 = RenderSettings(N=16, mip=True, base_radius=0.05, mip_levels=2)
+    a = render_rays(params, rays, key, s1, model)
+    b = render_rays(params, rays, key, s2, model)
+    assert b.rgb.shape == (8, 3) and b.weights.shape == (8, 16)
+    assert np.isfinite(np.asarray(b.rgb)).all()
+    assert np.abs(np.asarray(a.rgb) - np.asarray(b.rgb)).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_fused_two_level_mip_matches_xla_loss_and_grads(rng):
+    """pallas mip_levels=2 core (two fused passes, shared packed
+    weights, kernel-weights resampling) vs the XLA autodiff two-level
+    loss: same key stream -> matching loss and gradients (f32,
+    interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    B = 8
+    model_kw = dict(net_Lp=6, net_Ld=2, net_H=32)
+    base = dict(
+        datapath="x", Nf=16, mip=True, mip_levels=2, batch_size=B,
+        steps_per_call=1, num_iters=1, ckpt_loss=10**9,
+        ckpt_images=10**9, ckpt_model=10**9, **model_kw,
+    )
+    from nerf_simple_tpu.models import model_from_train_config
+
+    rng_np = np.random.default_rng(7)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng_np.normal(0, 0.1, (64, 3)), rng_np.normal(size=(64, 3))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng_np.uniform(0, 1, (64, 3)), jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    losses = {}
+    states = {}
+    for backend in ("xla", "pallas"):
+        cfg = TrainConfig(backend=backend, **base)
+        model = model_from_train_config(cfg)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False, base_radius=0.05)
+        ctx = (
+            pltpu.force_tpu_interpret_mode()
+            if backend == "pallas"
+            else jax.default_matmul_precision("highest")
+        )
+        with ctx:
+            states[backend], losses[backend] = step(state, rays, pixels, key)
+    np.testing.assert_allclose(
+        np.asarray(losses["pallas"]),
+        np.asarray(losses["xla"]),
+        rtol=2e-4,
+        atol=1e-6,
+    )
+    # one optimizer step from identical grads -> near-identical params
+    a = states["xla"].params["trunk0"]["w"]
+    b = states["pallas"].params["trunk0"]["w"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 @pytest.mark.slow
 def test_mip_train_learns_and_eval_renders(tmp_path):
     """Driver e2e: mip training converges on the tiny scene and the eval
