@@ -140,6 +140,7 @@ def _make_handler(server: RenderServer):
                         "backend": server.settings.backend,
                         "occupancy": server.occ is not None,
                         "proposal": server.prop_model is not None,
+                        "mip": server.settings.mip,
                     },
                 )
                 return
@@ -200,6 +201,11 @@ def main() -> None:
     ap.add_argument("--proposal-samples", type=int, default=0,
                     help="> 0: proposal-guided sampling with this many "
                     "probes (needs a proposal-trained checkpoint)")
+    ap.add_argument("--mip", action="store_true",
+                    help="cone-cast (IPE) rendering — anti-aliased at "
+                    "any frame scale; cone radius derives from --focal")
+    ap.add_argument("--mip-levels", type=int, default=1, choices=[1, 2],
+                    help="2 = coarse+fine cone casting (shared MLP)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -217,6 +223,10 @@ def main() -> None:
     settings = RenderSettings(
         N=args.samples,
         N_prop=args.proposal_samples,
+        mip=args.mip,
+        mip_levels=args.mip_levels,
+        # pixel world-space half-width at unit distance (mip-NeRF 3.1)
+        base_radius=(2.0 / 12.0**0.5 / args.focal) if args.mip else 0.0,
         backend=args.backend,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )

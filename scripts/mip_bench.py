@@ -93,7 +93,7 @@ def aligned_rays(poses, H: int, W: int, f: float, s: int) -> jnp.ndarray:
     return jnp.concatenate([origins, world], axis=-1).reshape(-1, 6)
 
 
-def eval_scales(params, model, data, mip: bool):
+def eval_scales(params, model, data, mip: bool, mip_levels: int = 1):
     """Test-view PSNR at scales 1, 2, 4, 8 vs INTER_AREA-downsampled GT."""
     test = data.splits["test"]
     poses = jnp.asarray(test.poses[:2])
@@ -109,6 +109,7 @@ def eval_scales(params, model, data, mip: bool):
         settings = RenderSettings(
             N=128,
             mip=mip,
+            mip_levels=mip_levels,
             base_radius=(2.0 / math.sqrt(12.0) / fs) if mip else 0.0,
             tn=2.0,
             tf=6.0,
@@ -162,13 +163,27 @@ def main():
     )
     print(rows[-1], flush=True)
     p_mip, m_mip, wall_mip = train_one(
-        TrainConfig(mip=True, backend="xla", **base), rd, base_radius
+        TrainConfig(mip=True, backend="pallas", **base), rd, base_radius
     )
     rows.append(
         {
-            "config": "mip NeRF (cone casting, xla)",
+            "config": "mip NeRF (cone casting, pallas fused)",
             "train_wall_s": wall_mip,
             "psnr_by_scale": eval_scales(p_mip, m_mip, data, mip=True),
+        }
+    )
+    print(rows[-1], flush=True)
+    p_m2, m_m2, wall_m2 = train_one(
+        TrainConfig(mip=True, mip_levels=2, backend="pallas", **base),
+        rd, base_radius,
+    )
+    rows.append(
+        {
+            "config": "mip NeRF two-level (coarse+fine, shared MLP, pallas)",
+            "train_wall_s": wall_m2,
+            "psnr_by_scale": eval_scales(
+                p_m2, m_m2, data, mip=True, mip_levels=2
+            ),
         }
     )
     print(rows[-1], flush=True)

@@ -96,6 +96,34 @@ def test_health_hashgrid_and_occupancy_render():
         httpd.shutdown()
 
 
+def test_mip_serving_mode():
+    """Cone-cast serving (mip + two-level): /health reports it, frames
+    render through the interval compositing path."""
+    import cv2
+    import urllib.request as rq
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    srv = RenderServer(
+        params, 12, 16, 14.0,
+        RenderSettings(
+            N=8, mip=True, mip_levels=2, base_radius=2.0 / 12.0**0.5 / 14.0
+        ),
+        model, warmup=False,
+    )
+    httpd, url = _start(srv)
+    try:
+        with rq.urlopen(url + "/health", timeout=30) as r:
+            assert json.loads(r.read())["mip"] is True
+        with rq.urlopen(url + "/render?r=4&theta=-30", timeout=120) as r:
+            img = cv2.imdecode(
+                np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR
+            )
+        assert img.shape == (12, 16, 3)
+    finally:
+        httpd.shutdown()
+
+
 def test_proposal_serving_mode():
     """N_prop > 0 serving: {prop, fine} params, proposal-guided frames."""
     import cv2
