@@ -75,6 +75,12 @@ class TrainConfig:
     # parameters of classic hierarchical, which keeps two nets)
     mip_levels: int = 1
     mip_coarse_weight: float = 0.1
+    # mip-NeRF multiscale training (paper sec. 4): train on the union of
+    # the image pyramid at scales 1..1/8 with per-ray cone radii and
+    # footprint-area loss weights (data/dataset.py::
+    # multiscale_train_arrays) — the fix for coarse-scale rendering
+    # quality; eval any scale with test_params mip
+    mip_multiscale: bool = False
     # train-time Gaussian sigma-noise regularizer std (reference TODO at
     # utils/rendering.py:63); 0.0 = off
     sigma_noise: float = 0.0
@@ -217,6 +223,11 @@ class TrainConfig:
                         "distortion_loss_weight > 0",
                         self.distortion_loss_weight > 0,
                     ),
+                    # NDC-warped rays need the paper's appendix cylinder
+                    # parametrization, not the pinhole cone radius the
+                    # drivers derive — gate rather than silently mis-size
+                    # the frustums
+                    ("dataset=llff", self.dataset == "llff"),
                 )
                 if on
             ]
@@ -234,6 +245,22 @@ class TrainConfig:
             raise ValueError(
                 "mip_levels=2 (coarse+fine cone casting) requires mip=True"
             )
+        if self.mip_multiscale:
+            if not self.mip:
+                raise ValueError(
+                    "mip_multiscale=True (pyramid training) requires "
+                    "mip=True"
+                )
+            if self.depth_loss_weight > 0:
+                raise ValueError(
+                    "mip_multiscale is incompatible with depth supervision "
+                    "(the pyramid pixels carry no depth sidecars)"
+                )
+            if self.train_im_idxs:
+                raise ValueError(
+                    "mip_multiscale is incompatible with train_im_idxs "
+                    "(pyramid rays break the per-image H*W row mapping)"
+                )
         if self.mip_coarse_weight < 0:
             raise ValueError(
                 f"mip_coarse_weight must be >= 0, got {self.mip_coarse_weight}"
@@ -390,6 +417,12 @@ class TestConfig:
                 "mip=True (cone-cast eval) draws its own interval edges; "
                 "it excludes Nc/Np/occupancy point-resampling "
                 "(mip_levels: 2 is the cone-cast hierarchical scheme)"
+            )
+        if self.mip and self.dataset == "llff":
+            raise ValueError(
+                "mip=True is incompatible with dataset=llff: NDC-warped "
+                "rays need the cylinder frustum parametrization, not the "
+                "pinhole cone radius"
             )
         if self.mip_levels not in (1, 2):
             raise ValueError(

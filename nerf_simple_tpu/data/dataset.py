@@ -67,6 +67,63 @@ class RayDataset:
         return self.rays[split].shape[0]
 
 
+MULTISCALE_SCALES = (1, 2, 4, 8)
+
+
+def multiscale_train_arrays(
+    data: BlenderData, base_radius: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mip-NeRF multiscale training set (paper sec. 4): the union of the
+    train split's image pyramid at scales 1, 1/2, 1/4, 1/8.
+
+    Each scale contributes block-center-aligned rays
+    (ops/rays.py::rays_for_poses_scaled) against INTER_AREA-downsampled
+    gt, a per-ray cone radius ``s * base_radius`` (the 1/s-scale frame's
+    focal is f/s), and a per-ray loss weight proportional to the pixel's
+    footprint AREA (s^2, normalized to mean 1 over the union) — the
+    paper's area weighting, which stops the 64x-more-numerous full-res
+    rays from drowning the coarse scales.
+
+    Returns:
+      rays8: (N, 8) ``[origin | direction | cone_radius | loss_weight]``
+        — the mip train/render paths read columns 6..7 when present;
+        every 6-column consumer slices ``[:, :6]``.
+      pixels: (N, 3) matching gt colors.
+    """
+    import cv2
+    import numpy as np
+
+    split = data.splits["train"]
+    poses = jnp.asarray(split.poses)
+    imgs = np.asarray(split.images)
+    rays_l, pix_l, rad_l, w_l = [], [], [], []
+    for s in MULTISCALE_SCALES:
+        Hs, Ws = data.H // s, data.W // s
+        from nerf_simple_tpu.ops.rays import rays_for_poses_scaled
+
+        r = rays_for_poses_scaled(poses, data.H, data.W, data.f, s)
+        if s == 1:
+            gt = imgs.reshape(-1, 3)
+        else:
+            gt = np.stack(
+                [
+                    cv2.resize(im, (Ws, Hs), interpolation=cv2.INTER_AREA)
+                    for im in imgs
+                ]
+            ).reshape(-1, 3)
+        n = r.shape[0]
+        rays_l.append(r)
+        pix_l.append(jnp.asarray(gt, jnp.float32))
+        rad_l.append(jnp.full((n, 1), s * base_radius, jnp.float32))
+        w_l.append(jnp.full((n, 1), float(s * s), jnp.float32))
+    w = jnp.concatenate(w_l)
+    w = w / jnp.mean(w)
+    rays8 = jnp.concatenate(
+        [jnp.concatenate(rays_l), jnp.concatenate(rad_l), w], axis=-1
+    )
+    return rays8, jnp.concatenate(pix_l)
+
+
 def apply_dataset_bounds(cfg, data):
     """Return ``cfg`` with tn/tf matched to the dataset's sampling space.
 

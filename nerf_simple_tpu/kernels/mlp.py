@@ -813,10 +813,23 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
     gt_ray = dotT(jnp.where(rows_i < 3, gt8 * head, 0.0), ST)
 
     err = rgb_ray - gt_ray  # (8, R), rows 0..2 valid
-    loss_tile = jnp.sum(err * err) * scale
+    if mip:
+        # per-ray loss weight rides x16 row 14 (1.0 except multiscale
+        # training, where it is the pixel's footprint area weight)
+        lw = x16[14:15, :]
+        wr = dotT(
+            jnp.where(
+                rows_i < 3, jnp.broadcast_to(lw * head, (8, tile)), 0.0
+            ),
+            ST,
+        )  # (8, R) rows 0..2 = w_ray
+        loss_tile = jnp.sum(wr * err * err) * scale
+        d_rgb_ray = 2.0 * scale * wr * err  # rows 0..2
+    else:
+        loss_tile = jnp.sum(err * err) * scale
 
-    # --- loss gradient back to per-sample rgb/sigma ---
-    d_rgb_ray = 2.0 * scale * err  # rows 0..2
+        # --- loss gradient back to per-sample rgb/sigma ---
+        d_rgb_ray = 2.0 * scale * err  # rows 0..2
     d_rgb_b = jax.lax.dot_general(  # (8, R) @ (R, tile) -> (8, tile)
         d_rgb_ray, ST, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -881,7 +894,8 @@ def fused_train_step(
         B*N must be a multiple of tile_rows and tile_rows of N.
         With ``mip=True``: rows 0..2 frustum Gaussian means, 6 the true
         interval widths t1-t0 (composited directly — no 1e10 tail),
-        11..13 diagonal variances (IPE encoder), 14..15 zero
+        11..13 diagonal variances (IPE encoder), 14 per-ray loss weight
+        (1.0 except multiscale training), 15 zero
         (train/step.py::_build_x16_mip).
       N: samples per ray.
       out_weights: also return the per-sample compositing weights (B, N)

@@ -65,6 +65,42 @@ def rays_for_poses(poses: jnp.ndarray, H: int, W: int, f: float) -> jnp.ndarray:
     return jnp.concatenate([origins, world_dirs], axis=-1).reshape(-1, 6)
 
 
+def rays_for_poses_scaled(
+    poses: jnp.ndarray, H: int, W: int, f: float, s: int
+) -> jnp.ndarray:
+    """Rays for a 1/s-scale render whose pixel centers ALIGN with the
+    INTER_AREA block centers of the full-res integer-centered grid.
+
+    ``rays_for_poses(poses, H//s, W//s, f/s)`` keeps the reference's
+    integer-centered convention at the low resolution, which lands
+    (s-1)/2 full-res pixels away from the center of the s x s block an
+    area-downsample averages — a systematic half-block shear worth
+    several dB at s >= 4. Here low-res pixel i samples full-res
+    coordinate ``s*i + (s-1)/2``, the exact block center. Used by the
+    multiscale mip training pyramid and the multi-scale benchmark.
+
+    Returns (P * (H//s) * (W//s), 6), camera-major then row-major.
+    """
+    if s == 1:
+        return rays_for_poses(poses, H, W, f)
+    Hs, Ws = H // s, W // s
+    dtype = poses.dtype
+    rows = jnp.arange(Hs, dtype=dtype) * s + (s - 1) / 2.0 - H // 2
+    cols = jnp.arange(Ws, dtype=dtype) * s + (s - 1) / 2.0 - W // 2
+    x = jnp.broadcast_to(cols[None, :] / f, (Hs, Ws))
+    y = jnp.broadcast_to(-rows[:, None] / f, (Hs, Ws))
+    z = -jnp.ones((Hs, Ws), dtype=dtype)
+    cam_dirs = jnp.stack([x, y, z], axis=-1).reshape(Hs * Ws, 3)
+    world_dirs = jnp.einsum(
+        "pij,nj->pni",
+        poses[:, :3, :3],
+        cam_dirs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    origins = jnp.broadcast_to(poses[:, None, :3, 3], world_dirs.shape)
+    return jnp.concatenate([origins, world_dirs], axis=-1).reshape(-1, 6)
+
+
 def ndc_rays(
     rays: jnp.ndarray, H: int, W: int, f: float, near: float = 1.0
 ) -> jnp.ndarray:

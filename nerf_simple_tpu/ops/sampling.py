@@ -257,8 +257,10 @@ def frustum_moments(
     (train/step.py::_build_x16_mip).
 
     Args: t0/t1 (..., N) interval edges; base_radius cone growth per
-    unit t. Returns (mu_t, sig_t2, sig_r2), all (..., N): along-ray
-    mean/variance and perpendicular variance.
+    unit t — a scalar or any array broadcastable against t0 (e.g.
+    (B, 1) per-ray radii for multiscale training). Returns
+    (mu_t, sig_t2, sig_r2), all (..., N): along-ray mean/variance and
+    perpendicular variance.
     """
     t_mu = 0.5 * (t0 + t1)
     t_d = 0.5 * (t1 - t0)
@@ -295,16 +297,17 @@ def conical_gaussian(
     the whole thing into the encoder's operand producer.
 
     Args:
-      rays: (B, 6) packed ``[origin | direction]`` (direction
-        unnormalized — the cone lives in the same t-units as sampling).
+      rays: (B, >=6) packed ``[origin | direction | ...]`` (direction
+        unnormalized — the cone lives in the same t-units as sampling;
+        columns past 6 are ignored here).
       t_edges: (B, N+1) ascending interval edges.
-      base_radius: cone radius growth per unit t.
+      base_radius: cone radius growth per unit t (scalar or (B, 1)).
 
     Returns:
       means (B, N, 3), vars (B, N, 3), t_mids (B, N) — the frustum
       Gaussian centers' distances along the ray (mu_t).
     """
-    origins, d = rays[:, :3], rays[:, 3:]
+    origins, d = rays[:, :3], rays[:, 3:6]
     t0, t1 = t_edges[:, :-1], t_edges[:, 1:]
     mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, base_radius)
     means = origins[:, None, :] + d[:, None, :] * mu_t[..., None]

@@ -166,8 +166,13 @@ def _render_mip(
         "integrated form)"
     )
     B, N = rays.shape[0], settings.N
-    dirs = rays[:, 3:]
+    dirs = rays[:, 3:6]
     unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # 8-column rays (multiscale training) carry a per-ray cone radius in
+    # column 6, overriding the per-frame scalar
+    radius = (
+        rays[:, 6:7] if rays.shape[1] >= 7 else settings.base_radius
+    )
 
     def one_level(edges, nk):
         if settings.backend == "pallas":
@@ -175,7 +180,7 @@ def _render_mip(
             # mip=True); interval compositing stays in XLA like the
             # point eval path
             outT, t_mids = _fused_mlp_bn_mip(
-                params, rays, edges, settings, model
+                params, rays, edges, settings, model, radius
             )
             if nk is not None and settings.sigma_noise > 0:
                 noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
@@ -184,9 +189,7 @@ def _render_mip(
                 jnp.moveaxis(outT, 0, -1), edges, t_mids, unit_dirs
             )
 
-        means, vars_, t_mids = conical_gaussian(
-            rays, edges, settings.base_radius
-        )
+        means, vars_, t_mids = conical_gaussian(rays, edges, radius)
         rows = B * N
         q = jnp.concatenate(
             [
@@ -293,12 +296,15 @@ def _fused_mlp_bn_mip(
     edges: jnp.ndarray,
     settings: RenderSettings,
     model: NerfMLP,
+    radius=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``_fused_mlp_bn`` for the mip path: frustum Gaussian moments
     (ops/sampling.py::frustum_moments) built directly in the kernel's
     feature-major (16, B*N) layout — means rows 0..2, unit dirs 3..5,
     diagonal variances 11..13 — evaluated by the fused kernel's IPE
-    encoder. Returns ((4, B, N) rgb/sigma, (B, N) frustum centers)."""
+    encoder. ``radius`` is the scalar or (B, 1) per-ray cone radius
+    (default: settings.base_radius). Returns ((4, B, N) rgb/sigma,
+    (B, N) frustum centers)."""
     from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights, supported
     from nerf_simple_tpu.ops.sampling import frustum_moments
 
@@ -306,13 +312,15 @@ def _fused_mlp_bn_mip(
         f"pallas backend needs H % 16 == 0, H >= 16 (got {model}); "
         "use backend='xla' for other architectures"
     )
+    if radius is None:
+        radius = settings.base_radius
     B, N = edges.shape[0], edges.shape[1] - 1
     oT = rays[:, :3].T
-    dT = rays[:, 3:].T
+    dT = rays[:, 3:6].T
     n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
     unitT = dT / jnp.sqrt(n2)
     mu_t, sig_t2, sig_r2 = frustum_moments(
-        edges[:, :-1], edges[:, 1:], settings.base_radius
+        edges[:, :-1], edges[:, 1:], radius
     )
     meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
     d2T = dT * dT

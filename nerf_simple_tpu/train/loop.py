@@ -98,6 +98,15 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     rd = RayDataset.from_blender(data)
     rays = rd.rays["train"]
     pixels = rd.pixels["train"]
+    if cfg.mip_multiscale:
+        # pyramid union with per-ray cone radii + area loss weights
+        # (rays columns 6..7); eval/checkpoint surfaces are untouched —
+        # the pyramid exists only in the train sampler's ray pool
+        from nerf_simple_tpu.data.dataset import multiscale_train_arrays
+
+        rays, pixels = multiscale_train_arrays(
+            data, 2.0 / math.sqrt(12.0) / rd.f
+        )
     if cfg.depth_loss_weight > 0:
         # depth supervision: metric GT depth rides as a 4th pixel channel
         # so the sampler/step signatures are unchanged (step.py splits it)

@@ -277,9 +277,10 @@ def build_train_step(
             out_c, out_f = _render_mip(
                 params, rays_b, key, settings, model, nk, return_coarse=True
             )
+            lw = rays_b[:, 7:8] if rays_b.shape[-1] >= 8 else 1.0
             loss = cfg.mip_coarse_weight * jnp.mean(
-                (out_c.rgb - pix_b) ** 2
-            ) + jnp.mean((out_f.rgb - pix_b) ** 2)
+                lw * (out_c.rgb - pix_b) ** 2
+            ) + jnp.mean(lw * (out_f.rgb - pix_b) ** 2)
             if gt_d is not None:
                 loss = loss + cfg.depth_loss_weight * _depth_term(out_f, gt_d)
             return loss
@@ -294,7 +295,11 @@ def build_train_step(
                 key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
             )
         out = render_rays(params, rays_b, key, settings, model, ts=ts)
-        loss = jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
+        if cfg.mip and rays_b.shape[-1] >= 8:
+            # multiscale: footprint-area loss weight rides ray column 7
+            loss = jnp.mean(rays_b[:, 7:8] * (out.rgb - pix_b) ** 2)
+        else:
+            loss = jnp.mean((out.rgb - pix_b) ** 2)  # raw-color MSE, train.py:52
         if gt_d is not None:
             loss = loss + cfg.depth_loss_weight * _depth_term(out, gt_d)
         if cfg.distortion_loss_weight > 0:
@@ -336,19 +341,29 @@ def build_train_step(
     def _build_x16_mip(rays_b, edges, pix_b):
         """Feature-major x16 for the mip fused kernel: frustum Gaussian
         means on rows 0..2, interval widths on row 6, diagonal variances
-        on rows 11..13 (ops/sampling.py::frustum_moments math, built
-        directly in the kernel's (16, B*N) layout — no (B, N, 3)
-        intermediates to re-transpose)."""
+        on rows 11..13, per-ray loss weight on row 14
+        (ops/sampling.py::frustum_moments math, built directly in the
+        kernel's (16, B*N) layout — no (B, N, 3) intermediates to
+        re-transpose). 8-column rays (mip_multiscale) carry a per-ray
+        cone radius in column 6 and the footprint loss weight in
+        column 7; 6-column rays use the closure's scalar base_radius and
+        weight 1."""
         from nerf_simple_tpu.ops.sampling import frustum_moments
 
         B = rays_b.shape[0]
         N = edges.shape[1] - 1
         oT = rays_b[:, :3].T  # (3, B)
-        dT = rays_b[:, 3:].T
+        dT = rays_b[:, 3:6].T
+        if rays_b.shape[1] >= 8:
+            radius = rays_b[:, 6][:, None]  # (B, 1) -> broadcast (B, N)
+            lw = jnp.broadcast_to(rays_b[:, 7][:, None], (B, N))
+        else:
+            radius = base_radius
+            lw = jnp.ones((B, N), rays_b.dtype)
         n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
         unitT = dT / jnp.sqrt(n2)
         t0, t1 = edges[:, :-1], edges[:, 1:]  # (B, N)
-        mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, base_radius)
+        mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, radius)
         meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
         d2T = dT * dT  # (3, B)
         varT = (
@@ -363,7 +378,8 @@ def build_train_step(
                 jnp.zeros((1, B, N), rays_b.dtype),
                 jnp.broadcast_to(pix_b.T[:, :, None], (3, B, N)),
                 varT,
-                jnp.zeros((2, B, N), rays_b.dtype),
+                lw[None],
+                jnp.zeros((1, B, N), rays_b.dtype),
             ],
             axis=0,
         ).reshape(16, B * N)

@@ -64,33 +64,7 @@ def train_one(cfg, rd, base_radius):
     return state.params, model, round(wall, 1)
 
 
-def aligned_rays(poses, H: int, W: int, f: float, s: int) -> jnp.ndarray:
-    """Rays for a 1/s-scale render whose pixel centers ALIGN with the
-    INTER_AREA block centers of the full-res grid.
-
-    ``rays_for_poses(poses, H//s, W//s, f/s)`` keeps the integer-centered
-    convention at the low resolution, which lands (s-1)/2 full-res pixels
-    away from the center of the s x s block that INTER_AREA averages —
-    a systematic half-block shear that costs several dB at s >= 4 for ANY
-    model and would swamp the aliasing signal this benchmark measures.
-    Here the low-res pixel i samples full-res coordinate s*i + (s-1)/2,
-    the exact block center.
-    """
-    Hs, Ws = H // s, W // s
-    rows = np.arange(Hs) * s + (s - 1) / 2.0 - H // 2
-    cols = np.arange(Ws) * s + (s - 1) / 2.0 - W // 2
-    x = np.broadcast_to(cols[None, :] / f, (Hs, Ws))
-    y = np.broadcast_to(-rows[:, None] / f, (Hs, Ws))
-    z = -np.ones((Hs, Ws))
-    cam = jnp.asarray(
-        np.stack([x, y, z], axis=-1).reshape(Hs * Ws, 3), jnp.float32
-    )
-    world = jnp.einsum(
-        "pij,nj->pni", poses[:, :3, :3], cam,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    origins = jnp.broadcast_to(poses[:, None, :3, 3], world.shape)
-    return jnp.concatenate([origins, world], axis=-1).reshape(-1, 6)
+from nerf_simple_tpu.ops.rays import rays_for_poses_scaled as aligned_rays  # noqa: E402
 
 
 def eval_scales(params, model, data, mip: bool, mip_levels: int = 1):

@@ -271,7 +271,8 @@ def test_fused_mip_train_step_matches_xla_loss_and_grads(rng):
             jnp.zeros((1, B, N)),
             jnp.broadcast_to(gt.T[:, :, None], (3, B, N)),
             varT,
-            jnp.zeros((2, B, N)),
+            jnp.ones((1, B, N)),  # row 14: per-ray loss weight
+            jnp.zeros((1, B, N)),
         ],
         axis=0,
     ).reshape(16, B * N)
@@ -439,6 +440,99 @@ def test_fused_two_level_mip_matches_xla_loss_and_grads(rng):
     a = states["xla"].params["trunk0"]["w"]
     b = states["pallas"].params["trunk0"]["w"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_multiscale_train_arrays_layout():
+    """Pyramid union: row counts per scale, per-ray radii s*base, area
+    weights proportional to s^2 with mean 1, block-center ray alignment
+    at scale 2 (the mean of a 2x2 full-res dir block)."""
+    from nerf_simple_tpu.data.dataset import (
+        RayDataset,
+        multiscale_train_arrays,
+    )
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        scene = os.path.join(td, "scene")
+        write_blender_scene(scene, n_train=2, n_val=1, n_test=1, H=16, W=16)
+        from nerf_simple_tpu.data.blender import load_blender
+
+        data = load_blender(scene, half_res=False)
+    base = 0.01
+    rays8, pixels = multiscale_train_arrays(data, base)
+    P, HW = 2, 16 * 16
+    n_expect = P * (HW + HW // 4 + HW // 16 + HW // 64)
+    assert rays8.shape == (n_expect, 8)
+    assert pixels.shape == (n_expect, 3)
+    r = np.asarray(rays8)
+    # per-scale blocks in order 1, 2, 4, 8
+    ofs = 0
+    for s in (1, 2, 4, 8):
+        n_s = P * HW // (s * s)
+        blk = r[ofs : ofs + n_s]
+        np.testing.assert_allclose(blk[:, 6], s * base, rtol=1e-6)
+        ofs += n_s
+    w = r[:, 7]
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-5)
+    # area weighting: scale-8 rays weigh 64x scale-1 rays
+    np.testing.assert_allclose(w[-1] / w[0], 64.0, rtol=1e-5)
+    # alignment: the first scale-2 ray dir is the mean of the first
+    # full-res 2x2 block's dirs (linear map of the block-center coord)
+    full = r[: P * HW, 3:6].reshape(P, 16, 16, 3)
+    half = r[P * HW : P * HW + P * HW // 4, 3:6].reshape(P, 8, 8, 3)
+    np.testing.assert_allclose(
+        half[0, 0, 0], full[0, :2, :2].mean((0, 1)), atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_multiscale_fused_matches_xla(rng):
+    """8-column rays (per-ray radius + footprint loss weight): the fused
+    kernel's weighted loss (x16 row 14) must match the XLA weighted MSE,
+    gradients included (via one optimizer step)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    base = dict(
+        datapath="x", Nf=16, mip=True, mip_multiscale=True, batch_size=8,
+        steps_per_call=1, num_iters=1, net_Lp=6, net_Ld=2, net_H=32,
+        ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+    )
+    rng_np = np.random.default_rng(11)
+    n = 64
+    rays6 = np.concatenate(
+        [rng_np.normal(0, 0.1, (n, 3)), rng_np.normal(size=(n, 3))], -1
+    )
+    radii = rng_np.uniform(0.01, 0.3, (n, 1))
+    lw = rng_np.uniform(0.2, 4.0, (n, 1))
+    rays8 = jnp.asarray(
+        np.concatenate([rays6, radii, lw], -1), jnp.float32
+    )
+    pixels = jnp.asarray(rng_np.uniform(0, 1, (n, 3)), jnp.float32)
+    key = jax.random.PRNGKey(13)
+
+    losses = {}
+    for backend in ("xla", "pallas"):
+        cfg = TrainConfig(backend=backend, **base)
+        model = model_from_train_config(cfg)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False, base_radius=0.05)
+        ctx = (
+            pltpu.force_tpu_interpret_mode()
+            if backend == "pallas"
+            else jax.default_matmul_precision("highest")
+        )
+        with ctx:
+            _, losses[backend] = step(state, rays8, pixels, key)
+    np.testing.assert_allclose(
+        np.asarray(losses["pallas"]),
+        np.asarray(losses["xla"]),
+        rtol=2e-4,
+        atol=1e-6,
+    )
 
 
 @pytest.mark.slow
