@@ -409,3 +409,39 @@ def test_hash_fwd_mode_training(small_model):
 
     with pytest.raises(ValueError, match="hash_fwd_mode"):
         TC(datapath="", hash_fwd_mode="bogus")
+
+
+def test_proposal_hashgrid_combo_trains():
+    """model_family=hashgrid + proposal=true (the nerfacto-style combo):
+    the tiny PE-MLP proposal places the hash field's samples; the
+    {prop, fine} param dict trains with finite decreasing losses. (Note
+    the TUNED hashgrid preset uses occupancy placement instead — an EMA
+    grid is cheaper than proposal probes at hashgrid's small Nf; this
+    test pins that the combo keeps working for users who choose it.)"""
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    cfg = TrainConfig(
+        datapath="", model_family="hashgrid", backend="xla",
+        proposal=True, Np=8, prop_Lp=4, prop_D=2, prop_H=16,
+        batch_size=128, Nf=16, num_iters=40, steps_per_call=20,
+        honor_lr_init=True, lr_init=5e-3, lr_final=5e-4,
+        hash_L=2, hash_F=2, hash_log2_T=8, hash_Nmin=4, hash_Nmax=8,
+        hash_H=16,
+    )
+    model = model_from_train_config(cfg)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step = build_train_step(cfg, model, donate=False)
+    k = jax.random.PRNGKey(5)
+    o = jax.random.normal(jax.random.fold_in(k, 0), (256, 3)) * 0.1
+    d = jax.random.normal(jax.random.fold_in(k, 1), (256, 3))
+    rays = jnp.concatenate([o, d], axis=1)
+    pixels = jax.nn.sigmoid(
+        jax.random.normal(jax.random.fold_in(k, 2), (256, 3))
+    )
+    state, l0 = step(state, rays, pixels, jax.random.fold_in(k, 0))
+    state, l1 = step(state, rays, pixels, jax.random.fold_in(k, 1))
+    assert set(state.params) == {"prop", "fine"}
+    assert bool(jnp.isfinite(l1).all())
+    assert float(l1[-1]) < float(l0[0])

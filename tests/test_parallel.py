@@ -135,6 +135,35 @@ def test_sharded_render_image_equivalence():
     )
 
 
+def test_sharded_mip_render_image_equivalence():
+    """Cone-cast (two-level) eval with rays sharded over 8 devices
+    matches the single-device render — the stratified edge draw and the
+    fine-edge resampling both partition cleanly over the ray axis."""
+    from nerf_simple_tpu.models.nerf import init_nerf_params
+    from nerf_simple_tpu.render.renderer import RenderSettings, render_rays
+
+    model = NerfMLP(H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rays = jax.random.normal(jax.random.PRNGKey(1), (256, 6))
+    key = jax.random.PRNGKey(2)
+    settings = RenderSettings(
+        N=16, mip=True, mip_levels=2, base_radius=0.03
+    )
+
+    out1 = render_rays(params, rays, key, settings, model)
+
+    mesh = make_mesh()
+    rays_sharded = shard_batch(mesh, rays)
+    params_rep = jax.device_put(params, replicated_sharding(mesh))
+    out8 = jax.jit(
+        lambda p, r, k: render_rays(p, r, k, settings, model).rgb
+    )(params_rep, rays_sharded, key)
+
+    np.testing.assert_allclose(
+        np.asarray(out1.rgb), np.asarray(out8), atol=1e-5
+    )
+
+
 def test_graft_entry_fn_jits():
     import __graft_entry__ as ge
 
