@@ -223,11 +223,6 @@ class TrainConfig:
                         "distortion_loss_weight > 0",
                         self.distortion_loss_weight > 0,
                     ),
-                    # NDC-warped rays need the paper's appendix cylinder
-                    # parametrization, not the pinhole cone radius the
-                    # drivers derive — gate rather than silently mis-size
-                    # the frustums
-                    ("dataset=llff", self.dataset == "llff"),
                 )
                 if on
             ]
@@ -260,6 +255,12 @@ class TrainConfig:
                 raise ValueError(
                     "mip_multiscale is incompatible with train_im_idxs "
                     "(pyramid rays break the per-image H*W row mapping)"
+                )
+            if self.dataset != "blender":
+                raise ValueError(
+                    "mip_multiscale needs dataset=blender (the pyramid "
+                    "builder downsamples pinhole frames); LLFF mip uses "
+                    "per-ray radii instead"
                 )
         if self.mip_coarse_weight < 0:
             raise ValueError(
@@ -417,12 +418,6 @@ class TestConfig:
                 "mip=True (cone-cast eval) draws its own interval edges; "
                 "it excludes Nc/Np/occupancy point-resampling "
                 "(mip_levels: 2 is the cone-cast hierarchical scheme)"
-            )
-        if self.mip and self.dataset == "llff":
-            raise ValueError(
-                "mip=True is incompatible with dataset=llff: NDC-warped "
-                "rays need the cylinder frustum parametrization, not the "
-                "pinhole cone radius"
             )
         if self.mip_levels not in (1, 2):
             raise ValueError(

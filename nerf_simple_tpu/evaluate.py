@@ -154,13 +154,31 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
 
     cfg = apply_dataset_bounds(cfg, data)
     rd = RayDataset.from_blender(data)
+    is_llff_ndc = cfg.dataset == "llff" and bool(getattr(data, "ndc", False))
     settings = dataclasses.replace(
         settings,
         tn=cfg.tn,
         tf=cfg.tf,
-        # mip cone radius from the eval frame's focal (2/sqrt(12)/f)
+        # mip cone radius from the eval frame's focal (2/sqrt(12)/f);
+        # LLFF rays override it per ray (column 6) and NDC casts cylinders
         base_radius=(2.0 / 12.0**0.5 / rd.f) if cfg.mip else 0.0,
+        mip_shape="cylinder" if is_llff_ndc else "cone",
     )
+    eval_rays = rd.rays
+    if cfg.mip and cfg.dataset == "llff":
+        from nerf_simple_tpu.ops.rays import mip_ray_radii
+
+        eval_rays = {
+            k: jnp.concatenate(
+                [
+                    v,
+                    mip_ray_radii(v, rd.H, rd.W, is_llff_ndc)[:, None],
+                    jnp.ones((v.shape[0], 1), v.dtype),
+                ],
+                axis=-1,
+            )
+            for k, v in rd.rays.items()
+        }
 
     if cfg.animation:
         if cfg.dataset == "llff":
@@ -204,7 +222,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     for idx in cfg.im_idxs:
         rgb, disp = render_image(
             params,
-            rd.rays[cfg.im_set],
+            eval_rays[cfg.im_set],
             rd.H,
             rd.W,
             idx,

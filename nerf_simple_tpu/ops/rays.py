@@ -101,6 +101,33 @@ def rays_for_poses_scaled(
     return jnp.concatenate([origins, world_dirs], axis=-1).reshape(-1, 6)
 
 
+def mip_ray_radii(
+    rays: jnp.ndarray, H: int, W: int, use_origins: bool
+) -> jnp.ndarray:
+    """Per-ray mip radii from neighboring-pixel spacing (the mip-NeRF
+    datasets.py convention): the distance between pixel i and its
+    x-neighbor's ray, times 2/sqrt(12) (the base of an isoceles triangle
+    matching a unit-width pixel's variance).
+
+    For NDC-warped rays pixel offsets live in the ORIGINS (rays start on
+    the near plane; use_origins=True, paired with cylinder moments); for
+    unwarped rays they live in the DIRECTIONS (use_origins=False, cone
+    moments). For an ideal pinhole grid the direction spacing is exactly
+    1/f everywhere, recovering the Blender drivers' scalar
+    ``2/sqrt(12)/f``.
+
+    Args: rays (P*H*W, >=6) camera-major row-major. Returns (P*H*W,).
+    """
+    P = rays.shape[0] // (H * W)
+    v = rays[:, :3] if use_origins else rays[:, 3:6]
+    g = v.reshape(P, H, W, 3)
+    dx = jnp.sqrt(
+        jnp.sum((g[:, :, :-1, :] - g[:, :, 1:, :]) ** 2, axis=-1)
+    )  # (P, H, W-1)
+    dx = jnp.concatenate([dx, dx[:, :, -1:]], axis=2)
+    return (dx * (2.0 / jnp.sqrt(12.0))).reshape(-1)
+
+
 def ndc_rays(
     rays: jnp.ndarray, H: int, W: int, f: float, near: float = 1.0
 ) -> jnp.ndarray:

@@ -275,12 +275,44 @@ def frustum_moments(
     return mu_t, sig_t2, sig_r2
 
 
+def cylinder_moments(
+    t0: jnp.ndarray, t1: jnp.ndarray, radius
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-interval CYLINDER Gaussian moments (mip-NeRF
+    cylinder_to_gaussian): the ray shape for NDC-warped LLFF rays, whose
+    cross-section does not grow with t (the NDC warp absorbs
+    perspective). radius is constant along the ray — a scalar or (B, 1)
+    per-ray array (neighbor-pixel spacing, ops/rays.py::mip_ray_radii).
+
+    Returns (mu_t, sig_t2, sig_r2), all broadcast to t0's shape.
+    """
+    mu_t = 0.5 * (t0 + t1)
+    sig_t2 = (t1 - t0) ** 2 / 12.0
+    sig_r2 = (radius**2 / 4.0) * jnp.ones_like(t0)
+    return mu_t, sig_t2, sig_r2
+
+
+def interval_moments(
+    t0: jnp.ndarray, t1: jnp.ndarray, radius, shape: str = "cone"
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dispatch: ``shape`` is "cone" (pinhole cameras — frustum radius
+    grows with t) or "cylinder" (NDC-warped rays)."""
+    if shape == "cylinder":
+        return cylinder_moments(t0, t1, radius)
+    assert shape == "cone", shape
+    return frustum_moments(t0, t1, radius)
+
+
 def conical_gaussian(
-    rays: jnp.ndarray, t_edges: jnp.ndarray, base_radius: float
+    rays: jnp.ndarray,
+    t_edges: jnp.ndarray,
+    base_radius: float,
+    shape: str = "cone",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gaussian approximation of the conical frustums between sample
     edges (mip-NeRF, Barron et al. 2021, eqn. 7 — the numerically stable
-    reparameterization).
+    reparameterization). ``shape="cylinder"`` switches to the NDC
+    cylinder moments (see ``cylinder_moments``).
 
     Each pixel's ray is widened into a cone of radius ``base_radius * t``
     (for the framework's unnormalized-direction convention the per-frame
@@ -309,7 +341,7 @@ def conical_gaussian(
     """
     origins, d = rays[:, :3], rays[:, 3:6]
     t0, t1 = t_edges[:, :-1], t_edges[:, 1:]
-    mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, base_radius)
+    mu_t, sig_t2, sig_r2 = interval_moments(t0, t1, base_radius, shape)
     means = origins[:, None, :] + d[:, None, :] * mu_t[..., None]
     d2 = d**2
     n2 = jnp.sum(d2, axis=-1, keepdims=True)

@@ -70,6 +70,10 @@ class RenderSettings:
     # 2 = full mip-NeRF: shared-MLP coarse render -> resampled fine
     # edges (ops/sampling.py::resample_edges) -> fine render
     mip_levels: int = 1
+    # "cone" (pinhole frames) or "cylinder" (NDC-warped LLFF rays, whose
+    # cross-section doesn't grow with t; pairs with per-ray radii in ray
+    # column 6 — ops/rays.py::mip_ray_radii)
+    mip_shape: str = "cone"
     compute_dtype: Any = jnp.float32
     # Max sample rows per MLP call; larger batches are lax.map'd in equal
     # chunks. Identical math — purely a program-structure knob: a single
@@ -189,7 +193,9 @@ def _render_mip(
                 jnp.moveaxis(outT, 0, -1), edges, t_mids, unit_dirs
             )
 
-        means, vars_, t_mids = conical_gaussian(rays, edges, radius)
+        means, vars_, t_mids = conical_gaussian(
+            rays, edges, radius, settings.mip_shape
+        )
         rows = B * N
         q = jnp.concatenate(
             [
@@ -306,7 +312,7 @@ def _fused_mlp_bn_mip(
     (default: settings.base_radius). Returns ((4, B, N) rgb/sigma,
     (B, N) frustum centers)."""
     from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights, supported
-    from nerf_simple_tpu.ops.sampling import frustum_moments
+    from nerf_simple_tpu.ops.sampling import interval_moments
 
     assert supported(model), (
         f"pallas backend needs H % 16 == 0, H >= 16 (got {model}); "
@@ -319,8 +325,8 @@ def _fused_mlp_bn_mip(
     dT = rays[:, 3:6].T
     n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
     unitT = dT / jnp.sqrt(n2)
-    mu_t, sig_t2, sig_r2 = frustum_moments(
-        edges[:, :-1], edges[:, 1:], radius
+    mu_t, sig_t2, sig_r2 = interval_moments(
+        edges[:, :-1], edges[:, 1:], radius, settings.mip_shape
     )
     meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
     d2T = dT * dT
@@ -697,10 +703,11 @@ def render_rays_chunked(
     # REAL ray instead (keeps the normalize finite, and keeps occ probe
     # GROUPS that straddle the real/pad boundary centered on a real ray
     # rather than a synthetic one — results are stripped anyway).
+    C = rays.shape[1]  # 6, or 8 with per-ray mip radius/weight columns
     if pad:
-        rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, 6)))
+        rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, C)))
     run = _chunked_render_fn(settings, model, chunk, mesh, prop_model)
-    rays_chunks = rays_p.reshape(n_chunks, chunk, 6)
+    rays_chunks = rays_p.reshape(n_chunks, chunk, C)
     idxs = jnp.arange(n_chunks)
     if multihost:
         # host numpy in (identical on every process -> jax uploads each
@@ -890,6 +897,20 @@ def render_orbit_video(
         from nerf_simple_tpu.ops.rays import ndc_rays
 
         rays_all = ndc_rays(rays_all, H, W, f, near=ndc_near)
+    if settings.mip and apply_ndc:
+        # NDC mip animation: per-ray cylinder radii from the warped
+        # origins' neighbor spacing, same as the training rays
+        from nerf_simple_tpu.ops.rays import mip_ray_radii
+
+        radii = mip_ray_radii(rays_all, H, W, use_origins=True)
+        rays_all = jnp.concatenate(
+            [
+                rays_all,
+                radii[:, None],
+                jnp.ones((rays_all.shape[0], 1), rays_all.dtype),
+            ],
+            axis=-1,
+        )
     n = H * W
     os.makedirs(savepath or ".", exist_ok=True)
     out_path = os.path.join(

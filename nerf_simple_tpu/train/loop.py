@@ -107,6 +107,18 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         rays, pixels = multiscale_train_arrays(
             data, 2.0 / math.sqrt(12.0) / rd.f
         )
+    elif cfg.mip and cfg.dataset == "llff":
+        # LLFF mip: per-ray radii from neighbor-pixel spacing (NDC rays
+        # carry pixel offsets in their origins and cast cylinders)
+        import jax.numpy as jnp
+
+        from nerf_simple_tpu.ops.rays import mip_ray_radii
+
+        radii = mip_ray_radii(rays, rd.H, rd.W, use_origins=cfg.ndc)
+        rays = jnp.concatenate(
+            [rays, radii[:, None], jnp.ones((rays.shape[0], 1), rays.dtype)],
+            axis=-1,
+        )
     if cfg.depth_loss_weight > 0:
         # depth supervision: metric GT depth rides as a 4th pixel channel
         # so the sampler/step signatures are unchanged (step.py splits it)
@@ -173,6 +185,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         N_prop=cfg.Np if cfg.proposal else 0,
         mip=cfg.mip,
         mip_levels=cfg.mip_levels,
+        mip_shape="cylinder" if (cfg.dataset == "llff" and cfg.ndc) else "cone",
         base_radius=base_radius,
         tn=cfg.tn,
         tf=cfg.tf,
@@ -182,6 +195,25 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         occ_floor=cfg.occ_floor,
         occ_aabb=cfg.occ_aabb,
     )
+
+    eval_rays = rd.rays
+    if cfg.mip and cfg.dataset == "llff":
+        # eval renders need the same per-ray radii as training
+        import jax.numpy as jnp
+
+        from nerf_simple_tpu.ops.rays import mip_ray_radii
+
+        eval_rays = {
+            k: jnp.concatenate(
+                [
+                    v,
+                    mip_ray_radii(v, rd.H, rd.W, cfg.ndc)[:, None],
+                    jnp.ones((v.shape[0], 1), v.dtype),
+                ],
+                axis=-1,
+            )
+            for k, v in rd.rays.items()
+        }
 
     def render_and_log(split: str, ii: int, i: int) -> None:
         n_split = rd.split_size(split) // (rd.H * rd.W)
@@ -200,7 +232,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         # model's quality in the logged curves.
         rgb, disp = render_image(
             state.params,
-            rd.rays[split],
+            eval_rays[split],
             rd.H,
             rd.W,
             ii,

@@ -135,6 +135,10 @@ def build_train_step(
             "cfg.mip=True needs base_radius > 0 (2/sqrt(12)/focal; the "
             "train driver passes it automatically)"
         )
+    # NDC-warped rays (LLFF) cast cylinders; pinhole frames cast cones
+    mip_shape = (
+        "cylinder" if (cfg.dataset == "llff" and cfg.ndc) else "cone"
+    )
     if cfg.train_im_idxs and rays_per_image is None:
         raise ValueError(
             "cfg.train_im_idxs needs rays_per_image (= H*W) to map image "
@@ -173,6 +177,7 @@ def build_train_step(
         N_prop=cfg.Np if cfg.proposal else 0,
         mip=cfg.mip,
         mip_levels=cfg.mip_levels,
+        mip_shape=mip_shape,
         base_radius=base_radius if cfg.mip else 0.0,
         tn=cfg.tn,
         tf=cfg.tf,
@@ -344,11 +349,11 @@ def build_train_step(
         on rows 11..13, per-ray loss weight on row 14
         (ops/sampling.py::frustum_moments math, built directly in the
         kernel's (16, B*N) layout — no (B, N, 3) intermediates to
-        re-transpose). 8-column rays (mip_multiscale) carry a per-ray
-        cone radius in column 6 and the footprint loss weight in
+        re-transpose). 8-column rays (mip_multiscale / LLFF) carry a
+        per-ray radius in column 6 and the footprint loss weight in
         column 7; 6-column rays use the closure's scalar base_radius and
-        weight 1."""
-        from nerf_simple_tpu.ops.sampling import frustum_moments
+        weight 1. ``mip_shape`` picks cone vs NDC-cylinder moments."""
+        from nerf_simple_tpu.ops.sampling import interval_moments
 
         B = rays_b.shape[0]
         N = edges.shape[1] - 1
@@ -363,7 +368,7 @@ def build_train_step(
         n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
         unitT = dT / jnp.sqrt(n2)
         t0, t1 = edges[:, :-1], edges[:, 1:]  # (B, N)
-        mu_t, sig_t2, sig_r2 = frustum_moments(t0, t1, radius)
+        mu_t, sig_t2, sig_r2 = interval_moments(t0, t1, radius, mip_shape)
         meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
         d2T = dT * dT  # (3, B)
         varT = (

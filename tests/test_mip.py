@@ -128,6 +128,53 @@ def test_composite_intervals_matches_loop_oracle(rng):
     assert (np.asarray(out.acc) <= 1 + 1e-5).all()
 
 
+def test_cylinder_moments_match_monte_carlo(rng):
+    """NDC cylinder Gaussian (mip-NeRF cylinder_to_gaussian) vs 400k
+    uniform-in-cylinder samples."""
+    from nerf_simple_tpu.ops.sampling import conical_gaussian
+
+    o = np.array([0.1, -0.3, 0.2])
+    d = np.array([0.5, -0.2, -1.1])
+    t0, t1, r = 0.2, 0.55, 0.03
+    rays = jnp.asarray(np.concatenate([o, d])[None], jnp.float32)
+    edges = jnp.asarray([[t0, t1]], jnp.float32)
+    mean, var, t_mid = conical_gaussian(rays, edges, r, shape="cylinder")
+
+    n = 400_000
+    t = rng.uniform(t0, t1, n)  # uniform along axis for a cylinder
+    dn = d / np.linalg.norm(d)
+    e1 = np.cross(dn, [0.0, 0.0, 1.0])
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(dn, e1)
+    rho = r * np.sqrt(rng.uniform(size=n))  # radius constant in t
+    th = rng.uniform(0, 2 * np.pi, n)
+    pts = (
+        o
+        + d * t[:, None]
+        + e1 * (rho * np.cos(th))[:, None]
+        + e2 * (rho * np.sin(th))[:, None]
+    )
+    np.testing.assert_allclose(np.asarray(mean)[0, 0], pts.mean(0), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(var)[0, 0], pts.var(0), rtol=0.02, atol=1e-8
+    )
+    np.testing.assert_allclose(float(t_mid[0, 0]), t.mean(), rtol=1e-3)
+
+
+def test_mip_ray_radii_recovers_pinhole_scalar():
+    """On an ideal pinhole grid, direction neighbor-spacing radii equal
+    the drivers' scalar 2/sqrt(12)/f everywhere."""
+    from nerf_simple_tpu.ops.rays import mip_ray_radii, rays_for_poses
+
+    H, W, f = 12, 16, 40.0
+    pose = jnp.eye(4)[None]
+    rays = rays_for_poses(pose, H, W, f)
+    radii = np.asarray(mip_ray_radii(rays, H, W, use_origins=False))
+    np.testing.assert_allclose(
+        radii, 2.0 / np.sqrt(12.0) / f, rtol=1e-5
+    )
+
+
 def test_config_mip_exclusions():
     with pytest.raises(ValueError, match="mip=True is incompatible"):
         TrainConfig(datapath="x", mip=True, hierarchical=True)
