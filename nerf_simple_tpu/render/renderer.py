@@ -811,7 +811,9 @@ def render_normals_chunked(
     pad = n_chunks * chunk - R
     rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
     if pad:
-        rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, 6)))
+        rays_p = rays_p.at[R:].set(
+            jnp.broadcast_to(rays[R - 1], (pad, rays.shape[1]))
+        )
     run = _normals_chunk_fn(s, model, chunk)
     outs = []
     for i in range(n_chunks):
