@@ -93,6 +93,16 @@ def multiscale_train_arrays(
     import cv2
     import numpy as np
 
+    s_max = MULTISCALE_SCALES[-1]
+    if data.H % s_max or data.W % s_max:
+        # non-divisible resolutions would silently shear the coarse
+        # scales' rays off the INTER_AREA block centers — the exact
+        # misalignment rays_for_poses_scaled exists to prevent
+        raise ValueError(
+            f"mip_multiscale needs H and W divisible by {s_max} "
+            f"(got {data.H}x{data.W}); crop or resize the dataset, or "
+            "use half_res"
+        )
     split = data.splits["train"]
     poses = jnp.asarray(split.poses)
     imgs = np.asarray(split.images)

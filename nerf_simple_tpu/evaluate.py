@@ -166,17 +166,10 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     )
     eval_rays = rd.rays
     if cfg.mip and cfg.dataset == "llff":
-        from nerf_simple_tpu.ops.rays import mip_ray_radii
+        from nerf_simple_tpu.ops.rays import append_mip_ray_columns
 
         eval_rays = {
-            k: jnp.concatenate(
-                [
-                    v,
-                    mip_ray_radii(v, rd.H, rd.W, is_llff_ndc)[:, None],
-                    jnp.ones((v.shape[0], 1), v.dtype),
-                ],
-                axis=-1,
-            )
+            k: append_mip_ray_columns(v, rd.H, rd.W, is_llff_ndc)
             for k, v in rd.rays.items()
         }
 

@@ -128,6 +128,22 @@ def mip_ray_radii(
     return (dx * (2.0 / jnp.sqrt(12.0))).reshape(-1)
 
 
+def append_mip_ray_columns(
+    rays: jnp.ndarray, H: int, W: int, use_origins: bool
+) -> jnp.ndarray:
+    """Extend (N, 6) rays to the mip paths' 8-column protocol
+    ``[origin | direction | radius | loss_weight]`` with neighbor-spacing
+    radii (``mip_ray_radii``) and unit loss weights. The ONE place the
+    column convention is encoded for the LLFF/eval/animation callers
+    (multiscale training builds its own weights in
+    data/dataset.py::multiscale_train_arrays)."""
+    radii = mip_ray_radii(rays, H, W, use_origins)
+    return jnp.concatenate(
+        [rays, radii[:, None], jnp.ones((rays.shape[0], 1), rays.dtype)],
+        axis=-1,
+    )
+
+
 def ndc_rays(
     rays: jnp.ndarray, H: int, W: int, f: float, near: float = 1.0
 ) -> jnp.ndarray:

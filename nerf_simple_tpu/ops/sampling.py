@@ -80,11 +80,27 @@ def importance_ts(
         s = jnp.cumsum(e, axis=-1)
         u = s[:, :N_fine] / s[:, N_fine:]
 
-    # Bin lookup WITHOUT searchsorted: a vmapped binary search lowers to
-    # per-row scalar loops on TPU (~36 ms/iter at the reference shape).
-    # The CDF is tiny (Nc-1 entries), so a dense broadcast-compare-reduce
-    # (VPU) + one-hot einsum gathers (MXU) are orders of magnitude faster.
-    M = cdf.shape[-1]  # == Nc - 1, also mids' length
+    # u is sorted by construction (order statistics / quantiles) and the
+    # inverse-CDF map is monotone, so samples come out sorted.
+    return _inv_cdf_interp(cdf, mids, u)
+
+
+def _inv_cdf_interp(
+    cdf: jnp.ndarray, values: jnp.ndarray, u: jnp.ndarray
+) -> jnp.ndarray:
+    """Piecewise-linear inverse CDF: map ``u`` through (cdf, values).
+
+    Bin lookup WITHOUT searchsorted: a vmapped binary search lowers to
+    per-row scalar loops on TPU (~36 ms/iter at the reference shape).
+    The CDF is tiny, so a dense broadcast-compare-reduce (VPU) + one-hot
+    einsum gathers (MXU) are orders of magnitude faster. Shared by
+    ``importance_ts`` (midpoint convention) and ``resample_edges``
+    (edge convention).
+
+    Args: cdf (B, M) ascending from 0; values (B, M) the support;
+    u (B, K) in [0, 1). Returns (B, K), monotone in u per row.
+    """
+    M = cdf.shape[-1]
     # searchsorted(cdf, u, side="right") == #(cdf[k] <= u)
     idx = jnp.sum(
         (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
@@ -92,25 +108,23 @@ def importance_ts(
     below = jnp.clip(idx - 1, 0, M - 1)
     above = jnp.clip(idx, 0, M - 1)
 
-    table = jnp.stack([cdf, mids], axis=-1)  # (B, M, 2)
+    table = jnp.stack([cdf, values], axis=-1)  # (B, M, 2)
     grid = jnp.arange(M, dtype=jnp.int32)
 
-    def lookup(sel):  # (B, N_fine) indices -> (cdf_vals, mids_vals)
-        onehot = (sel[:, :, None] == grid).astype(ts_coarse.dtype)
+    def lookup(sel):  # (B, K) indices -> (cdf_vals, value_vals)
+        onehot = (sel[:, :, None] == grid).astype(values.dtype)
         vals = jnp.einsum(
             "bfm,bmk->bfk", onehot, table,
             precision=jax.lax.Precision.HIGHEST,
         )
         return vals[..., 0], vals[..., 1]
 
-    cdf_below, mids_below = lookup(below)
-    cdf_above, mids_above = lookup(above)
+    cdf_below, v_below = lookup(below)
+    cdf_above, v_above = lookup(above)
 
     denom = jnp.where(cdf_above - cdf_below < 1e-8, 1.0, cdf_above - cdf_below)
     frac = (u - cdf_below) / denom
-    # u is sorted by construction (order statistics / quantiles) and the
-    # inverse-CDF map is monotone, so samples come out sorted.
-    return mids_below + frac * (mids_above - mids_below)
+    return v_below + frac * (v_above - v_below)
 
 
 def resample_edges(
@@ -160,31 +174,7 @@ def resample_edges(
     e = jax.random.exponential(key, (B, n_draw + 1), dtype=edges.dtype)
     s = jnp.cumsum(e, axis=-1)
     u = s[:, :n_draw] / s[:, n_draw:]  # sorted U(0,1) order statistics
-
-    # dense bin lookup (VPU compare + MXU one-hot gather; see
-    # importance_ts for the TPU rationale vs searchsorted)
-    M = N + 1
-    idx = jnp.sum(
-        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
-    )
-    below = jnp.clip(idx - 1, 0, M - 1)
-    above = jnp.clip(idx, 0, M - 1)
-    table = jnp.stack([cdf, edges], axis=-1)  # (B, M, 2)
-    grid = jnp.arange(M, dtype=jnp.int32)
-
-    def lookup(sel):
-        onehot = (sel[:, :, None] == grid).astype(edges.dtype)
-        vals = jnp.einsum(
-            "bfm,bmk->bfk", onehot, table,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return vals[..., 0], vals[..., 1]
-
-    cdf_b, edge_b = lookup(below)
-    cdf_a, edge_a = lookup(above)
-    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
-    frac = (u - cdf_b) / denom
-    return edge_b + frac * (edge_a - edge_b)
+    return _inv_cdf_interp(cdf, edges, u)
 
 
 def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -301,6 +291,40 @@ def interval_moments(
         return cylinder_moments(t0, t1, radius)
     assert shape == "cone", shape
     return frustum_moments(t0, t1, radius)
+
+
+def frustum_gaussians_T(
+    rays: jnp.ndarray,
+    edges: jnp.ndarray,
+    radius,
+    shape: str = "cone",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Feature-major frustum Gaussian build shared by the fused train
+    x16 builder (train/step.py::_build_x16_mip) and the fused eval path
+    (render/renderer.py::_fused_mlp_bn_mip) — the two must stay
+    bit-identical for train/eval parity, so the projection lives once.
+
+    Args: rays (B, >=6); edges (B, N+1); radius scalar or (B, 1);
+    shape "cone"/"cylinder".
+
+    Returns: meanT (3, B, N) Gaussian centers, unitT (3, B) unit view
+    dirs, varT (3, B, N) diagonal covariances, mu_t (B, N) along-ray
+    centers.
+    """
+    oT = rays[:, :3].T  # (3, B)
+    dT = rays[:, 3:6].T
+    n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
+    unitT = dT / jnp.sqrt(n2)
+    mu_t, sig_t2, sig_r2 = interval_moments(
+        edges[:, :-1], edges[:, 1:], radius, shape
+    )
+    meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
+    d2T = dT * dT  # (3, B)
+    varT = (
+        sig_t2[None] * d2T[:, :, None]
+        + sig_r2[None] * (1.0 - d2T / n2)[:, :, None]
+    )
+    return meanT, unitT, varT, mu_t
 
 
 def conical_gaussian(

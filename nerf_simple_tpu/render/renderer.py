@@ -312,7 +312,7 @@ def _fused_mlp_bn_mip(
     (default: settings.base_radius). Returns ((4, B, N) rgb/sigma,
     (B, N) frustum centers)."""
     from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights, supported
-    from nerf_simple_tpu.ops.sampling import interval_moments
+    from nerf_simple_tpu.ops.sampling import frustum_gaussians_T
 
     assert supported(model), (
         f"pallas backend needs H % 16 == 0, H >= 16 (got {model}); "
@@ -321,18 +321,8 @@ def _fused_mlp_bn_mip(
     if radius is None:
         radius = settings.base_radius
     B, N = edges.shape[0], edges.shape[1] - 1
-    oT = rays[:, :3].T
-    dT = rays[:, 3:6].T
-    n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
-    unitT = dT / jnp.sqrt(n2)
-    mu_t, sig_t2, sig_r2 = interval_moments(
-        edges[:, :-1], edges[:, 1:], radius, settings.mip_shape
-    )
-    meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
-    d2T = dT * dT
-    varT = (
-        sig_t2[None] * d2T[:, :, None]
-        + sig_r2[None] * (1.0 - d2T / n2)[:, :, None]
+    meanT, unitT, varT, mu_t = frustum_gaussians_T(
+        rays, edges, radius, settings.mip_shape
     )
     x = jnp.concatenate(
         [
@@ -805,6 +795,9 @@ def render_normals_chunked(
     s = dataclasses.replace(
         settings, N_coarse=0, N_prop=0, mip=False, backend="xla"
     )
+    # normals always render point samples; drop any mip radius/weight
+    # columns (sample_points reads every column past 3 as the direction)
+    rays = rays[:, :6]
     R = rays.shape[0]
     chunk = max(1024 * (-(-chunk // 1024)), 1024) if R >= 1024 else chunk
     n_chunks = -(-R // chunk)
@@ -902,17 +895,9 @@ def render_orbit_video(
     if settings.mip and apply_ndc:
         # NDC mip animation: per-ray cylinder radii from the warped
         # origins' neighbor spacing, same as the training rays
-        from nerf_simple_tpu.ops.rays import mip_ray_radii
+        from nerf_simple_tpu.ops.rays import append_mip_ray_columns
 
-        radii = mip_ray_radii(rays_all, H, W, use_origins=True)
-        rays_all = jnp.concatenate(
-            [
-                rays_all,
-                radii[:, None],
-                jnp.ones((rays_all.shape[0], 1), rays_all.dtype),
-            ],
-            axis=-1,
-        )
+        rays_all = append_mip_ray_columns(rays_all, H, W, use_origins=True)
     n = H * W
     os.makedirs(savepath or ".", exist_ok=True)
     out_path = os.path.join(

@@ -56,6 +56,15 @@ class RenderServer:
         self.params = jax.tree.map(jax.numpy.asarray, params)
         self.model = model or infer_model(params)
         self.settings = settings or RenderSettings()
+        if self.settings.mip and (self.settings.N_prop > 0 or occupancy):
+            # mirror Train/TestConfig validation: cone casting draws its
+            # own interval edges (occupancy ts would trip the renderer's
+            # assert; proposal would silently win the dispatch and drop
+            # cone casting while /health still reports mip)
+            raise ValueError(
+                "mip serving excludes proposal/occupancy sampling: cone "
+                "casting draws its own interval edges"
+            )
         self.prop_model = None
         if self.settings.N_prop > 0:
             # proposal-guided serving: the tiny density MLP places the

@@ -110,15 +110,9 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     elif cfg.mip and cfg.dataset == "llff":
         # LLFF mip: per-ray radii from neighbor-pixel spacing (NDC rays
         # carry pixel offsets in their origins and cast cylinders)
-        import jax.numpy as jnp
+        from nerf_simple_tpu.ops.rays import append_mip_ray_columns
 
-        from nerf_simple_tpu.ops.rays import mip_ray_radii
-
-        radii = mip_ray_radii(rays, rd.H, rd.W, use_origins=cfg.ndc)
-        rays = jnp.concatenate(
-            [rays, radii[:, None], jnp.ones((rays.shape[0], 1), rays.dtype)],
-            axis=-1,
-        )
+        rays = append_mip_ray_columns(rays, rd.H, rd.W, use_origins=cfg.ndc)
     if cfg.depth_loss_weight > 0:
         # depth supervision: metric GT depth rides as a 4th pixel channel
         # so the sampler/step signatures are unchanged (step.py splits it)
@@ -199,19 +193,10 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     eval_rays = rd.rays
     if cfg.mip and cfg.dataset == "llff":
         # eval renders need the same per-ray radii as training
-        import jax.numpy as jnp
-
-        from nerf_simple_tpu.ops.rays import mip_ray_radii
+        from nerf_simple_tpu.ops.rays import append_mip_ray_columns
 
         eval_rays = {
-            k: jnp.concatenate(
-                [
-                    v,
-                    mip_ray_radii(v, rd.H, rd.W, cfg.ndc)[:, None],
-                    jnp.ones((v.shape[0], 1), v.dtype),
-                ],
-                axis=-1,
-            )
+            k: append_mip_ray_columns(v, rd.H, rd.W, cfg.ndc)
             for k, v in rd.rays.items()
         }
 

@@ -353,28 +353,20 @@ def build_train_step(
         per-ray radius in column 6 and the footprint loss weight in
         column 7; 6-column rays use the closure's scalar base_radius and
         weight 1. ``mip_shape`` picks cone vs NDC-cylinder moments."""
-        from nerf_simple_tpu.ops.sampling import interval_moments
+        from nerf_simple_tpu.ops.sampling import frustum_gaussians_T
 
         B = rays_b.shape[0]
         N = edges.shape[1] - 1
-        oT = rays_b[:, :3].T  # (3, B)
-        dT = rays_b[:, 3:6].T
         if rays_b.shape[1] >= 8:
             radius = rays_b[:, 6][:, None]  # (B, 1) -> broadcast (B, N)
             lw = jnp.broadcast_to(rays_b[:, 7][:, None], (B, N))
         else:
             radius = base_radius
             lw = jnp.ones((B, N), rays_b.dtype)
-        n2 = jnp.sum(dT * dT, axis=0, keepdims=True)  # (1, B)
-        unitT = dT / jnp.sqrt(n2)
-        t0, t1 = edges[:, :-1], edges[:, 1:]  # (B, N)
-        mu_t, sig_t2, sig_r2 = interval_moments(t0, t1, radius, mip_shape)
-        meanT = oT[:, :, None] + dT[:, :, None] * mu_t[None]  # (3, B, N)
-        d2T = dT * dT  # (3, B)
-        varT = (
-            sig_t2[None] * d2T[:, :, None]
-            + sig_r2[None] * (1.0 - d2T / n2)[:, :, None]
+        meanT, unitT, varT, _ = frustum_gaussians_T(
+            rays_b, edges, radius, mip_shape
         )
+        t0, t1 = edges[:, :-1], edges[:, 1:]  # (B, N)
         return jnp.concatenate(
             [
                 meanT,

@@ -175,6 +175,61 @@ def test_mip_ray_radii_recovers_pinhole_scalar():
     )
 
 
+def test_mip_serving_exclusivity_and_normals_col_tolerance(rng):
+    """Review pins: (a) RenderServer rejects mip+occupancy/proposal
+    (cone casting draws its own edges — previously crashed or silently
+    dropped mip at request time); (b) render_normals_chunked tolerates
+    the 8-column mip rays (it renders point samples; extra columns must
+    be stripped, not consumed as direction components)."""
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_normals_chunked,
+    )
+    from nerf_simple_tpu.serve import RenderServer
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    with pytest.raises(ValueError, match="mip serving excludes"):
+        RenderServer(
+            params, 8, 8, 10.0,
+            RenderSettings(N=4, mip=True, base_radius=0.01),
+            model, warmup=False, occupancy=True,
+        )
+
+    rays8 = jnp.asarray(
+        np.concatenate(
+            [
+                rng.normal(0, 0.1, (8, 3)),
+                rng.normal(size=(8, 3)),
+                rng.uniform(0.01, 0.1, (8, 1)),
+                np.ones((8, 1)),
+            ],
+            -1,
+        ),
+        jnp.float32,
+    )
+    nrm = render_normals_chunked(
+        params, rays8, jax.random.PRNGKey(1),
+        RenderSettings(N=4, mip=True, base_radius=0.01), model, chunk=8,
+    )
+    assert nrm.shape == (8, 3) and np.isfinite(np.asarray(nrm)).all()
+
+
+def test_multiscale_rejects_nondivisible_resolution():
+    """H/W not divisible by the coarsest pyramid scale would silently
+    shear coarse-scale rays off the INTER_AREA block centers."""
+    from nerf_simple_tpu.data.blender import BlenderData, BlenderSplit
+    from nerf_simple_tpu.data.dataset import multiscale_train_arrays
+
+    split = BlenderSplit(
+        images=np.zeros((1, 100, 100, 3), np.float32),
+        poses=np.eye(4)[None].astype(np.float32),
+    )
+    data = BlenderData(splits={"train": split}, H=100, W=100, f=50.0)
+    with pytest.raises(ValueError, match="divisible"):
+        multiscale_train_arrays(data, 0.01)
+
+
 def test_config_mip_exclusions():
     with pytest.raises(ValueError, match="mip=True is incompatible"):
         TrainConfig(datapath="x", mip=True, hierarchical=True)
