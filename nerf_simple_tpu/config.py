@@ -81,6 +81,14 @@ class TrainConfig:
     # multiscale_train_arrays) — the fix for coarse-scale rendering
     # quality; eval any scale with test_params mip
     mip_multiscale: bool = False
+    # mip-NeRF 360 unbounded-scene support: scene_contraction squashes
+    # positions into the radius-2 ball at the MODEL boundary (a model
+    # field — checkpoints carry it), and sampling_space: "disparity"
+    # places stratified bins uniformly in 1/t so a tf of hundreds of
+    # units gets a sane sample prior. Pair them for 360 captures
+    # (e.g. contract: true, sampling_space: disparity, tf: 100).
+    contract: bool = False
+    sampling_space: str = "linear"
     # train-time Gaussian sigma-noise regularizer std (reference TODO at
     # utils/rendering.py:63); 0.0 = off
     sigma_noise: float = 0.0
@@ -262,6 +270,24 @@ class TrainConfig:
                     "builder downsamples pinhole frames); LLFF mip uses "
                     "per-ray radii instead"
                 )
+        if self.sampling_space not in ("linear", "disparity"):
+            raise ValueError(
+                "sampling_space must be 'linear' or 'disparity', got "
+                f"{self.sampling_space!r}"
+            )
+        if self.contract:
+            if self.mip:
+                raise ValueError(
+                    "contract=True with mip=True needs the linearized "
+                    "Gaussian contraction (mip-NeRF 360 eqn. 8-9) — not "
+                    "implemented yet; drop one of the two"
+                )
+            if self.dataset == "llff" and self.ndc:
+                raise ValueError(
+                    "contract=True is redundant/incompatible with NDC "
+                    "(both are unbounded-scene warps); set ndc: false "
+                    "for contracted LLFF captures"
+                )
         if self.mip_coarse_weight < 0:
             raise ValueError(
                 f"mip_coarse_weight must be >= 0, got {self.mip_coarse_weight}"
@@ -375,6 +401,9 @@ class TestConfig:
     # the paper's fine-level resampling pass (single shared MLP)
     mip: bool = False
     mip_levels: int = 1
+    # eval-side sampler spacing ("disparity" for contracted unbounded
+    # checkpoints; the model's own contract field rides the sidecar)
+    sampling_space: str = "linear"
     compute_dtype: str = "f32"
     backend: str = "xla"
     seed: int = 0
@@ -426,6 +455,11 @@ class TestConfig:
         if self.mip_levels == 2 and not self.mip:
             raise ValueError(
                 "mip_levels=2 (coarse+fine cone casting) requires mip=True"
+            )
+        if self.sampling_space not in ("linear", "disparity"):
+            raise ValueError(
+                "sampling_space must be 'linear' or 'disparity', got "
+                f"{self.sampling_space!r}"
             )
 
     @property

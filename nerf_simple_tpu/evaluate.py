@@ -101,14 +101,20 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             )
         from nerf_simple_tpu.models.proposal import infer_proposal_arch
 
-        # the ProposalMLP arch is fully determined by its weight shapes
-        prop_model = infer_proposal_arch(params["prop"])
+        # the ProposalMLP arch is fully determined by its weight shapes;
+        # contract is NOT (shape-invariant) — copy it from the main
+        # model's sidecar so both fields warp positions identically
+        prop_model = dataclasses.replace(
+            infer_proposal_arch(params["prop"]),
+            contract=getattr(model, "contract", False),
+        )
     settings = RenderSettings(
         N=cfg.N_samples,
         N_coarse=cfg.Nc,
         N_prop=cfg.Np,
         mip=cfg.mip,
         mip_levels=cfg.mip_levels,
+        sampling_space=cfg.sampling_space,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,

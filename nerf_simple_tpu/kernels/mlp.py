@@ -339,7 +339,22 @@ def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP, v8=None, Sv=None):
     of the encoding over the sample's frustum Gaussian
     (ops/encoding.py::gamma_ipe). One extra (FX, 8) spread matmul + a
     VPU exp/multiply on the encoded lattice; raw rows (incl. the bias
-    rail) are untouched (their Sv rows are zero -> damp 1)."""
+    rail) are untouched (their Sv rows are zero -> damp 1).
+
+    ``model.contract``: mip-NeRF 360 scene contraction applied to the
+    position rows 0..2 before the spread matmul — elementwise VPU math
+    on the (3, TR) block (ops/encoding.py::scene_contraction semantics;
+    no gradient w.r.t. x is ever needed, so the backward recompute is
+    automatically correct)."""
+    if model.contract:
+        xyz = x[0:3]
+        n = jnp.sqrt(
+            jnp.maximum(
+                xyz[0:1] ** 2 + xyz[1:2] ** 2 + xyz[2:3] ** 2, 1e-20
+            )
+        )  # (1, TR)
+        scale = jnp.where(n <= 1.0, 1.0, (2.0 - 1.0 / n) / n)
+        x = jnp.concatenate([xyz * scale, x[3:]], axis=0)
     sbx, sbd = _sin_block(model.Lp), _sin_block(model.Ld)
 
     def raw_with_rail(ang8):

@@ -74,8 +74,11 @@ def model_from_train_config(cfg):
             H=cfg.hash_H,
             aabb=cfg.hash_aabb,
             grad_mode=cfg.hash_grad_mode,
+            contract=cfg.contract,
         )
-    return NerfMLP(Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H)
+    return NerfMLP(
+        Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H, contract=cfg.contract
+    )
 
 
 def model_meta(model) -> dict:

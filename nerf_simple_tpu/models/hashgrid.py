@@ -93,6 +93,10 @@ class HashGridModel:
     #                cfg.hash_fwd_mode == "sample"; eval always renders
     #                with exact interpolation
     grad_mode: str = "sample"
+    # mip-NeRF 360 scene contraction before the grid lookup (unbounded
+    # scenes land in the radius-2 ball; pair with aabb=2.0). Model field
+    # so checkpoints carry it — see models/nerf.py::NerfMLP.contract.
+    contract: bool = False
 
     @property
     def T(self) -> int:
@@ -375,6 +379,10 @@ def hashgrid_apply(
     paths are model-agnostic."""
     xyz = v[..., 0:3]
     dirs = v[..., 3:6]
+    if model.contract:
+        from nerf_simple_tpu.ops.encoding import scene_contraction
+
+        xyz = scene_contraction(xyz)
     x01 = (xyz + model.aabb) / (2.0 * model.aabb)
     feats = hash_encode(params["tables"], x01, model)  # f32: table deltas
 

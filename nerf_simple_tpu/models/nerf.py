@@ -65,6 +65,12 @@ class NerfMLP:
     Lp: int = 10
     Ld: int = 4
     H: int = 256
+    # mip-NeRF 360 scene contraction (ops/encoding.py::scene_contraction):
+    # positions are squashed into the radius-2 ball before encoding —
+    # unbounded-scene support. A MODEL field (not a render setting) so
+    # checkpoints carry it (model.json sidecar) and every consumer
+    # (render/train/occupancy probes/normals/mesh) is consistent.
+    contract: bool = False
 
     @property
     def in_Cx(self) -> int:
@@ -145,6 +151,12 @@ def nerf_apply(
     MXU while accumulating in f32 (preferred_element_type) and returning f32
     outputs — the TPU fast path. f32 is the parity path.
     """
+    if model.contract:
+        from nerf_simple_tpu.ops.encoding import scene_contraction
+
+        v = jnp.concatenate(
+            [scene_contraction(v[..., :3]), v[..., 3:]], axis=-1
+        )
     posx, posd = positional_encoder(v, Lp=model.Lp, Ld=model.Ld)
     return _apply_encoded(params, posx, posd, compute_dtype)
 
@@ -168,6 +180,10 @@ def nerf_apply_mip(
     Args: mean/var (B, 3) frustum Gaussian moments
     (ops/sampling.py::conical_gaussian); dirs (B, 3) unit view dirs.
     """
+    assert not model.contract, (
+        "mip + scene contraction needs the linearized Gaussian warp "
+        "(mip-NeRF 360 eqn. 8-9) — not implemented; config forbids it"
+    )
     from nerf_simple_tpu.ops.encoding import ipe_encoder
 
     posx, posd = ipe_encoder(mean, var, dirs, Lp=model.Lp, Ld=model.Ld)

@@ -48,6 +48,9 @@ class ProposalMLP:
     Lp: int = 6  # position-encoding octaves
     D: int = 4  # hidden layers
     H: int = 64  # hidden width
+    # scene contraction before encoding — must match the main field's
+    # contract flag (models/__init__.py wires both from cfg.contract)
+    contract: bool = False
 
     @property
     def in_Cx(self) -> int:
@@ -62,7 +65,9 @@ class ProposalMLP:
 
 
 def proposal_from_train_config(cfg) -> ProposalMLP:
-    return ProposalMLP(Lp=cfg.prop_Lp, D=cfg.prop_D, H=cfg.prop_H)
+    return ProposalMLP(
+        Lp=cfg.prop_Lp, D=cfg.prop_D, H=cfg.prop_H, contract=cfg.contract
+    )
 
 
 def infer_proposal_arch(params: Params) -> ProposalMLP:
@@ -106,6 +111,10 @@ def proposal_sigma(
 
     bf16 compute_dtype runs the matmuls on the MXU with f32 accumulation
     (preferred_element_type), like the main model."""
+    if model.contract:
+        from nerf_simple_tpu.ops.encoding import scene_contraction
+
+        locs = scene_contraction(locs)
     h = jnp.concatenate([locs, gamma(locs, model.Lp)], axis=-1).astype(
         compute_dtype
     )

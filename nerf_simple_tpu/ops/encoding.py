@@ -43,6 +43,28 @@ def gamma(x: jnp.ndarray, L: int = 4) -> jnp.ndarray:
     return enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * L)
 
 
+def scene_contraction(x: jnp.ndarray) -> jnp.ndarray:
+    """Mip-NeRF 360 scene contraction (Barron et al. 2022, eqn. 10):
+
+        contract(x) = x                        for ||x|| <= 1
+                    = (2 - 1/||x||) * x/||x||  otherwise
+
+    — the identity inside the unit ball, and a radially-monotone squash
+    of ALL of R^3 into the radius-2 ball outside it, so an unbounded
+    scene (background at any distance) lands in a bounded encoding
+    domain. C1-continuous at the ball boundary. Applied at the MODEL
+    boundary (models/nerf.py, models/hashgrid.py ``contract`` field), so
+    every consumer — render, train, occupancy probes, normals (the VJP
+    chains through it), mesh export — stays consistent automatically.
+
+    Pure broadcast VPU math; fuses into the encoder's producer.
+    """
+    n = jnp.maximum(
+        jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-10
+    )
+    return jnp.where(n <= 1.0, x, (2.0 - 1.0 / n) * (x / n))
+
+
 def gamma_ipe(mean: jnp.ndarray, var: jnp.ndarray, L: int = 10) -> jnp.ndarray:
     """Integrated positional encoding (mip-NeRF, Barron et al. 2021,
     eqn. 14): the EXPECTED frequency encoding of x ~ N(mean, diag(var)),

@@ -32,6 +32,36 @@ def stratified_ts(
     return width * u + edges[:-1]
 
 
+def stratified_ts_spaced(
+    key: jax.Array,
+    n_rays: int,
+    N: int,
+    tn: float,
+    tf: float,
+    dtype=jnp.float32,
+    space: str = "linear",
+) -> jnp.ndarray:
+    """``stratified_ts`` with a choice of bin spacing.
+
+    ``space="linear"`` is the reference sampler. ``space="disparity"``
+    places the N bins uniformly in 1/t (mip-NeRF 360's unbounded
+    parametrization): near content gets dense samples, the far field
+    thins as 1/t^2 — the right prior when ``tf`` spans an unbounded
+    background under scene contraction.
+
+    Returns: (n_rays, N) ascending sample distances in [tn, tf].
+    """
+    if space == "linear":
+        return stratified_ts(key, n_rays, N, tn, tf, dtype)
+    assert space == "disparity", space
+    u = (
+        jnp.arange(N, dtype=dtype)
+        + jax.random.uniform(key, (n_rays, N), dtype=dtype)
+    ) / N
+    inv = (1.0 / tn) + u * (1.0 / tf - 1.0 / tn)  # descending in t
+    return 1.0 / inv
+
+
 def importance_ts(
     key: jax.Array,
     ts_coarse: jnp.ndarray,

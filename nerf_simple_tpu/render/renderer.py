@@ -37,6 +37,7 @@ from nerf_simple_tpu.ops.sampling import (
     merge_sorted,
     sample_points,
     stratified_ts,
+    stratified_ts_spaced,
 )
 from nerf_simple_tpu.ops.volume import CompositeOut, composite, composite_T
 
@@ -74,6 +75,10 @@ class RenderSettings:
     # cross-section doesn't grow with t; pairs with per-ray radii in ray
     # column 6 — ops/rays.py::mip_ray_radii)
     mip_shape: str = "cone"
+    # stratified bin spacing: "linear" (reference) or "disparity"
+    # (uniform in 1/t — the mip-NeRF 360 unbounded parametrization;
+    # pair with model.contract for 360 scenes)
+    sampling_space: str = "linear"
     compute_dtype: Any = jnp.float32
     # Max sample rows per MLP call; larger batches are lax.map'd in equal
     # chunks. Identical math — purely a program-structure knob: a single
@@ -137,8 +142,9 @@ def render_rays(
         assert ts is None, "mip rendering draws its own interval edges"
         return _render_mip(params, rays, key, settings, model, noise_key)
     if ts is None:
-        ts = stratified_ts(
-            key, B, settings.N, settings.tn, settings.tf, rays.dtype
+        ts = stratified_ts_spaced(
+            key, B, settings.N, settings.tn, settings.tf, rays.dtype,
+            settings.sampling_space,
         )
     return _render_at_ts(params, rays, ts, settings, model, noise_key)
 
@@ -225,8 +231,9 @@ def _render_mip(
             out = out.at[..., 3].add(noise)
         return composite_intervals(out, edges, t_mids, unit_dirs)
 
-    edges = stratified_ts(
-        key, B, N + 1, settings.tn, settings.tf, rays.dtype
+    edges = stratified_ts_spaced(
+        key, B, N + 1, settings.tn, settings.tf, rays.dtype,
+        settings.sampling_space,
     )
     out_c = one_level(edges, noise_key)
     if settings.mip_levels < 2:
@@ -415,8 +422,9 @@ def render_rays_hierarchical(
     B = rays.shape[0]
     ts_c = ts_coarse
     if ts_c is None:
-        ts_c = stratified_ts(
-            k_strat, B, settings.N_coarse, settings.tn, settings.tf, rays.dtype
+        ts_c = stratified_ts_spaced(
+            k_strat, B, settings.N_coarse, settings.tn, settings.tf,
+            rays.dtype, settings.sampling_space,
         )
     coarse_out = _render_at_ts(params_coarse, rays, ts_c, settings, model)
 
@@ -465,8 +473,9 @@ def render_rays_proposal(
     k_strat, k_imp = jax.random.split(key)
     B = rays.shape[0]
     if ts_prop is None:
-        ts_prop = stratified_ts(
-            k_strat, B, settings.N_prop, settings.tn, settings.tf, rays.dtype
+        ts_prop = stratified_ts_spaced(
+            k_strat, B, settings.N_prop, settings.tn, settings.tf,
+            rays.dtype, settings.sampling_space,
         )
     w_prop = proposal_weights(
         params["prop"], rays, ts_prop, prop_model, settings.compute_dtype
@@ -584,9 +593,9 @@ def _chunked_render_fn(
             if fused_tile:
                 ts = _occ_ts(occ, rays_c, k, settings.N)
                 if ts is None:
-                    ts = stratified_ts(
+                    ts = stratified_ts_spaced(
                         k, rays_c.shape[0], settings.N, settings.tn,
-                        settings.tf, rays_c.dtype,
+                        settings.tf, rays_c.dtype, settings.sampling_space,
                     )
                 return carry, fused_chunk(params, rays_c, k, ts)
             if settings.N_coarse > 0:
@@ -734,9 +743,9 @@ def _normals_chunk_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
 
     @jax.jit
     def run(params, rays_c, key):
-        ts = stratified_ts(
+        ts = stratified_ts_spaced(
             key, rays_c.shape[0], settings.N, settings.tn, settings.tf,
-            rays_c.dtype,
+            rays_c.dtype, settings.sampling_space,
         )
         out = _render_at_ts(params, rays_c, ts, settings, model)
         locs, _ = sample_points(rays_c, ts)

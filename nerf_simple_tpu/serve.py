@@ -74,9 +74,15 @@ class RenderServer:
                     "settings.N_prop > 0 needs a proposal-trained "
                     "checkpoint ({'prop', 'fine'} params)"
                 )
+            import dataclasses
+
             from nerf_simple_tpu.models.proposal import infer_proposal_arch
 
-            self.prop_model = infer_proposal_arch(params["prop"])
+            # contract is shape-invariant: copy from the main model
+            self.prop_model = dataclasses.replace(
+                infer_proposal_arch(params["prop"]),
+                contract=getattr(self.model, "contract", False),
+            )
         self.H, self.W, self.f = H, W, float(f)
         self.occ = None
         if occupancy:

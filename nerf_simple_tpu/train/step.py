@@ -179,6 +179,7 @@ def build_train_step(
         mip_levels=cfg.mip_levels,
         mip_shape=mip_shape,
         base_radius=base_radius if cfg.mip else 0.0,
+        sampling_space=cfg.sampling_space,
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
@@ -294,10 +295,11 @@ def build_train_step(
             # materialize the same stratified ts render_rays would draw
             # internally (identical key -> identical stream), so the
             # regularizer sees the ts the composite consumed
-            from nerf_simple_tpu.ops.sampling import stratified_ts
+            from nerf_simple_tpu.ops.sampling import stratified_ts_spaced
 
-            ts = stratified_ts(
-                key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
+            ts = stratified_ts_spaced(
+                key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype,
+                cfg.sampling_space,
             )
         out = render_rays(params, rays_b, key, settings, model, ts=ts)
         if cfg.mip and rays_b.shape[-1] >= 8:
@@ -437,7 +439,7 @@ def build_train_step(
         from nerf_simple_tpu.ops.sampling import (
             importance_ts,
             merge_sorted,
-            stratified_ts,
+            stratified_ts_spaced,
         )
 
         def _pack(p):
@@ -450,8 +452,9 @@ def build_train_step(
                 k_strat, k_imp = jax.random.split(key)
                 ts_c = _maybe_occ_ts(key, rays_b, occ, cfg.Nc)
                 if ts_c is None:
-                    ts_c = stratified_ts(
-                        k_strat, B, cfg.Nc, cfg.tn, cfg.tf, rays_b.dtype
+                    ts_c = stratified_ts_spaced(
+                        k_strat, B, cfg.Nc, cfg.tn, cfg.tf, rays_b.dtype,
+                        cfg.sampling_space,
                     )
                 wts_c, vjp_c = jax.vjp(_pack, params["coarse"])
                 loss_c, dwts_c, w_c = fused_train_step(
@@ -495,8 +498,9 @@ def build_train_step(
                 k_strat, k_imp = jax.random.split(key)
                 ts_p = _maybe_occ_ts(key, rays_b, occ, cfg.Np)
                 if ts_p is None:
-                    ts_p = stratified_ts(
-                        k_strat, B, cfg.Np, cfg.tn, cfg.tf, rays_b.dtype
+                    ts_p = stratified_ts_spaced(
+                        k_strat, B, cfg.Np, cfg.tn, cfg.tf, rays_b.dtype,
+                        cfg.sampling_space,
                     )
                 w_prop, vjp_p = jax.vjp(
                     lambda pp: proposal_weights(
@@ -535,9 +539,9 @@ def build_train_step(
                 # _render_mip path (renderer.py), so xla/pallas losses
                 # agree; mip excludes hierarchical/proposal/occupancy by
                 # config validation
-                edges = stratified_ts(
+                edges = stratified_ts_spaced(
                     key, rays_b.shape[0], cfg.Nf + 1, cfg.tn, cfg.tf,
-                    rays_b.dtype,
+                    rays_b.dtype, cfg.sampling_space,
                 )
                 wts, vjp_fn = jax.vjp(_pack, params)
                 if cfg.mip_levels == 2:
@@ -572,8 +576,9 @@ def build_train_step(
         def core(params, rays_b, pix_b, key, occ):
             ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
             if ts is None:
-                ts = stratified_ts(
-                    key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype
+                ts = stratified_ts_spaced(
+                    key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf,
+                    rays_b.dtype, cfg.sampling_space,
                 )
             wts, vjp_fn = jax.vjp(_pack, params)
             loss, dwts = fused_train_step(

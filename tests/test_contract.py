@@ -1,0 +1,226 @@
+"""Mip-NeRF 360 unbounded-scene support: scene contraction (model-level
+field) + disparity-space stratified sampling.
+
+Reference scope note: the torch reference (UCSD-Comp-Imaging/Nerf-Simple)
+is bounded-Blender-only; this is an additive capability
+(ops/encoding.py::scene_contraction, Barron et al. 2022 eqn. 10).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_simple_tpu.config import TrainConfig
+from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
+from nerf_simple_tpu.ops.encoding import scene_contraction
+
+
+def test_scene_contraction_properties(rng):
+    x = jnp.asarray(rng.normal(0, 5, (512, 3)), jnp.float32)
+    y = np.asarray(scene_contraction(x))
+    n_in = np.linalg.norm(np.asarray(x), axis=-1)
+    n_out = np.linalg.norm(y, axis=-1)
+    # identity inside the unit ball
+    inside = n_in <= 1.0
+    np.testing.assert_array_equal(y[inside], np.asarray(x)[inside])
+    # everything lands strictly inside radius 2
+    assert (n_out < 2.0).all()
+    # radially monotone: larger input norm -> larger output norm
+    order = np.argsort(n_in)
+    assert (np.diff(n_out[order]) > -1e-6).all()
+    # directions preserved
+    d_in = np.asarray(x) / n_in[:, None]
+    d_out = y / np.maximum(n_out, 1e-10)[:, None]
+    np.testing.assert_allclose(d_out, d_in, atol=1e-5)
+    # C0 at the boundary: ||x|| = 1 maps to itself
+    unit = jnp.asarray(d_in[:8], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(scene_contraction(unit)), np.asarray(unit), atol=1e-6
+    )
+    # a VERY far point approaches (but never reaches) radius 2
+    far = scene_contraction(jnp.asarray([[1e6, 0.0, 0.0]]))
+    np.testing.assert_allclose(float(far[0, 0]), 2.0, atol=1e-4)
+
+
+def test_disparity_sampling_uniform_in_inverse_depth():
+    from nerf_simple_tpu.ops.sampling import stratified_ts_spaced
+
+    tn, tf, N = 1.0, 100.0, 64
+    ts = np.asarray(
+        stratified_ts_spaced(
+            jax.random.PRNGKey(0), 256, N, tn, tf, space="disparity"
+        )
+    )
+    assert ts.shape == (256, N)
+    assert (np.diff(ts, axis=-1) > 0).all()  # ascending
+    assert (ts >= tn - 1e-5).all() and (ts <= tf + 1e-3).all()
+    # bin k's samples live in the k-th uniform bin of 1/t
+    inv = 1.0 / ts
+    edges = (1.0 / tn) + np.arange(N + 1) / N * (1.0 / tf - 1.0 / tn)
+    for k in (0, N // 2, N - 1):
+        assert (inv[:, k] <= edges[k] + 1e-6).all()
+        assert (inv[:, k] >= edges[k + 1] - 1e-6).all()
+    # linear spacing for comparison: first bin is ~1.5 units wide, while
+    # disparity packs ~half the samples inside t < 2*tn
+    assert (ts[:, N // 2] < 2 * tn + 0.1).all()
+
+
+def test_contract_fused_matches_xla(rng):
+    """NerfMLP(contract=True): the in-kernel contraction (elementwise on
+    rows 0..2) must match the XLA model-boundary contraction — loss
+    parity through a full train step (f32, interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    base = dict(
+        datapath="x", Nf=16, contract=True, sampling_space="disparity",
+        tn=0.5, tf=50.0, batch_size=8, steps_per_call=1, num_iters=1,
+        net_Lp=6, net_Ld=2, net_H=32,
+        ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+    )
+    rng_np = np.random.default_rng(3)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng_np.normal(0, 0.1, (64, 3)), rng_np.normal(size=(64, 3))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng_np.uniform(0, 1, (64, 3)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    losses = {}
+    for backend in ("xla", "pallas"):
+        cfg = TrainConfig(backend=backend, **base)
+        model = model_from_train_config(cfg)
+        assert model.contract
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False)
+        ctx = (
+            pltpu.force_tpu_interpret_mode()
+            if backend == "pallas"
+            else jax.default_matmul_precision("highest")
+        )
+        with ctx:
+            _, losses[backend] = step(state, rays, pixels, key)
+    np.testing.assert_allclose(
+        np.asarray(losses["pallas"]),
+        np.asarray(losses["xla"]),
+        rtol=2e-4,
+        atol=1e-6,
+    )
+
+
+def test_contract_sidecar_roundtrip(tmp_path):
+    """contract rides the model.json sidecar for BOTH families, so eval
+    rebuilds the warped field without any TestConfig knob."""
+    from nerf_simple_tpu.models import model_from_meta, model_meta
+    from nerf_simple_tpu.models.hashgrid import HashGridModel
+    from nerf_simple_tpu.train.checkpoint import (
+        load_model_meta,
+        save_model_meta,
+    )
+
+    for model in (
+        NerfMLP(Lp=6, Ld=2, H=32, contract=True),
+        HashGridModel(L=2, F=2, log2_T=8, aabb=2.0, contract=True),
+    ):
+        assert model_from_meta(model_meta(model)) == model
+        d = str(tmp_path / type(model).__name__)
+        save_model_meta(d, model)
+        assert load_model_meta(d) == model
+
+
+def test_contract_changes_field_only_outside_unit_ball(rng):
+    """nerf_apply with contract flips: outputs identical for queries
+    inside the unit ball, different outside (the warp is the identity
+    inside)."""
+    from nerf_simple_tpu.models.nerf import nerf_apply
+
+    m0 = NerfMLP(Lp=4, Ld=2, H=32)
+    m1 = NerfMLP(Lp=4, Ld=2, H=32, contract=True)
+    params = init_nerf_params(jax.random.PRNGKey(0), m0)
+    dirs = rng.normal(size=(32, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    near = np.concatenate([rng.uniform(-0.5, 0.5, (32, 3)), dirs], -1)
+    far = np.concatenate([rng.uniform(2, 8, (32, 3)), dirs], -1)
+    for q, should_match in ((near, True), (far, False)):
+        a = np.asarray(nerf_apply(params, jnp.asarray(q, jnp.float32), m0))
+        b = np.asarray(nerf_apply(params, jnp.asarray(q, jnp.float32), m1))
+        if should_match:
+            np.testing.assert_array_equal(a, b)
+        else:
+            assert np.abs(a - b).max() > 1e-4
+
+
+def test_config_contract_validation():
+    with pytest.raises(ValueError, match="linearized Gaussian"):
+        TrainConfig(datapath="x", contract=True, mip=True)
+    with pytest.raises(ValueError, match="sampling_space"):
+        TrainConfig(datapath="x", sampling_space="bogus")
+    with pytest.raises(ValueError, match="NDC"):
+        TrainConfig(datapath="x", contract=True, dataset="llff", ndc=True)
+    # contracted non-NDC LLFF (real 360 captures via COLMAP) is allowed
+    TrainConfig(datapath="x", contract=True, dataset="llff", ndc=False)
+
+
+@pytest.mark.slow
+def test_unbounded_scene_trains_and_evals(tmp_path):
+    """e2e: contract + disparity sampling through the train loop and the
+    eval driver (sidecar carries contract; eval needs no extra knob).
+    The blob scene's content sits at radius ~1-2 — outside the unit
+    ball, so the warp is genuinely active."""
+    import os
+
+    from nerf_simple_tpu.config import TestConfig
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.evaluate import test as run_eval
+    from nerf_simple_tpu.train.loop import train
+
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    write_blender_scene(scene, n_train=4, n_val=1, n_test=1, H=24, W=24)
+    state = train(
+        TrainConfig(
+            datapath=scene,
+            savepath=os.path.join(root, "models"),
+            exp_name="unb",
+            Nf=16,
+            contract=True,
+            sampling_space="disparity",
+            tn=0.5,
+            tf=30.0,
+            net_Lp=6,
+            net_Ld=2,
+            net_H=32,
+            num_iters=60,
+            batch_size=128,
+            steps_per_call=20,
+            half_res=False,
+            ckpt_loss=1000,
+            ckpt_images=10**9,
+            ckpt_model=10**9,
+            log_dir=os.path.join(root, "logs"),
+        )
+    )
+    assert int(state.step) == 60
+    run_eval(
+        TestConfig(
+            loadpath=os.path.join(root, "models", "unb"),
+            datapath=scene,
+            savepath=os.path.join(root, "results"),
+            exp_name="unb",
+            batch_size=576,
+            half_res=False,
+            im_set="test",
+            im_idxs=(0,),
+            animation=False,
+            N_samples=16,
+            sampling_space="disparity",
+            tn=0.5,
+            tf=30.0,
+        )
+    )
+    assert os.path.exists(os.path.join(root, "results", "unb", "rgb_0.png"))
