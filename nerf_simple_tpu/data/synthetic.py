@@ -87,7 +87,36 @@ def _field_hard(locs: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
 
 
-_STYLES = {"blobs": _field_blobs, "hard": _field_hard}
+def _field_unbounded(locs: jnp.ndarray) -> jnp.ndarray:
+    """Two depth octaves: the central blob cluster (radius ~1-2) plus a
+    distant shell at radius 20 painted with azimuth/elevation color
+    bands — the regime scene contraction + disparity sampling exist
+    for. Cameras at r=4 see the shell through every pixel that misses
+    the center, so a bounded model (tf=6) renders those pixels black
+    and a linear sampler wastes its budget on 18 units of empty space.
+    The supports are spatially disjoint, so the blend is a simple
+    density-argmax."""
+    near = _field_blobs(locs)
+    r = jnp.linalg.norm(locs, axis=-1)
+    m = jax.nn.sigmoid(8.0 * (0.75 - jnp.abs(r - 20.0)))
+    shell_sigma = -10.0 + 30.0 * m
+    az = jnp.arctan2(locs[..., 1], locs[..., 0])
+    bands = 0.5 + 0.5 * jnp.sin(3.0 * az)
+    el = locs[..., 2] / jnp.maximum(r, 1e-6)
+    shell_rgb = jnp.stack(
+        [bands, 1.0 - bands, 0.5 + 0.5 * el], axis=-1
+    )
+    take_shell = (shell_sigma > near[..., 3])[..., None]
+    sigma = jnp.maximum(near[..., 3], shell_sigma)
+    rgb = jnp.where(take_shell, shell_rgb, near[..., :3])
+    return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+_STYLES = {
+    "blobs": _field_blobs,
+    "hard": _field_hard,
+    "unbounded": _field_unbounded,
+}
 
 
 def field(locs: jnp.ndarray, style: str = "blobs") -> jnp.ndarray:
@@ -194,7 +223,9 @@ def write_blender_scene(
     import cv2
 
     f = W / (2.0 * np.tan(fov_x / 2.0))
-    gt_N = 576 if style == "hard" else 192
+    gt_N = 576 if style in ("hard", "unbounded") else 192
+    # the unbounded shell sits at radius 20: GT must integrate past it
+    gt_tf = 25.0 if style == "unbounded" else 6.0
     specs = {
         "train": orbit_cameras(n_train, seed_jitter=train_jitter),
         "val": orbit_cameras(n_val, seed_jitter=1),
@@ -204,7 +235,8 @@ def write_blender_scene(
         split_dir = os.path.join(path, split)
         os.makedirs(split_dir, exist_ok=True)
         imgs, depths = render_gt(
-            poses, H, W, f, N=gt_N, style=style, return_depth=True
+            poses, H, W, f, N=gt_N, tf=gt_tf, style=style,
+            return_depth=True,
         )
         if write_depth:
             ddir = os.path.join(path, "depth", split)

@@ -205,3 +205,24 @@ def test_hard_style_scene_is_sharp_and_sparse(tmp_path):
     img = data.splits["train"].images[0]
     cover = float((img.sum(-1) > 0.05).mean())
     assert 0.05 < cover < 0.7  # object visible, background empty
+
+
+def test_unbounded_scene_style(tmp_path):
+    """The 'unbounded' procedural style: background shell visible in
+    every corner pixel (no black background), central content distinct,
+    GT integration reaches past the shell."""
+    import numpy as np
+
+    from nerf_simple_tpu.data.synthetic import orbit_cameras, render_gt
+
+    poses = orbit_cameras(1)
+    img = render_gt(
+        poses, 32, 32, 24.0, N=256, tf=25.0, style="unbounded"
+    )[0]
+    # every pixel sees content (shell fills the background)
+    assert (img.sum(-1) > 0.05).all()
+    # corners (shell) differ from center (blob cluster)
+    assert abs(img[:4, :4].mean() - img[14:18, 14:18].mean()) > 0.02
+    # bounded integration (tf=6) leaves background pixels dark instead
+    img6 = render_gt(poses, 32, 32, 24.0, N=256, tf=6.0, style="unbounded")[0]
+    assert (img6[:4, :4].sum(-1) < 0.05).mean() > 0.5
