@@ -38,9 +38,9 @@ from nerf_simple_tpu.render.renderer import RenderSettings, render_rays_chunked
 from nerf_simple_tpu.train.metrics import img_psnr
 from nerf_simple_tpu.train.step import build_train_step, make_train_state
 
-SCENE = "/tmp/unb_scene/scene"
-ITERS = 10_000
-BATCH = 4096
+SCENE = os.environ.get("UNB_SCENE", "/tmp/unb_scene/scene")
+ITERS = int(os.environ.get("UNB_ITERS", 10_000))
+BATCH = int(os.environ.get("UNB_BATCH", 4096))
 
 CONFIGS = [
     ("bounded tf=6 (reference regime)", dict(tn=2.0, tf=6.0)),
