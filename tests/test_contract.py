@@ -224,3 +224,29 @@ def test_unbounded_scene_trains_and_evals(tmp_path):
         )
     )
     assert os.path.exists(os.path.join(root, "results", "unb", "rgb_0.png"))
+
+
+def test_contract_hierarchical_trains(rng):
+    """contract + hierarchical: the two-net inverse-CDF scheme over a
+    contracted field (both nets carry the model-level warp)."""
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    cfg = TrainConfig(
+        datapath="x", Nf=8, Nc=4, hierarchical=True, contract=True,
+        sampling_space="disparity", tn=0.5, tf=50.0, batch_size=32,
+        steps_per_call=2, num_iters=4, net_Lp=4, net_Ld=2, net_H=32,
+        ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+    )
+    model = model_from_train_config(cfg)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step = build_train_step(cfg, model, donate=False)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (128, 3)), rng.normal(size=(128, 3))], -1
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng.uniform(0, 1, (128, 3)), jnp.float32)
+    state, losses = step(state, rays, pixels, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses)).all()

@@ -723,3 +723,39 @@ def test_mip_train_learns_and_eval_renders(tmp_path):
         )
     )
     assert os.path.exists(os.path.join(root, "results", "mip", "rgb_0.png"))
+
+
+def test_multiscale_two_level_combo(rng):
+    """mip_multiscale + mip_levels=2: both fused passes consume the
+    8-column rays (per-ray radius + weight) and losses stay finite."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    cfg = TrainConfig(
+        datapath="x", Nf=16, mip=True, mip_levels=2, mip_multiscale=True,
+        backend="pallas", batch_size=8, steps_per_call=1, num_iters=1,
+        net_Lp=4, net_Ld=2, net_H=32,
+        ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+    )
+    model = model_from_train_config(cfg)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step = build_train_step(cfg, model, donate=False, base_radius=0.05)
+    rng_np = np.random.default_rng(5)
+    rays8 = jnp.asarray(
+        np.concatenate(
+            [
+                rng_np.normal(0, 0.1, (32, 3)),
+                rng_np.normal(size=(32, 3)),
+                rng_np.uniform(0.01, 0.2, (32, 1)),
+                rng_np.uniform(0.5, 2.0, (32, 1)),
+            ],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng_np.uniform(0, 1, (32, 3)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        state, losses = step(state, rays8, pixels, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(losses)).all()
