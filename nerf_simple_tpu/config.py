@@ -275,6 +275,21 @@ class TrainConfig:
                 "sampling_space must be 'linear' or 'disparity', got "
                 f"{self.sampling_space!r}"
             )
+        if self.sampling_space == "disparity" and self.tn <= 0:
+            raise ValueError(
+                f"sampling_space='disparity' needs tn > 0 (bins are "
+                f"uniform in 1/t); got tn={self.tn}"
+            )
+        if (
+            self.sampling_space == "disparity"
+            and self.dataset == "llff"
+            and self.ndc
+        ):
+            raise ValueError(
+                "sampling_space='disparity' with NDC is redundant (the "
+                "NDC warp already makes linear-in-t linear-in-disparity) "
+                "and its t-range starts at 0; use ndc: false"
+            )
         if self.contract:
             if self.mip:
                 raise ValueError(
@@ -460,6 +475,21 @@ class TestConfig:
             raise ValueError(
                 "sampling_space must be 'linear' or 'disparity', got "
                 f"{self.sampling_space!r}"
+            )
+        if self.sampling_space == "disparity" and self.tn <= 0:
+            raise ValueError(
+                f"sampling_space='disparity' needs tn > 0 (bins are "
+                f"uniform in 1/t); got tn={self.tn}"
+            )
+        if (
+            self.sampling_space == "disparity"
+            and self.dataset == "llff"
+            and self.ndc
+        ):
+            raise ValueError(
+                "sampling_space='disparity' with NDC is redundant (the "
+                "NDC warp already makes linear-in-t linear-in-disparity) "
+                "and its t-range starts at 0; use ndc: false"
             )
 
     @property

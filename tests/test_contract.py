@@ -250,3 +250,21 @@ def test_contract_hierarchical_trains(rng):
     pixels = jnp.asarray(rng.uniform(0, 1, (128, 3)), jnp.float32)
     state, losses = step(state, rays, pixels, jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_disparity_validation_gaps():
+    """tn=0 would divide by zero in the 1/t bins; NDC already warps to
+    disparity and its t-range starts at 0 — both rejected upfront."""
+    from nerf_simple_tpu.config import TestConfig
+
+    with pytest.raises(ValueError, match="tn > 0"):
+        TrainConfig(datapath="x", sampling_space="disparity", tn=0.0)
+    with pytest.raises(ValueError, match="redundant"):
+        TrainConfig(
+            datapath="x", sampling_space="disparity", dataset="llff",
+            ndc=True,
+        )
+    with pytest.raises(ValueError, match="tn > 0"):
+        TestConfig(
+            loadpath="x", datapath="x", sampling_space="disparity", tn=0.0
+        )
