@@ -291,12 +291,9 @@ class TrainConfig:
                 "and its t-range starts at 0; use ndc: false"
             )
         if self.contract:
-            if self.mip:
-                raise ValueError(
-                    "contract=True with mip=True needs the linearized "
-                    "Gaussian contraction (mip-NeRF 360 eqn. 8-9) — not "
-                    "implemented yet; drop one of the two"
-                )
+            # mip + contract composes: the frustum Gaussians warp through
+            # the linearized contraction (ops/encoding.py::
+            # contract_gaussian) before the integrated encoding
             if self.dataset == "llff" and self.ndc:
                 raise ValueError(
                     "contract=True is redundant/incompatible with NDC "

@@ -353,8 +353,19 @@ def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP, v8=None, Sv=None):
                 xyz[0:1] ** 2 + xyz[1:2] ** 2 + xyz[2:3] ** 2, 1e-20
             )
         )  # (1, TR)
-        scale = jnp.where(n <= 1.0, 1.0, (2.0 - 1.0 / n) / n)
-        x = jnp.concatenate([xyz * scale, x[3:]], axis=0)
+        inside = n <= 1.0
+        g = jnp.where(inside, 1.0, (2.0 - 1.0 / n) / n)
+        if v8 is not None:
+            # mip: linearized Gaussian contraction (mip-NeRF 360
+            # eqn. 8-9; ops/encoding.py::contract_gaussian) — the
+            # variance rows transform through the Jacobian diagonal
+            c = jnp.where(inside, 0.0, (-2.0 / n**2 + 2.0 / n**3) / n)
+            m2 = xyz**2  # (3, TR)
+            v = v8[3:6]
+            m2v = m2[0:1] * v[0:1] + m2[1:2] * v[1:2] + m2[2:3] * v[2:3]
+            v_out = g**2 * v + 2.0 * g * c * m2 * v + c**2 * m2 * m2v
+            v8 = jnp.concatenate([v8[0:3], v_out, v8[6:8]], axis=0)
+        x = jnp.concatenate([xyz * g, x[3:]], axis=0)
     sbx, sbd = _sin_block(model.Lp), _sin_block(model.Ld)
 
     def raw_with_rail(ang8):

@@ -180,10 +180,13 @@ def nerf_apply_mip(
     Args: mean/var (B, 3) frustum Gaussian moments
     (ops/sampling.py::conical_gaussian); dirs (B, 3) unit view dirs.
     """
-    assert not model.contract, (
-        "mip + scene contraction needs the linearized Gaussian warp "
-        "(mip-NeRF 360 eqn. 8-9) — not implemented; config forbids it"
-    )
+    if model.contract:
+        # mip-NeRF 360: contract the frustum Gaussian via the
+        # linearized warp (mean through contract, var through the
+        # Jacobian) before the integrated encoding
+        from nerf_simple_tpu.ops.encoding import contract_gaussian
+
+        mean, var = contract_gaussian(mean, var)
     from nerf_simple_tpu.ops.encoding import ipe_encoder
 
     posx, posd = ipe_encoder(mean, var, dirs, Lp=model.Lp, Ld=model.Ld)

@@ -65,6 +65,39 @@ def scene_contraction(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(n <= 1.0, x, (2.0 - 1.0 / n) * (x / n))
 
 
+def contract_gaussian(
+    mean: jnp.ndarray, var: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Linearized scene contraction of diagonal Gaussians (mip-NeRF 360
+    eqn. 8-9): the frustum Gaussian (mean, diag var) maps to
+
+        mean' = contract(mean),   var' = diag(J Sigma J^T),
+
+    with J the contraction Jacobian at the mean. For
+    ``contract(x) = g(r) x`` with ``g(r) = (2 - 1/r)/r`` outside the
+    unit ball (identity inside), ``J = g I + (g'/r) x x^T``, giving the
+    closed-form diagonal
+
+        var'_i = g^2 v_i + 2 g c m_i^2 v_i + c^2 m_i^2 (sum_j m_j^2 v_j)
+
+    with ``c = g'(r)/r``. Inside the ball g=1, c=0 — exact identity.
+    Pure broadcast VPU math, shared by the XLA mip forward
+    (models/nerf.py::nerf_apply_mip) and mirrored in-kernel
+    (kernels/mlp.py::_encode) for the fused path.
+    """
+    r = jnp.maximum(
+        jnp.linalg.norm(mean, axis=-1, keepdims=True), 1e-10
+    )
+    inside = r <= 1.0
+    g = jnp.where(inside, 1.0, (2.0 - 1.0 / r) / r)
+    # g'(r) = -2/r^2 + 2/r^3 ; c = g'/r
+    c = jnp.where(inside, 0.0, (-2.0 / r**2 + 2.0 / r**3) / r)
+    m2 = mean**2
+    m2v = jnp.sum(m2 * var, axis=-1, keepdims=True)
+    var_out = g**2 * var + 2.0 * g * c * m2 * var + c**2 * m2 * m2v
+    return g * mean, var_out
+
+
 def gamma_ipe(mean: jnp.ndarray, var: jnp.ndarray, L: int = 10) -> jnp.ndarray:
     """Integrated positional encoding (mip-NeRF, Barron et al. 2021,
     eqn. 14): the EXPECTED frequency encoding of x ~ N(mean, diag(var)),

@@ -156,8 +156,8 @@ def test_contract_changes_field_only_outside_unit_ball(rng):
 
 
 def test_config_contract_validation():
-    with pytest.raises(ValueError, match="linearized Gaussian"):
-        TrainConfig(datapath="x", contract=True, mip=True)
+    # mip + contract composes (linearized Gaussian warp)
+    TrainConfig(datapath="x", contract=True, mip=True)
     with pytest.raises(ValueError, match="sampling_space"):
         TrainConfig(datapath="x", sampling_space="bogus")
     with pytest.raises(ValueError, match="NDC"):
@@ -268,3 +268,79 @@ def test_disparity_validation_gaps():
         TestConfig(
             loadpath="x", datapath="x", sampling_space="disparity", tn=0.0
         )
+
+
+def test_contract_gaussian_matches_monte_carlo(rng):
+    """Linearized Gaussian contraction vs 300k-sample Monte Carlo: for
+    small variances (the frustum regime) the Jacobian propagation must
+    track the empirical contracted mean/variance."""
+    from nerf_simple_tpu.ops.encoding import contract_gaussian
+
+    means = np.array([[3.0, -1.0, 2.0], [0.2, 0.1, -0.3], [0.0, 5.0, 0.0]])
+    varis = np.array(
+        [[0.02, 0.01, 0.015], [0.001, 0.002, 0.001], [0.01, 0.03, 0.02]]
+    )
+    m_out, v_out = contract_gaussian(
+        jnp.asarray(means, jnp.float32), jnp.asarray(varis, jnp.float32)
+    )
+    n = 300_000
+    for i in range(3):
+        pts = means[i] + rng.normal(size=(n, 3)) * np.sqrt(varis[i])
+        con = np.asarray(scene_contraction(jnp.asarray(pts, jnp.float32)))
+        # linearization error is O(var); tolerances sized accordingly
+        np.testing.assert_allclose(
+            np.asarray(m_out)[i], con.mean(0), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_out)[i], con.var(0), rtol=0.15, atol=2e-5
+        )
+    # inside the unit ball (row 1): exact identity
+    np.testing.assert_allclose(np.asarray(m_out)[1], means[1], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_out)[1], varis[1], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_mip_contract_fused_matches_xla(rng):
+    """mip + contract: the in-kernel Gaussian contraction must match the
+    XLA contract_gaussian path — train-step loss parity (f32,
+    interpret)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    base = dict(
+        datapath="x", Nf=16, mip=True, contract=True,
+        sampling_space="disparity", tn=0.5, tf=50.0, batch_size=8,
+        steps_per_call=1, num_iters=1, net_Lp=6, net_Ld=2, net_H=32,
+        ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+    )
+    rng_np = np.random.default_rng(21)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng_np.normal(0, 0.1, (64, 3)), rng_np.normal(size=(64, 3))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng_np.uniform(0, 1, (64, 3)), jnp.float32)
+    key = jax.random.PRNGKey(23)
+    losses = {}
+    for backend in ("xla", "pallas"):
+        cfg = TrainConfig(backend=backend, **base)
+        model = model_from_train_config(cfg)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False, base_radius=0.05)
+        ctx = (
+            pltpu.force_tpu_interpret_mode()
+            if backend == "pallas"
+            else jax.default_matmul_precision("highest")
+        )
+        with ctx:
+            _, losses[backend] = step(state, rays, pixels, key)
+    np.testing.assert_allclose(
+        np.asarray(losses["pallas"]),
+        np.asarray(losses["xla"]),
+        rtol=2e-4,
+        atol=1e-6,
+    )
