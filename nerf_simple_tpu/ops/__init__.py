@@ -1,23 +1,46 @@
 """Pure-jnp math ops: encoding, camera rays, poses, sampling, compositing."""
 
-from nerf_simple_tpu.ops.encoding import gamma, positional_encoder
+from nerf_simple_tpu.ops.encoding import (
+    contract_gaussian,
+    gamma,
+    gamma_ipe,
+    positional_encoder,
+    scene_contraction,
+)
 from nerf_simple_tpu.ops.rays import (
     camera_ray_dirs,
-    rays_for_poses,
-    spherical_to_pose,
+    mip_ray_radii,
     orbit_poses,
+    rays_for_poses,
+    rays_for_poses_scaled,
+    spherical_to_pose,
 )
-from nerf_simple_tpu.ops.sampling import stratified_ts, importance_ts
-from nerf_simple_tpu.ops.volume import composite
+from nerf_simple_tpu.ops.sampling import (
+    conical_gaussian,
+    importance_ts,
+    resample_edges,
+    stratified_ts,
+    stratified_ts_spaced,
+)
+from nerf_simple_tpu.ops.volume import composite, composite_intervals
 
 __all__ = [
+    "contract_gaussian",
     "gamma",
+    "gamma_ipe",
     "positional_encoder",
+    "scene_contraction",
     "camera_ray_dirs",
-    "rays_for_poses",
-    "spherical_to_pose",
+    "mip_ray_radii",
     "orbit_poses",
-    "stratified_ts",
+    "rays_for_poses",
+    "rays_for_poses_scaled",
+    "spherical_to_pose",
+    "conical_gaussian",
     "importance_ts",
+    "resample_edges",
+    "stratified_ts",
+    "stratified_ts_spaced",
     "composite",
+    "composite_intervals",
 ]
