@@ -617,6 +617,7 @@ def test_multiscale_fused_matches_xla(rng):
     key = jax.random.PRNGKey(13)
 
     losses = {}
+    states = {}
     for backend in ("xla", "pallas"):
         cfg = TrainConfig(backend=backend, **base)
         model = model_from_train_config(cfg)
@@ -628,13 +629,21 @@ def test_multiscale_fused_matches_xla(rng):
             else jax.default_matmul_precision("highest")
         )
         with ctx:
-            _, losses[backend] = step(state, rays8, pixels, key)
+            states[backend], losses[backend] = step(
+                state, rays8, pixels, key
+            )
     np.testing.assert_allclose(
         np.asarray(losses["pallas"]),
         np.asarray(losses["xla"]),
         rtol=2e-4,
         atol=1e-6,
     )
+    # gradient parity, not just loss parity: the weighted-loss cotangent
+    # (2 * scale * w_r * err) feeds every dW — one optimizer step from
+    # identical grads must yield near-identical params
+    a = states["xla"].params["trunk0"]["w"]
+    b = states["pallas"].params["trunk0"]["w"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
 @pytest.mark.slow
