@@ -290,6 +290,13 @@ class TrainConfig:
                 "NDC warp already makes linear-in-t linear-in-disparity) "
                 "and its t-range starts at 0; use ndc: false"
             )
+        if self.sampling_space == "disparity" and self.occupancy:
+            raise ValueError(
+                "sampling_space='disparity' is dead under occupancy=True "
+                "(the occupancy grid redistributes LINEAR bins of "
+                "[tn, tf] and its aabb cannot cover an unbounded far "
+                "field); drop one of the two"
+            )
         if self.contract:
             # mip + contract composes: the frustum Gaussians warp through
             # the linearized contraction (ops/encoding.py::
@@ -487,6 +494,12 @@ class TestConfig:
                 "sampling_space='disparity' with NDC is redundant (the "
                 "NDC warp already makes linear-in-t linear-in-disparity) "
                 "and its t-range starts at 0; use ndc: false"
+            )
+        if self.sampling_space == "disparity" and self.occupancy:
+            raise ValueError(
+                "sampling_space='disparity' is dead under occupancy "
+                "(the occupancy grid redistributes LINEAR bins of "
+                "[tn, tf]); drop one of the two"
             )
 
     @property

@@ -84,7 +84,20 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     from nerf_simple_tpu.models import infer_model
     from nerf_simple_tpu.train.checkpoint import load_model_meta
 
-    model = load_model_meta(cfg.loadpath) or infer_model(params)
+    model = load_model_meta(cfg.loadpath)
+    if model is None:
+        import warnings
+
+        model = infer_model(params)
+        if not getattr(model, "contract", False):
+            warnings.warn(
+                "no model.json sidecar next to the checkpoint; the "
+                "architecture was inferred from weight shapes, which "
+                "cannot recover shape-invariant fields (contract=False "
+                "assumed — a contracted checkpoint would render wrong). "
+                "Keep the sidecar with the weights.",
+                stacklevel=2,
+            )
     if cfg.Nc > 0 and not (
         isinstance(params, dict) and "coarse" in params
     ):

@@ -56,14 +56,19 @@ class RenderServer:
         self.params = jax.tree.map(jax.numpy.asarray, params)
         self.model = model or infer_model(params)
         self.settings = settings or RenderSettings()
-        if self.settings.mip and (self.settings.N_prop > 0 or occupancy):
+        if self.settings.mip and (
+            self.settings.N_prop > 0
+            or self.settings.N_coarse > 0
+            or occupancy
+        ):
             # mirror Train/TestConfig validation: cone casting draws its
             # own interval edges (occupancy ts would trip the renderer's
-            # assert; proposal would silently win the dispatch and drop
-            # cone casting while /health still reports mip)
+            # assert; proposal/hierarchical would silently win the
+            # dispatch and drop cone casting while /health reports mip)
             raise ValueError(
-                "mip serving excludes proposal/occupancy sampling: cone "
-                "casting draws its own interval edges"
+                "mip serving excludes proposal/hierarchical/occupancy "
+                "sampling: cone casting draws its own interval edges "
+                "(mip_levels=2 is the cone-cast hierarchical scheme)"
             )
         self.prop_model = None
         if self.settings.N_prop > 0:
@@ -221,6 +226,16 @@ def main() -> None:
                     "any frame scale; cone radius derives from --focal")
     ap.add_argument("--mip-levels", type=int, default=1, choices=[1, 2],
                     help="2 = coarse+fine cone casting (shared MLP)")
+    ap.add_argument("--tn", type=float, default=2.0,
+                    help="near sampling bound (match the training config "
+                    "— unbounded/360 checkpoints used e.g. 0.2)")
+    ap.add_argument("--tf", type=float, default=6.0,
+                    help="far sampling bound (e.g. 100 for contracted "
+                    "360 checkpoints)")
+    ap.add_argument("--sampling-space", default="linear",
+                    choices=["linear", "disparity"],
+                    help="'disparity' = bins uniform in 1/t (use what "
+                    "the checkpoint trained with)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -242,6 +257,9 @@ def main() -> None:
         mip_levels=args.mip_levels,
         # pixel world-space half-width at unit distance (mip-NeRF 3.1)
         base_radius=(2.0 / 12.0**0.5 / args.focal) if args.mip else 0.0,
+        tn=args.tn,
+        tf=args.tf,
+        sampling_space=args.sampling_space,
         backend=args.backend,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )

@@ -212,6 +212,21 @@ def build_train_step(
             floor=cfg.occ_floor,
         )
 
+    def _s_norm(ts):
+        """Normalize sample distances to the SAMPLING parametrization
+        s in [0,1] before the distortion regularizer — mip-NeRF 360
+        defines eqn. 15 in s-space for exactly the unbounded case: in
+        raw t a far disparity bin spans tens of units and its width
+        alone dominates the self term, suppressing legitimate
+        background. For linear spacing this is an affine rescale (the
+        regularizer's relative geometry is unchanged; weights calibrate
+        per (tf - tn))."""
+        if cfg.sampling_space == "disparity":
+            return (1.0 / cfg.tn - 1.0 / jnp.maximum(ts, 1e-10)) / (
+                1.0 / cfg.tn - 1.0 / cfg.tf
+            )
+        return (ts - cfg.tn) / (cfg.tf - cfg.tn)
+
     def _depth_term(out, gt_d):
         """Masked L2 on expected termination depth (DS-NeRF eqn. 3
         analogue). gt_d <= 0 / non-finite rows (holes in real depth
@@ -246,7 +261,7 @@ def build_train_step(
                 from nerf_simple_tpu.ops.volume import distortion_loss
 
                 loss = loss + cfg.distortion_loss_weight * distortion_loss(
-                    fine.weights, ts_all
+                    fine.weights, _s_norm(ts_all)
                 )
             return loss
         if cfg.proposal:
@@ -271,7 +286,7 @@ def build_train_step(
                 from nerf_simple_tpu.ops.volume import distortion_loss
 
                 loss = loss + cfg.distortion_loss_weight * distortion_loss(
-                    out.weights, ts_f
+                    out.weights, _s_norm(ts_f)
                 )
             return loss
         if cfg.mip and cfg.mip_levels == 2:
@@ -313,7 +328,7 @@ def build_train_step(
             from nerf_simple_tpu.ops.volume import distortion_loss
 
             loss = loss + cfg.distortion_loss_weight * distortion_loss(
-                out.weights, ts
+                out.weights, _s_norm(ts)
             )
         return loss
 

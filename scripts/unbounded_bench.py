@@ -95,7 +95,10 @@ def main():
                 state, rays, pixels, jax.random.fold_in(key, i)
             )
         float(losses[-1])
-        wall = round((time.time() - t0) * n_chunks / (n_chunks - 1), 1)
+        # single-chunk runs (CPU smoke) can't exclude the compile chunk
+        wall = round(
+            (time.time() - t0) * n_chunks / max(n_chunks - 1, 1), 1
+        )
 
         settings = RenderSettings(
             N=128,
