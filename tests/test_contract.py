@@ -344,3 +344,27 @@ def test_mip_contract_fused_matches_xla(rng):
         rtol=2e-4,
         atol=1e-6,
     )
+
+
+def test_distortion_s_space_tames_far_disparity_bins():
+    """A perfectly sharp FAR surface under disparity spacing: in raw t
+    its bin alone spans tens of units and the distortion self term
+    w^2*delta/3 is order-1+ — the s-space normalization (train/step.py::
+    _s_norm, mip-NeRF 360 eqn. 15) bounds it by the 1/N bin width."""
+    from nerf_simple_tpu.ops.sampling import stratified_ts_spaced
+    from nerf_simple_tpu.ops.volume import distortion_loss
+
+    B, N, tn, tf = 16, 64, 0.5, 100.0
+    ts = stratified_ts_spaced(
+        jax.random.PRNGKey(0), B, N, tn, tf, space="disparity"
+    )
+    # all weight on the farthest NON-TAIL sample (a single opaque far
+    # surface; distortion_loss excludes the tail bin itself) — under
+    # disparity spacing that bin spans ~10 t-units
+    w = (jnp.arange(N) == N - 2).astype(jnp.float32)
+    w = jnp.broadcast_to(w, (B, N))
+    raw = float(distortion_loss(w, ts))
+    s = (1.0 / tn - 1.0 / ts) / (1.0 / tn - 1.0 / tf)
+    snorm = float(distortion_loss(w, s))
+    assert raw > 1.0, raw  # the failure mode the fix removes
+    assert snorm < 0.02, snorm  # bounded by the ~1/N s-space bin width
