@@ -109,6 +109,37 @@ class TrainConfig:
     # normals noisy). 0.0 = off. Typical: 1e-3..1e-2. Runs the
     # autodiff XLA loss path (the fused kernel is MSE-only).
     distortion_loss_weight: float = 0.0
+    # --- per-image trainable extras (the real-capture toolkit; both ride
+    # a {"field": ..., "cams"/"app": ...} param wrapper with their own
+    # optimizer groups — train/step.py — and force the autodiff XLA loss
+    # path: the fused kernel differentiates only wrt weights, and pose/
+    # appearance gradients flow through the ray stream itself) ---
+    # NeRF-W-style appearance embeddings: a trainable
+    # (num_train_images, appearance_dim) code table; each sampled ray
+    # appends its source image's code to the view-direction encoding, so
+    # per-image exposure/white-balance/lighting variation lands in the
+    # color head while density stays shared. 0 = off. Eval renders with
+    # the mean code by default (TestConfig.appearance_idx). NerfMLP
+    # family, point-sampled paths (mip IPE not plumbed).
+    appearance_dim: int = 0
+    # BARF-style joint camera-pose refinement: per-train-image se(3)
+    # deltas (axis-angle rotation about the camera center + world
+    # translation), applied to every sampled ray inside the jitted step
+    # (ops/rays.py::apply_cam_deltas) and trained by the photometric
+    # loss through ray generation — corrects miscalibrated COLMAP/real
+    # poses. Own Adam schedule (pose_lr_init -> pose_lr_final,
+    # exponential, like the main schedule).
+    pose_opt: bool = False
+    pose_lr_init: float = 1e-3
+    pose_lr_final: float = 1e-5
+    # steps before pose updates engage (pose lr = 0 until then). While
+    # the field is random, photometric pose gradients are pure noise and
+    # Adam normalizes them into full-size steps — the rig random-walks
+    # away within the first chunk (measured: |dr| drifts to ~0.08 rad in
+    # 100 iters, never recovers). A short warmup lets the field develop
+    # structure first, so pose gradients point at each image's actual
+    # misalignment. Rule of thumb: ~3-5% of num_iters.
+    pose_warmup: int = 300
     # restrict training ray sampling to these train-image indices — the
     # reference's commented-out select_imgs mode (train.py:48,
     # dataload.py:155-179). Empty = sample the whole split (default).
@@ -383,6 +414,49 @@ class TrainConfig:
                 "train_im_idxs cannot combine with shard_dataset: image "
                 "pixel ranges straddle dataset shards; drop one of the two"
             )
+        if self.appearance_dim < 0:
+            raise ValueError(
+                f"appearance_dim must be >= 0, got {self.appearance_dim}"
+            )
+        if self.appearance_dim > 0 or self.pose_opt:
+            what = (
+                "appearance_dim > 0" if self.appearance_dim > 0 else "pose_opt"
+            )
+            if self.shard_dataset:
+                raise ValueError(
+                    f"{what} cannot combine with shard_dataset: per-image "
+                    "params need the global row -> image mapping, but each "
+                    "chip samples rows of its LOCAL dataset slice"
+                )
+            if self.mip_multiscale:
+                raise ValueError(
+                    f"{what} cannot combine with mip_multiscale: the "
+                    "pyramid ray pool breaks the per-image H*W row mapping"
+                )
+        if self.appearance_dim > 0:
+            if self.model_family != "nerf":
+                raise ValueError(
+                    "appearance_dim > 0 is NerfMLP-family only (the code "
+                    "rides the direction encoding into the color head)"
+                )
+            if self.mip:
+                raise ValueError(
+                    "appearance_dim > 0 is not plumbed through the mip IPE "
+                    "path; use point-sampled configs (plain/hierarchical/"
+                    "proposal/occupancy)"
+                )
+        if self.pose_opt:
+            if self.dataset == "llff" and self.ndc:
+                raise ValueError(
+                    "pose_opt needs world-space rays: NDC-warped rays have "
+                    "no meaningful se(3) delta (set ndc: false for "
+                    "refinable LLFF captures)"
+                )
+            if self.pose_lr_init <= 0 or self.pose_lr_final <= 0:
+                raise ValueError(
+                    "pose_lr_init/pose_lr_final must be positive, got "
+                    f"{self.pose_lr_init}/{self.pose_lr_final}"
+                )
 
     @property
     def render_dtype(self):
@@ -454,6 +528,11 @@ class TestConfig:
     # maps (dataload.py:38-40) but never consumes them; this produces
     # the predicted counterpart.
     normals: bool = False
+    # appearance-embedding checkpoints (TrainConfig.appearance_dim > 0):
+    # which train image's code conditions the render. -1 (default) = the
+    # mean code — the NeRF-W "canonical appearance" for novel views;
+    # >= 0 picks that train image's look.
+    appearance_idx: int = -1
 
     def __post_init__(self):
         if self.Np > 0 and self.Nc > 0:

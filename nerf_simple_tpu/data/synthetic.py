@@ -101,7 +101,11 @@ def _field_unbounded(locs: jnp.ndarray) -> jnp.ndarray:
     m = jax.nn.sigmoid(8.0 * (0.75 - jnp.abs(r - 20.0)))
     shell_sigma = -10.0 + 30.0 * m
     az = jnp.arctan2(locs[..., 1], locs[..., 0])
-    bands = 0.5 + 0.5 * jnp.sin(3.0 * az)
+    # 6-cycle bands: azimuthal wavelength ~21 units at the shell, so a
+    # model that paints the background on a camera-centered far plane
+    # (instead of representing the shell's world-space depth) misprojects
+    # by whole color bands once cameras vary in radius
+    bands = 0.5 + 0.5 * jnp.sin(6.0 * az)
     el = locs[..., 2] / jnp.maximum(r, 1e-6)
     shell_rgb = jnp.stack(
         [bands, 1.0 - bands, 0.5 + 0.5 * el], axis=-1
@@ -131,17 +135,30 @@ def field(locs: jnp.ndarray, style: str = "blobs") -> jnp.ndarray:
 
 
 def orbit_cameras(
-    n: int, r: float = 4.0, theta_deg: float = -30.0, seed_jitter: int = 0
+    n: int,
+    r: float = 4.0,
+    theta_deg: float = -30.0,
+    seed_jitter: int = 0,
+    r_range: tuple[float, float] | None = None,
 ) -> np.ndarray:
     """(n, 4, 4) poses spread over azimuth [0, 360), with optional
-    deterministic elevation jitter for split diversity."""
+    deterministic elevation jitter for split diversity.
+
+    ``r_range``: draw each camera's radius uniformly from (lo, hi)
+    instead of the fixed ``r``. Radius variance gives the BACKGROUND
+    parallax that separates a world-space far field from a
+    camera-centered one — on a constant-radius rig, painting the distant
+    shell onto each camera's far plane is nearly view-consistent (the
+    1e10 tail delta lets a bounded model do exactly that), so
+    unbounded-scene fixtures need this on."""
     rng = np.random.default_rng(seed_jitter)
     phis = np.linspace(0.0, 360.0, n, endpoint=False)
     thetas = theta_deg + (
         rng.uniform(-8, 8, n) if seed_jitter else np.zeros(n)
     )
+    rs = rng.uniform(*r_range, n) if r_range else np.full(n, r)
     return np.stack(
-        [spherical_to_pose(r, t, p) for t, p in zip(thetas, phis)]
+        [spherical_to_pose(rr, t, p) for rr, t, p in zip(rs, thetas, phis)]
     ).astype(np.float32)
 
 
@@ -197,6 +214,7 @@ def write_blender_scene(
     train_jitter: int = 0,
     style: str = "blobs",
     write_depth: bool = False,
+    camera_r_range: tuple[float, float] | None = None,
 ) -> None:
     """Write the synthetic scene to ``path`` in nerf_synthetic layout.
 
@@ -225,17 +243,22 @@ def write_blender_scene(
     f = W / (2.0 * np.tan(fov_x / 2.0))
     gt_N = 576 if style in ("hard", "unbounded") else 192
     # the unbounded shell sits at radius 20: GT must integrate past it
-    gt_tf = 25.0 if style == "unbounded" else 6.0
+    # (from a radius-6 camera the shell's far side is ~26.75 away), and
+    # varied-radius rigs put cameras as close as ~1 unit from the cluster
+    gt_tn = 0.5 if style == "unbounded" else 2.0
+    gt_tf = 30.0 if style == "unbounded" else 6.0
     specs = {
-        "train": orbit_cameras(n_train, seed_jitter=train_jitter),
-        "val": orbit_cameras(n_val, seed_jitter=1),
-        "test": orbit_cameras(n_test, seed_jitter=2),
+        "train": orbit_cameras(
+            n_train, seed_jitter=train_jitter, r_range=camera_r_range
+        ),
+        "val": orbit_cameras(n_val, seed_jitter=1, r_range=camera_r_range),
+        "test": orbit_cameras(n_test, seed_jitter=2, r_range=camera_r_range),
     }
     for split, poses in specs.items():
         split_dir = os.path.join(path, split)
         os.makedirs(split_dir, exist_ok=True)
         imgs, depths = render_gt(
-            poses, H, W, f, N=gt_N, tf=gt_tf, style=style,
+            poses, H, W, f, N=gt_N, tn=gt_tn, tf=gt_tf, style=style,
             return_depth=True,
         )
         if write_depth:

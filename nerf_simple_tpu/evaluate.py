@@ -33,10 +33,17 @@ from nerf_simple_tpu.render.renderer import (
 from nerf_simple_tpu.train.metrics import img_mse, img_psnr
 
 
-def load_params(loadpath: str, keep_hierarchy: bool = False):
+def load_params(
+    loadpath: str, keep_hierarchy: bool = False, return_aux: bool = False
+):
     """Load eval params from an npz export or an Orbax checkpoint dir.
     For hierarchical checkpoints, returns the fine net unless
-    ``keep_hierarchy`` (set when eval itself renders coarse+fine)."""
+    ``keep_hierarchy`` (set when eval itself renders coarse+fine).
+
+    Per-image-extras checkpoints ({"field", "cams"/"app"} wrapper —
+    pose_opt / appearance training) are unwrapped to the field params;
+    ``return_aux`` additionally returns the extras dict (empty when the
+    checkpoint has none)."""
     if loadpath.endswith(".npz"):
         from nerf_simple_tpu.train.checkpoint import import_params_npz
 
@@ -60,9 +67,16 @@ def load_params(loadpath: str, keep_hierarchy: bool = False):
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path))
         params = restored["params"] if "params" in restored else restored
+    aux = {}
+    if isinstance(params, dict) and "field" in params:
+        aux = {k: v for k, v in params.items() if k != "field"}
+        params = params["field"]
     if "fine" in params and not keep_hierarchy:
         params = params["fine"]
-    return jax.tree.map(jnp.asarray, params)
+    params = jax.tree.map(jnp.asarray, params)
+    if return_aux:
+        return params, jax.tree.map(jnp.asarray, aux)
+    return params
 
 
 def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
@@ -76,9 +90,20 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     out_dir = os.path.join(cfg.savepath, cfg.exp_name)
     os.makedirs(out_dir, exist_ok=True)
 
-    params = load_params(
-        cfg.loadpath, keep_hierarchy=cfg.Nc > 0 or cfg.Np > 0
+    params, aux = load_params(
+        cfg.loadpath, keep_hierarchy=cfg.Nc > 0 or cfg.Np > 0,
+        return_aux=True,
     )
+    # appearance-embedding checkpoints: pick the conditioning code
+    # (cfg.appearance_idx: -1 = mean code, >= 0 = that train image's)
+    app_vec = None
+    if "app" in aux:
+        tbl = aux["app"]
+        app_vec = (
+            tbl.mean(axis=0)
+            if cfg.appearance_idx < 0
+            else tbl[cfg.appearance_idx]
+        )
     # adapt to the checkpoint's model: exact rebuild from the model.json
     # sidecar when present, else infer the architecture from weight shapes
     from nerf_simple_tpu.models import infer_model
@@ -224,6 +249,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             occ=occ,
             mesh=mesh,
             prop_model=prop_model,
+            app=app_vec,
         )
         print(f"wrote {out}")
         return
@@ -245,6 +271,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             occ=occ,
             mesh=mesh,
             prop_model=prop_model,
+            app=app_vec,
         )
         gt = np.asarray(rd.pixels[cfg.im_set]).reshape(-1, rd.H, rd.W, 3)[
             idx : idx + 1

@@ -76,6 +76,10 @@ def supported(model) -> bool:
     H % 16 == 0) and L >= 1."""
     if not isinstance(model, NerfMLP):
         return False
+    if model.app_dim:
+        # appearance codes are per-ray runtime inputs; the kernel's
+        # weight packing and x16 stream have no slot for them
+        return False
     return model.H % 16 == 0 and model.H >= 16 and model.Lp >= 1 and model.Ld >= 1
 
 

@@ -45,11 +45,32 @@ __all__ = [
 ]
 
 
-def apply_model(params, v, model, compute_dtype):
-    """Family dispatch for the forward pass (same (B,6)->(B,4) contract)."""
+def apply_model(params, v, model, compute_dtype, app=None):
+    """Family dispatch for the forward pass (same (B,6)->(B,4) contract).
+
+    ``app``: (B, app_dim) appearance codes — NerfMLP-only (models/nerf.py),
+    required iff ``model.app_dim > 0``. Density-only consumers (occupancy
+    probes, normals, mesh export) pass zeros: sigma never sees the code.
+    """
     if isinstance(model, HashGridModel):
+        if app is not None:
+            raise ValueError(
+                "appearance codes are NerfMLP-family only (hashgrid has no "
+                "app_dim)"
+            )
         return hashgrid_apply(params, v, model, compute_dtype=compute_dtype)
-    return nerf_apply(params, v, model, compute_dtype=compute_dtype)
+    return nerf_apply(params, v, model, compute_dtype=compute_dtype, app=app)
+
+
+def zeros_app_for(model, n: int):
+    """(n, app_dim) zero appearance codes for density-only forwards of an
+    appearance-conditioned NerfMLP (sigma is independent of the code), or
+    None when the model takes none."""
+    if getattr(model, "app_dim", 0) > 0:
+        import jax.numpy as jnp
+
+        return jnp.zeros((n, model.app_dim), jnp.float32)
+    return None
 
 
 def init_model_params(key: jax.Array, model, dtype=None):
@@ -77,7 +98,8 @@ def model_from_train_config(cfg):
             contract=cfg.contract,
         )
     return NerfMLP(
-        Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H, contract=cfg.contract
+        Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H, contract=cfg.contract,
+        app_dim=cfg.appearance_dim,
     )
 
 

@@ -71,6 +71,14 @@ class NerfMLP:
     # checkpoints carry it (model.json sidecar) and every consumer
     # (render/train/occupancy probes/normals/mesh) is consistent.
     contract: bool = False
+    # NeRF-W-style per-image appearance conditioning: a code of this
+    # width is appended to the view-direction encoding, so it feeds ONLY
+    # the color head (density stays appearance-invariant — geometry is
+    # shared across exposures). The codes themselves are per-image
+    # trainable params owned by the train step ({"app": (n_images, A)}
+    # group, train/step.py); the model only fixes the color head's
+    # fan-in. 0 = off (reference behavior).
+    app_dim: int = 0
 
     @property
     def in_Cx(self) -> int:
@@ -93,7 +101,7 @@ class NerfMLP:
             "post1": (H, H),
             "sigma": (H, 1),
             "feature": (H, H),
-            "color0": (H + Cd, H // 2),
+            "color0": (H + Cd + self.app_dim, H // 2),
             "color1": (H // 2, 3),
         }
 
@@ -107,6 +115,17 @@ def infer_arch(params: Params) -> NerfMLP:
         params = params["fine"]
     Cx, H = params["trunk0"]["w"].shape
     Cd = params["color0"]["w"].shape[0] - H
+    if (Cd - 3) % 6:
+        # an appearance-conditioned checkpoint (app_dim > 0) widens the
+        # color head past any (Ld)-encoding width; (Ld, app_dim) cannot
+        # both be recovered from shapes alone
+        raise ValueError(
+            f"color head fan-in {params['color0']['w'].shape[0]} does not "
+            f"match any pure direction-encoding width (H={H} + 6*Ld + 3): "
+            "this looks like an appearance-embedding checkpoint "
+            "(app_dim > 0) — rebuild the model from the model.json "
+            "sidecar the train driver writes next to every checkpoint"
+        )
     return NerfMLP(Lp=(Cx - 3) // 6, Ld=(Cd - 3) // 6, H=H)
 
 
@@ -144,13 +163,26 @@ def nerf_apply(
     v: jnp.ndarray,
     model: NerfMLP = NerfMLP(),
     compute_dtype: Any = jnp.float32,
+    app: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Forward pass: raw (B, 6) ``[xyz | unit dir]`` rows -> (B, 4) rgb+sigma.
 
     ``compute_dtype=jnp.bfloat16`` casts activations/weights to bf16 for the
     MXU while accumulating in f32 (preferred_element_type) and returning f32
     outputs — the TPU fast path. f32 is the parity path.
+
+    ``app``: (B, app_dim) per-row appearance codes, required iff
+    ``model.app_dim > 0`` — appended to the direction encoding so they
+    condition only the color head.
     """
+    if (app is None) != (model.app_dim == 0) or (
+        app is not None and app.shape[-1] != model.app_dim
+    ):
+        raise ValueError(
+            f"model.app_dim={model.app_dim} but app is "
+            f"{None if app is None else app.shape} — appearance models "
+            "need matching (B, app_dim) codes (and only they accept them)"
+        )
     if model.contract:
         from nerf_simple_tpu.ops.encoding import scene_contraction
 
@@ -158,6 +190,8 @@ def nerf_apply(
             [scene_contraction(v[..., :3]), v[..., 3:]], axis=-1
         )
     posx, posd = positional_encoder(v, Lp=model.Lp, Ld=model.Ld)
+    if app is not None:
+        posd = jnp.concatenate([posd, app.astype(posd.dtype)], axis=-1)
     return _apply_encoded(params, posx, posd, compute_dtype)
 
 

@@ -193,13 +193,17 @@ def density_fn(params, model, dtype=jnp.float32):
     (P, 4) ``[rgb | sigma]`` model output. For hierarchical params pass
     the fine net (the field eval renders).
     """
-    from nerf_simple_tpu.models import apply_model
+    from nerf_simple_tpu.models import apply_model, zeros_app_for
 
     def fn(pts):
         v = jnp.concatenate(
             [pts, jnp.zeros_like(pts).at[:, 2].set(-1.0)], axis=-1
         )
-        return apply_model(params, v, model, dtype)[:, 3]
+        # density-only probe: appearance-conditioned models take a zero
+        # code (sigma never sees it)
+        return apply_model(
+            params, v, model, dtype, app=zeros_app_for(model, pts.shape[0])
+        )[:, 3]
 
     return fn
 

@@ -171,6 +171,51 @@ def ndc_rays(
     return jnp.stack([o0, o1, o2, d0, d1, d2], axis=-1)
 
 
+# --- Camera-pose refinement (BARF-style joint pose optimization).
+# No reference analogue (the reference trusts dataset poses); these are
+# the differentiable se(3)-delta ops the train step applies to sampled
+# rays so the photometric loss can correct miscalibrated real-capture
+# poses (train/step.py, cfg.pose_opt).
+
+
+def rodrigues_rotate(rvec: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vectors ``v`` (..., 3) by axis-angle ``rvec`` (..., 3).
+
+    Rodrigues' formula written with the two even coefficients
+    ``sin(t)/t`` and ``(1 - cos t)/t^2 == 2 sin^2(t/2)/t^2`` so it is
+    exact, smooth, and autodiff-safe at the zero rotation (the training
+    init): near zero both switch to their series, and the exact branches
+    use the half-angle form plus a clamp that keeps every VJP
+    intermediate in f32's NORMAL range — a naive ``(1-cos t)/max(t^2,
+    1e-24)`` is value-safe but its VJP squares the denominator (1e-48
+    underflows to 0) and emits 0/0 at the zero delta.
+    """
+    sq = jnp.sum(rvec * rvec, axis=-1, keepdims=True)
+    th = jnp.sqrt(jnp.maximum(sq, 1e-24))
+    small = sq < 1e-8
+    sinc = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(th) / th)
+    half = jnp.sin(0.5 * th) / th  # -> 1/2 as th -> 0, no cancellation
+    cosc = jnp.where(small, 0.5 - sq / 24.0, 2.0 * half * half)
+    cr = jnp.cross(rvec, v)
+    crr = jnp.cross(rvec, cr)
+    return v + sinc * cr + cosc * crr
+
+
+def apply_cam_deltas(
+    rays: jnp.ndarray, dr: jnp.ndarray, dt: jnp.ndarray
+) -> jnp.ndarray:
+    """Refine packed ``[origin | direction | ...]`` rays by per-ray pose
+    deltas: directions rotate by ``rodrigues_rotate(dr, .)`` (a rotation
+    about the camera center — total rotation R(dr) @ R0), origins
+    translate by ``dt`` (world frame). Both (B, 3), gathered per ray
+    from the per-image delta tables. Columns past 6 (mip radius/weight)
+    pass through untouched; at the zero delta this is the identity."""
+    o, d = rays[:, :3], rays[:, 3:6]
+    return jnp.concatenate(
+        [o + dt, rodrigues_rotate(dr, d), rays[:, 6:]], axis=-1
+    )
+
+
 # --- Spherical ("dome orbit") pose synthesis: reference utils/xyz.py:55-91.
 # Host-side numpy: poses are tiny, built once per render job.
 

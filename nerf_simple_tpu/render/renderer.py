@@ -122,6 +122,7 @@ def render_rays(
     settings: RenderSettings = RenderSettings(),
     model: NerfMLP = NerfMLP(),
     ts: jnp.ndarray | None = None,
+    app: jnp.ndarray | None = None,
 ) -> CompositeOut:
     """Stratified-sample and render a batch of rays (coarse-only path).
 
@@ -131,6 +132,9 @@ def render_rays(
       key: PRNG key for stratified jitter.
       ts: optional externally chosen (B, N) sorted sample distances (e.g.
         occupancy-informed, ops/occupancy.py); None = stratified.
+      app: optional (B, model.app_dim) per-ray appearance codes
+        (models/nerf.py app_dim) — broadcast over samples and appended to
+        the direction encoding. XLA MLP path only.
 
     Returns CompositeOut; ``.rgb`` is raw/unclipped like the reference.
     """
@@ -140,13 +144,14 @@ def render_rays(
     noise_key = jax.random.fold_in(key, 1) if settings.sigma_noise > 0 else None
     if settings.mip:
         assert ts is None, "mip rendering draws its own interval edges"
+        assert app is None, "appearance codes are not plumbed through mip"
         return _render_mip(params, rays, key, settings, model, noise_key)
     if ts is None:
         ts = stratified_ts_spaced(
             key, B, settings.N, settings.tn, settings.tf, rays.dtype,
             settings.sampling_space,
         )
-    return _render_at_ts(params, rays, ts, settings, model, noise_key)
+    return _render_at_ts(params, rays, ts, settings, model, noise_key, app)
 
 
 def _render_mip(
@@ -263,9 +268,10 @@ def _render_at_ts(
     settings: RenderSettings,
     model: NerfMLP,
     noise_key: jax.Array | None = None,
+    app: jnp.ndarray | None = None,
 ) -> CompositeOut:
     B, N = ts.shape
-    if settings.backend == "pallas" and isinstance(model, NerfMLP):
+    if app is None and settings.backend == "pallas" and isinstance(model, NerfMLP):
         # feature-major path: build the kernel's x^T directly from the
         # (B, N) ray/sample structure — no (B*N, 6) transpose ever exists
         outT = _fused_mlp_bn(params, rays, ts, settings, model)  # (4,B,N)
@@ -280,22 +286,37 @@ def _render_at_ts(
     query = jnp.concatenate(
         [locs, jnp.broadcast_to(unit_dirs[:, None, :], locs.shape)], axis=-1
     ).reshape(B * N, 6)
+    C = 6
+    if app is not None:
+        # per-ray appearance codes broadcast over samples; they ride the
+        # query columns so the lax.map chunking below splits them with
+        # the coordinates
+        A = app.shape[-1]
+        query = jnp.concatenate(
+            [
+                query,
+                jnp.broadcast_to(app[:, None, :], (B, N, A)).reshape(
+                    B * N, A
+                ),
+            ],
+            axis=-1,
+        )
+        C += A
+
+    def _apply(q):
+        return apply_model(
+            params, q[:, :6], model, compute_dtype=settings.compute_dtype,
+            app=q[:, 6:] if app is not None else None,
+        )
 
     rows = B * N
     k = 1
     while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
         k *= 2
     if k > 1:
-        out = jax.lax.map(
-            lambda q: apply_model(
-                params, q, model, compute_dtype=settings.compute_dtype
-            ),
-            query.reshape(k, rows // k, 6),
-        )
+        out = jax.lax.map(_apply, query.reshape(k, rows // k, C))
     else:
-        out = apply_model(
-            params, query, model, compute_dtype=settings.compute_dtype
-        )
+        out = _apply(query)
     out = out.reshape(B, N, 4)
     if noise_key is not None and settings.sigma_noise > 0:
         noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
@@ -404,6 +425,7 @@ def render_rays_hierarchical(
     det_fine: bool = False,
     ts_coarse: jnp.ndarray | None = None,
     return_ts: bool = False,
+    app: jnp.ndarray | None = None,
 ) -> tuple[CompositeOut, CompositeOut]:
     """Coarse+fine rendering (reference roadmap feature, built per the NeRF
     paper sec. 5.2): Nc stratified coarse samples -> weight PDF ->
@@ -426,7 +448,9 @@ def render_rays_hierarchical(
             k_strat, B, settings.N_coarse, settings.tn, settings.tf,
             rays.dtype, settings.sampling_space,
         )
-    coarse_out = _render_at_ts(params_coarse, rays, ts_c, settings, model)
+    coarse_out = _render_at_ts(
+        params_coarse, rays, ts_c, settings, model, app=app
+    )
 
     ts_f = importance_ts(
         k_imp,
@@ -436,7 +460,9 @@ def render_rays_hierarchical(
         det=det_fine,
     )
     ts_all = merge_sorted(ts_c, ts_f)  # both sorted: O(N) rank merge
-    fine_out = _render_at_ts(params_fine, rays, ts_all, settings, model)
+    fine_out = _render_at_ts(
+        params_fine, rays, ts_all, settings, model, app=app
+    )
     if return_ts:
         return coarse_out, fine_out, (ts_c, ts_all)
     return coarse_out, fine_out
@@ -452,6 +478,7 @@ def render_rays_proposal(
     det_fine: bool = False,
     ts_prop: jnp.ndarray | None = None,
     return_aux: bool = False,
+    app: jnp.ndarray | None = None,
 ):
     """Proposal-guided rendering (mip-NeRF 360 scheme, models/proposal.py):
     N_prop stratified probes of the tiny proposal density -> weight PDF ->
@@ -487,7 +514,7 @@ def render_rays_proposal(
         settings.N,
         det=det_fine,
     )
-    out = _render_at_ts(params["fine"], rays, ts_f, settings, model)
+    out = _render_at_ts(params["fine"], rays, ts_f, settings, model, app=app)
     if return_aux:
         return out, (ts_prop, w_prop, ts_f)
     return out
@@ -524,6 +551,7 @@ def _chunked_render_fn(
     chunk: int,
     mesh=None,
     prop_model=None,
+    has_app: bool = False,
 ):
     """Build a jitted fn mapping padded (n_chunks, chunk, 6) rays ->
     (rgb, disp) with one compiled chunk program scanned over chunks.
@@ -538,7 +566,7 @@ def _chunked_render_fn(
 
     fused_tile = (
         _fused_render_tile_for(settings, chunk)
-        if _kernel_supported(model)
+        if _kernel_supported(model) and not has_app
         else 0
     )
 
@@ -585,11 +613,18 @@ def _chunked_render_fn(
             group=settings.occ_group,
         )
 
-    def _scan_chunks(params, rays_chunks, idxs, key, occ):
+    def _scan_chunks(params, rays_chunks, idxs, key, occ, app):
         def one_chunk(carry, inp):
             params, key = carry
             rays_c, idx = inp
             k = jax.random.fold_in(key, idx)
+            app_c = (
+                None
+                if app is None
+                else jnp.broadcast_to(
+                    app, (rays_c.shape[0], app.shape[-1])
+                )
+            )
             if fused_tile:
                 ts = _occ_ts(occ, rays_c, k, settings.N)
                 if ts is None:
@@ -606,6 +641,7 @@ def _chunked_render_fn(
                     params["coarse"], params["fine"], rays_c, k, settings,
                     model, det_fine=True,
                     ts_coarse=_occ_ts(occ, rays_c, k, settings.N_coarse),
+                    app=app_c,
                 )
             elif settings.N_prop > 0:
                 # proposal eval: params = {"prop", "fine"}; deterministic
@@ -614,11 +650,13 @@ def _chunked_render_fn(
                     params, rays_c, k, settings, model, prop_model,
                     det_fine=True,
                     ts_prop=_occ_ts(occ, rays_c, k, settings.N_prop),
+                    app=app_c,
                 )
             else:
                 out = render_rays(
                     params, rays_c, k, settings, model,
                     ts=_occ_ts(occ, rays_c, k, settings.N),
+                    app=app_c,
                 )
             rgb = jnp.clip(out.rgb, 0.0, 1.0)  # eval clip: rendering.py:103
             return carry, (rgb, out.disp)
@@ -631,8 +669,8 @@ def _chunked_render_fn(
     if mesh is None:
 
         @jax.jit
-        def run(params, rays_chunks, idxs, key, occ):
-            return _scan_chunks(params, rays_chunks, idxs, key, occ)
+        def run(params, rays_chunks, idxs, key, occ, app):
+            return _scan_chunks(params, rays_chunks, idxs, key, occ, app)
 
         return run
 
@@ -640,14 +678,14 @@ def _chunked_render_fn(
     from jax.sharding import PartitionSpec as P
 
     @jax.jit
-    def run(params, rays_chunks, idxs, key, occ):
+    def run(params, rays_chunks, idxs, key, occ, app):
         return shard_map(
             _scan_chunks,
             mesh=mesh,
-            in_specs=(P(), P("data"), P("data"), P(), P()),
+            in_specs=(P(), P("data"), P("data"), P(), P(), P()),
             out_specs=(P("data"), P("data")),
             check_vma=False,
-        )(params, rays_chunks, idxs, key, occ)
+        )(params, rays_chunks, idxs, key, occ, app)
 
     return run
 
@@ -662,8 +700,12 @@ def render_rays_chunked(
     occ: jnp.ndarray | None = None,
     mesh=None,
     prop_model=None,
+    app: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render an arbitrary number of rays in fixed-size padded chunks.
+
+    ``app``: optional (app_dim,) appearance code conditioning the whole
+    render (appearance-embedding checkpoints; broadcast per ray).
 
     Returns (rgb clipped to [0,1] (R,3), disparity (R,)) for all R input
     rays — including the remainder the reference drops
@@ -705,7 +747,9 @@ def render_rays_chunked(
     C = rays.shape[1]  # 6, or 8 with per-ray mip radius/weight columns
     if pad:
         rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, C)))
-    run = _chunked_render_fn(settings, model, chunk, mesh, prop_model)
+    run = _chunked_render_fn(
+        settings, model, chunk, mesh, prop_model, has_app=app is not None
+    )
     rays_chunks = rays_p.reshape(n_chunks, chunk, C)
     idxs = jnp.arange(n_chunks)
     if multihost:
@@ -718,7 +762,8 @@ def render_rays_chunked(
         idxs = np.asarray(idxs)
         key = np.asarray(key)
         occ = None if occ is None else np.asarray(occ)
-    rgb, disp = run(params, rays_chunks, idxs, key, occ)
+        app = None if app is None else np.asarray(app)
+    rgb, disp = run(params, rays_chunks, idxs, key, occ, app)
     if multihost:
         # the result is sharded over non-addressable devices; assemble the
         # full image on every host (one allgather over DCN per frame)
@@ -757,10 +802,15 @@ def _normals_chunk_fn(settings: RenderSettings, model: NerfMLP, chunk: int):
         dirs = jnp.zeros_like(flat).at[:, 2].set(-1.0)  # sigma ignores dir
 
         def sigma_sum(x):
+            from nerf_simple_tpu.models import zeros_app_for
+
             v = jnp.concatenate([x, dirs], axis=-1)
             return jnp.sum(
                 jax.nn.softplus(
-                    apply_model(params, v, model, settings.compute_dtype)[:, 3]
+                    apply_model(
+                        params, v, model, settings.compute_dtype,
+                        app=zeros_app_for(model, x.shape[0]),
+                    )[:, 3]
                 )
             )
 
@@ -844,6 +894,7 @@ def render_image(
     occ: jnp.ndarray | None = None,
     mesh=None,
     prop_model=None,
+    app: jnp.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render image ``im_idx`` from a precomputed per-split ray tensor.
 
@@ -855,7 +906,7 @@ def render_image(
     rays = jax.lax.dynamic_slice_in_dim(rays_split, im_idx * n, n, axis=0)
     rgb, disp = render_rays_chunked(
         params, rays, key, settings, model, chunk, occ=occ, mesh=mesh,
-        prop_model=prop_model,
+        prop_model=prop_model, app=app,
     )
     return (
         np.asarray(rgb).reshape(1, H, W, 3),
@@ -880,6 +931,7 @@ def render_orbit_video(
     occ: jnp.ndarray | None = None,
     mesh=None,
     prop_model=None,
+    app: jnp.ndarray | None = None,
 ) -> str:
     """Render a pose orbit and write an mp4 (equivalent of
     utils/rendering.py:116-160, reference writes 15fps mp4).
@@ -919,7 +971,7 @@ def render_orbit_video(
         frame_rays = jax.lax.dynamic_slice_in_dim(rays_all, i * n, n, axis=0)
         rgb, _ = render_rays_chunked(
             params, frame_rays, jax.random.fold_in(key, i), settings, model,
-            chunk, occ=occ, mesh=mesh, prop_model=prop_model,
+            chunk, occ=occ, mesh=mesh, prop_model=prop_model, app=app,
         )
         img = np.asarray(rgb).reshape(H, W, 3)
         bgr = cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)

@@ -25,7 +25,7 @@ import numpy as np
 from nerf_simple_tpu.config import TrainConfig, train_config_from_dict
 from nerf_simple_tpu.data.blender import load_blender
 from nerf_simple_tpu.data.dataset import RayDataset
-from nerf_simple_tpu.render.renderer import RenderSettings, render_image
+from nerf_simple_tpu.render.renderer import RenderSettings
 from nerf_simple_tpu.train import checkpoint as ckpt
 from nerf_simple_tpu.train.metrics import img_mse, img_psnr
 from nerf_simple_tpu.train.step import (
@@ -154,7 +154,13 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
 
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_train, k_eval = jax.random.split(key, 3)
-    state = make_train_state(k_init, cfg, model)
+    # per-image extras (pose deltas / appearance codes) have one table
+    # row per TRAIN image
+    aux_on = cfg.pose_opt or cfg.appearance_dim > 0
+    n_train_images = rd.split_size("train") // (rd.H * rd.W)
+    state = make_train_state(
+        k_init, cfg, model, n_images=n_train_images if aux_on else None
+    )
     if cfg.resume:
         latest = ckpt.latest_checkpoint(exp_dir)
         if latest is not None:
@@ -216,12 +222,34 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         # the live grid: an occupancy-reduced Nf budget rendered with
         # plain stratified samples would systematically understate the
         # model's quality in the logged curves.
-        rgb, disp = render_image(
-            state.params,
-            eval_rays[split],
-            rd.H,
-            rd.W,
-            ii,
+        render_params = state.params["field"] if aux_on else state.params
+        app_vec = None
+        if cfg.appearance_dim > 0:
+            tbl = state.params["app"]
+            # train renders use the image's OWN code; val/test views have
+            # none — render the mean code (the NeRF-W canonical look)
+            app_vec = tbl[ii] if split == "train" else tbl.mean(axis=0)
+        n = rd.H * rd.W
+        rays_img = jax.lax.dynamic_slice_in_dim(
+            eval_rays[split], ii * n, n, axis=0
+        )
+        if cfg.pose_opt and split == "train":
+            # train-split renders use the REFINED pose (what the model
+            # was actually fit to); val poses are un-refined by design
+            import jax.numpy as jnp
+
+            from nerf_simple_tpu.ops.rays import apply_cam_deltas
+
+            rays_img = apply_cam_deltas(
+                rays_img,
+                jnp.broadcast_to(state.params["cams"]["dr"][ii], (n, 3)),
+                jnp.broadcast_to(state.params["cams"]["dt"][ii], (n, 3)),
+            )
+        from nerf_simple_tpu.render.renderer import render_rays_chunked
+
+        rgb, disp = render_rays_chunked(
+            render_params,
+            rays_img,
             jax.random.fold_in(k_eval, i),
             eval_settings,
             model,
@@ -232,7 +260,10 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             # host via process_allgather, so the global mesh is safe here
             mesh=mesh,
             prop_model=prop_arch,
+            app=app_vec,
         )
+        rgb = np.asarray(rgb).reshape(1, rd.H, rd.W, 3)
+        disp = np.asarray(disp).reshape(1, rd.H, rd.W, 1)
         gt = np.asarray(rd.pixels[split]).reshape(-1, rd.H, rd.W, 3)[
             ii : ii + 1
         ]
@@ -336,13 +367,17 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         os.path.join(exp_dir, f"params_{int(state.step)}.npz"),
         jax.device_get(state.params),
     )
-    if cfg.model_family == "nerf":
+    if cfg.model_family == "nerf" and cfg.appearance_dim == 0:
         # reference-compatible torch state_dict (loads into the reference
         # Nerf with strict=True); hierarchical exports the fine net, the
         # reference's single-network semantics. NerfMLP-only: the torch
-        # reference has no hash-grid module to load other families into.
+        # reference has no hash-grid module to load other families into
+        # (and appearance-widened color heads don't fit its Nerf either).
         try:
             host_params = jax.device_get(state.params)
+            # per-image extras are not part of the reference format
+            if aux_on:
+                host_params = host_params["field"]
             # hierarchical/proposal states export the fine net — the
             # reference's single-network semantics
             if "fine" in host_params and "trunk0" not in host_params:

@@ -58,6 +58,12 @@ class TrainState(NamedTuple):
     occ: Any = ()
 
 
+def _aux_on(cfg: TrainConfig) -> bool:
+    """Per-image trainable extras enabled? (pose deltas / appearance
+    codes — params gain a {"field": ..., "cams"/"app": ...} wrapper)."""
+    return cfg.pose_opt or cfg.appearance_dim > 0
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     lr0 = cfg.lr_init if cfg.honor_lr_init else 5e-4  # train.py:43 quirk
     decay = float(jnp.exp(jnp.log(cfg.lr_final / cfg.lr_init) / cfg.num_iters))
@@ -70,13 +76,45 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         # gradients, so with the default eps=1e-8 a rarely-hit entry's
         # second-moment EMA decays toward zero between hits and its
         # effective step collapses; eps=1e-15 keeps the update ~lr-sized.
-        return optax.adam(learning_rate=schedule, b2=0.99, eps=1e-15)
-    return optax.adam(learning_rate=schedule)
+        field = optax.adam(learning_rate=schedule, b2=0.99, eps=1e-15)
+    else:
+        field = optax.adam(learning_rate=schedule)
+    if not _aux_on(cfg):
+        return field
+    # per-image extras get their own Adam groups: pose deltas on the
+    # (faster-decaying) pose schedule, appearance codes on the main one
+    pose_decay = float(
+        jnp.exp(jnp.log(cfg.pose_lr_final / cfg.pose_lr_init) / cfg.num_iters)
+    )
+
+    def pose_schedule(step):
+        # zero lr through the warmup (see TrainConfig.pose_warmup), then
+        # the exponential schedule counted from training start
+        lr = cfg.pose_lr_init * pose_decay**step
+        return jnp.where(step < cfg.pose_warmup, 0.0, lr)
+
+    tx = {
+        "field": field,
+        "cams": optax.adam(pose_schedule),
+        "app": optax.adam(learning_rate=schedule),
+    }
+
+    def label_fn(params):
+        return {k: jax.tree.map(lambda _: k, v) for k, v in params.items()}
+
+    return optax.multi_transform(tx, label_fn)
 
 
 def make_train_state(
-    key: jax.Array, cfg: TrainConfig, model: NerfMLP = NerfMLP()
+    key: jax.Array,
+    cfg: TrainConfig,
+    model: NerfMLP = NerfMLP(),
+    n_images: int | None = None,
 ) -> TrainState:
+    """``n_images`` (number of train images) is required when per-image
+    extras are enabled (cfg.pose_opt / cfg.appearance_dim — the delta and
+    code tables have one row per train image; the train driver passes
+    it)."""
     from nerf_simple_tpu.models import init_model_params
 
     if cfg.hierarchical:
@@ -98,6 +136,25 @@ def make_train_state(
         }
     else:
         params = init_model_params(key, model)
+    if _aux_on(cfg):
+        if n_images is None:
+            raise ValueError(
+                "pose_opt / appearance_dim need n_images (rows of the "
+                "per-image delta/code tables); the train driver passes "
+                "the train-split image count"
+            )
+        # zero init: the identity pose correction / a no-op code — both
+        # break symmetry through the photometric gradient itself
+        params = {"field": params}
+        if cfg.pose_opt:
+            params["cams"] = {
+                "dr": jnp.zeros((n_images, 3), jnp.float32),
+                "dt": jnp.zeros((n_images, 3), jnp.float32),
+            }
+        if cfg.appearance_dim > 0:
+            params["app"] = jnp.zeros(
+                (n_images, cfg.appearance_dim), jnp.float32
+            )
     opt_state = make_optimizer(cfg).init(params)
     occ: Any = ()
     if cfg.occupancy:
@@ -144,6 +201,13 @@ def build_train_step(
             "cfg.train_im_idxs needs rays_per_image (= H*W) to map image "
             "indices to ray rows; the train driver passes it automatically"
         )
+    aux_on = _aux_on(cfg)
+    if aux_on and rays_per_image is None:
+        raise ValueError(
+            "pose_opt / appearance_dim need rays_per_image (= H*W) to map "
+            "sampled ray rows to their source image; the train driver "
+            "passes it automatically"
+        )
 
     def sample_idx(key, n: int, n_rows):
         """Draw n ray indices: uniform over the split, or restricted to
@@ -183,7 +247,11 @@ def build_train_step(
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
-        backend=cfg.backend,
+        # per-image extras need d(loss)/d(rays) and per-ray codes: the
+        # fused render kernel's vjp is weights-only (kernels/mlp.py
+        # fused_mlp: dxT = 0), so the LOSS path must render through XLA
+        # autodiff. Eval settings are unaffected (no pose/code grads).
+        backend="xla" if _aux_on(cfg) else cfg.backend,
         sigma_noise=cfg.sigma_noise,
     )
     prop_arch = None
@@ -235,7 +303,22 @@ def build_train_step(
         sq = jnp.where(valid, (out.depth - gt_d) ** 2, 0.0)
         return jnp.sum(sq) / jnp.maximum(jnp.sum(valid), 1)
 
-    def loss_fn(params, rays_b, pix_b, key, occ):
+    def loss_fn(params, rays_b, pix_b, im_b, key, occ):
+        # per-image extras: unwrap the {"field", "cams"/"app"} params,
+        # refine the sampled rays by their source image's pose delta
+        # (gradients flow into the delta tables through ray generation),
+        # and gather per-ray appearance codes
+        app_b = None
+        if aux_on:
+            aux, params = params, params["field"]
+            if cfg.pose_opt:
+                from nerf_simple_tpu.ops.rays import apply_cam_deltas
+
+                rays_b = apply_cam_deltas(
+                    rays_b, aux["cams"]["dr"][im_b], aux["cams"]["dt"][im_b]
+                )
+            if cfg.appearance_dim > 0:
+                app_b = aux["app"][im_b]
         # depth supervision rides as a 4th pixel channel (loop.py packs
         # it) so every signature downstream of the sampler is unchanged
         gt_d = None
@@ -246,6 +329,7 @@ def build_train_step(
                 params["coarse"], params["fine"], rays_b, key, settings, model,
                 ts_coarse=_maybe_occ_ts(key, rays_b, occ, cfg.Nc),
                 return_ts=True,
+                app=app_b,
             )
             # standard NeRF total loss (paper eqn. 6): both heads to gt
             loss = jnp.mean((coarse.rgb - pix_b) ** 2) + jnp.mean(
@@ -273,6 +357,7 @@ def build_train_step(
                 prop_model=prop_arch,
                 ts_prop=_maybe_occ_ts(key, rays_b, occ, cfg.Np),
                 return_aux=True,
+                app=app_b,
             )
             loss = jnp.mean((out.rgb - pix_b) ** 2)
             # distill the proposal from the main field's weights; the
@@ -316,7 +401,7 @@ def build_train_step(
                 key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype,
                 cfg.sampling_space,
             )
-        out = render_rays(params, rays_b, key, settings, model, ts=ts)
+        out = render_rays(params, rays_b, key, settings, model, ts=ts, app=app_b)
         if cfg.mip and rays_b.shape[-1] >= 8:
             # multiscale: footprint-area loss weight rides ray column 7
             loss = jnp.mean(rays_b[:, 7:8] * (out.rgb - pix_b) ** 2)
@@ -415,6 +500,7 @@ def build_train_step(
         )
         fused_ok = (
             cfg.backend == "pallas"
+            and not aux_on
             and cfg.sigma_noise == 0.0
             and cfg.depth_loss_weight == 0.0
             and cfg.distortion_loss_weight == 0.0
@@ -426,7 +512,11 @@ def build_train_step(
                 import warnings
 
                 reason = (
-                    "sigma_noise > 0"
+                    "pose_opt / appearance_dim (per-image extras need "
+                    "gradients through the ray/code stream; the fused "
+                    "kernel differentiates only wrt weights)"
+                    if aux_on
+                    else "sigma_noise > 0"
                     if cfg.sigma_noise != 0.0
                     else "depth_loss_weight > 0 (the fused kernel's "
                     "in-VMEM backward is MSE-only)"
@@ -446,9 +536,11 @@ def build_train_step(
                     f"XLA path for this step",
                     stacklevel=2,
                 )
-            return lambda params, rays_b, pix_b, key, occ: jax.value_and_grad(
-                loss_fn
-            )(params, rays_b, pix_b, key, occ)
+            return lambda params, rays_b, pix_b, im_b, key, occ: (
+                jax.value_and_grad(loss_fn)(
+                    params, rays_b, pix_b, im_b, key, occ
+                )
+            )
 
         from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
         from nerf_simple_tpu.ops.sampling import (
@@ -462,7 +554,7 @@ def build_train_step(
 
         if cfg.hierarchical:
 
-            def core(params, rays_b, pix_b, key, occ):
+            def core(params, rays_b, pix_b, im_b, key, occ):
                 B = rays_b.shape[0]
                 k_strat, k_imp = jax.random.split(key)
                 ts_c = _maybe_occ_ts(key, rays_b, occ, cfg.Nc)
@@ -503,7 +595,7 @@ def build_train_step(
             from nerf_simple_tpu.models.proposal import proposal_weights
             from nerf_simple_tpu.ops.volume import interlevel_loss
 
-            def core(params, rays_b, pix_b, key, occ):
+            def core(params, rays_b, pix_b, im_b, key, occ):
                 # proposal probes + importance placement run in XLA (tiny
                 # MXU matmuls, <3% of step time); only the main field's
                 # fwd+bwd goes through the fused kernel. The kernel's
@@ -549,7 +641,7 @@ def build_train_step(
         if cfg.mip:
             from nerf_simple_tpu.ops.sampling import resample_edges
 
-            def core(params, rays_b, pix_b, key, occ):
+            def core(params, rays_b, pix_b, im_b, key, occ):
                 # same key -> identical edge stream as the XLA
                 # _render_mip path (renderer.py), so xla/pallas losses
                 # agree; mip excludes hierarchical/proposal/occupancy by
@@ -588,7 +680,7 @@ def build_train_step(
 
             return core
 
-        def core(params, rays_b, pix_b, key, occ):
+        def core(params, rays_b, pix_b, im_b, key, occ):
             ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
             if ts is None:
                 ts = stratified_ts_spaced(
@@ -609,7 +701,10 @@ def build_train_step(
         idx = sample_idx(k_sel, cfg.batch_size, rays.shape[0])
         rays_b = rays[idx]
         pix_b = pixels[idx]
-        return _make_core(cfg.batch_size)(params, rays_b, pix_b, k_render, occ)
+        im_b = idx // rays_per_image if aux_on else None
+        return _make_core(cfg.batch_size)(
+            params, rays_b, pix_b, im_b, k_render, occ
+        )
 
     if mesh is not None:
         # SPMD data parallelism via shard_map: each chip samples its own
@@ -641,8 +736,9 @@ def build_train_step(
             # cross-chip gather ever happens (train_im_idxs + shard_dataset
             # is rejected at config time)
             idx = sample_idx(k_sel, shard_B, rays.shape[0])
+            im_b = idx // rays_per_image if aux_on else None
             loss, grads = shard_core(
-                params, rays[idx], pixels[idx], k_render, occ
+                params, rays[idx], pixels[idx], im_b, k_render, occ
             )
             # equal shard sizes -> pmean of shard means == global mean
             return jax.lax.pmean((loss, grads), "data")
@@ -664,6 +760,8 @@ def build_train_step(
         Runs replicated (outside the shard_map, like the optimizer)."""
         from nerf_simple_tpu.ops.occupancy import density_fn, update_occ_grid
 
+        if aux_on:
+            params = params["field"]
         density_params = (
             params["fine"] if cfg.hierarchical or cfg.proposal else params
         )  # the fine field is what eval renders

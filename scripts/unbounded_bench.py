@@ -1,21 +1,28 @@
-"""Unbounded-scene benchmark: scene contraction + disparity sampling vs
-bounded / linear baselines.
+"""Unbounded-scene benchmark: scene contraction + disparity sampling +
+proposal placement vs bounded / linear baselines.
 
 The procedural "unbounded" scene (data/synthetic.py::_field_unbounded)
 has content at two depth octaves — a central blob cluster at radius
-~1-2 and a banded shell at radius 20. Four flagship configs train on it:
+~1-2 and a banded shell at radius 20 — and cameras at VARIED radii
+(3..6): the radius variance gives background parallax, so a bounded
+model cannot fake the shell by painting it onto each camera's far plane
+(which the 1e10 tail delta otherwise permits almost view-consistently
+on a constant-radius rig — measured 31.8 dB doing exactly that on the
+v1 fixture). Five flagship configs train on it:
 
-  1. bounded (tf=6):   the reference regime — the background is simply
-                       outside the sampled range and renders black
-  2. linear, tf=25:    the budget spreads evenly over 25 units; ~5 of
-                       128 samples land on the central content
-  3. disparity, tf=25: bins uniform in 1/t — dense near, sparse far
-  4. disparity + contract, tf=25: the mip-NeRF 360 recipe — the far
-                       field also lands in a bounded encoding domain
+  1. bounded tn=2 tf=6:  the reference regime — the shell is outside
+                         the sampled range AND close-in cameras clip
+                         the near cluster
+  2. linear tn=1 tf=30:  the budget spreads evenly over 29 units; ~30
+                         of 128 samples land on the central content
+  3. disparity tn=1 tf=30: bins uniform in 1/t — dense near, sparse far
+  4. + contract:         the far field also lands in a bounded encoding
+                         domain (mip-NeRF 360 warp)
+  5. + proposal:         the full 360 recipe — a learned proposal net
+                         places the main budget on BOTH depth octaves
 
 Writes benchmarks/unbounded_bench.json. Run on the TPU chip; reuses
-/tmp/unb_scene/scene if present (generate with
-data/synthetic.py::write_blender_scene(style="unbounded")).
+$UNB_SCENE if present.
 """
 
 from __future__ import annotations
@@ -38,20 +45,34 @@ from nerf_simple_tpu.render.renderer import RenderSettings, render_rays_chunked
 from nerf_simple_tpu.train.metrics import img_psnr
 from nerf_simple_tpu.train.step import build_train_step, make_train_state
 
-SCENE = os.environ.get("UNB_SCENE", "/tmp/unb_scene/scene")
+SCENE = os.environ.get("UNB_SCENE", "/tmp/unb_scene_v2/scene")
 ITERS = int(os.environ.get("UNB_ITERS", 10_000))
 BATCH = int(os.environ.get("UNB_BATCH", 4096))
+# Fused-kernel programs hit a libtpu compile blowup past ~spc 50
+# (docs/PERFORMANCE.md); bench.py uses 40 — default to the same.
+SPC = int(os.environ.get("UNB_SPC", 40))
+HW = int(os.environ.get("UNB_H", 200))
 
+# tn=1: cameras sit 3..6 units out and the cluster surface starts ~1
+# unit from the closest ones — a content-aware near plane (with tn=0.5
+# the disparity bins put ~3/4 of the budget in guaranteed-empty space)
 CONFIGS = [
-    ("bounded tf=6 (reference regime)", dict(tn=2.0, tf=6.0)),
-    ("linear tf=25", dict(tn=0.5, tf=25.0)),
+    ("bounded tn=2 tf=6 (reference regime)", dict(tn=2.0, tf=6.0)),
+    ("linear tn=1 tf=30", dict(tn=1.0, tf=30.0)),
     (
-        "disparity tf=25",
-        dict(tn=0.5, tf=25.0, sampling_space="disparity"),
+        "disparity tn=1 tf=30",
+        dict(tn=1.0, tf=30.0, sampling_space="disparity"),
     ),
     (
-        "disparity + contract tf=25 (the 360 recipe)",
-        dict(tn=0.5, tf=25.0, sampling_space="disparity", contract=True),
+        "disparity + contract",
+        dict(tn=1.0, tf=30.0, sampling_space="disparity", contract=True),
+    ),
+    (
+        "disparity + contract + proposal (the full 360 recipe)",
+        dict(
+            tn=1.0, tf=30.0, sampling_space="disparity", contract=True,
+            proposal=True, Np=64,
+        ),
     ),
 ]
 
@@ -61,8 +82,8 @@ def main():
         from nerf_simple_tpu.data.synthetic import write_blender_scene
 
         write_blender_scene(
-            SCENE, n_train=25, n_val=2, n_test=2, H=200, W=200,
-            train_jitter=3, style="unbounded",
+            SCENE, n_train=25, n_val=2, n_test=2, H=HW, W=HW,
+            train_jitter=3, style="unbounded", camera_r_range=(3.0, 6.0),
         )
     data = load_blender(SCENE, half_res=False)
     rd = RayDataset.from_blender(data)
@@ -76,7 +97,7 @@ def main():
     for name, kw in CONFIGS:
         cfg = TrainConfig(
             datapath=SCENE, Nf=128, batch_size=BATCH, num_iters=ITERS,
-            steps_per_call=100, compute_dtype="bf16", backend="pallas",
+            steps_per_call=SPC, compute_dtype="bf16", backend="pallas",
             ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9, **kw,
         )
         from nerf_simple_tpu.models import model_from_train_config
@@ -100,8 +121,16 @@ def main():
             (time.time() - t0) * n_chunks / max(n_chunks - 1, 1), 1
         )
 
+        prop_model = None
+        if cfg.proposal:
+            from nerf_simple_tpu.models.proposal import (
+                proposal_from_train_config,
+            )
+
+            prop_model = proposal_from_train_config(cfg)
         settings = RenderSettings(
             N=128,
+            N_prop=cfg.Np if cfg.proposal else 0,
             tn=cfg.tn,
             tf=cfg.tf,
             sampling_space=cfg.sampling_space,
@@ -110,7 +139,7 @@ def main():
         )
         rgb, _ = render_rays_chunked(
             state.params, test_rays, jax.random.PRNGKey(1), settings, model,
-            chunk=20480,
+            chunk=20480, prop_model=prop_model,
         )
         rgb = np.asarray(rgb).reshape(2, data.H, data.W, 3)
         psnrs = [

@@ -1,0 +1,502 @@
+"""Per-image trainable extras: BARF-style camera-pose refinement
+(cfg.pose_opt — ops/rays.py::rodrigues_rotate/apply_cam_deltas, per-image
+se(3) delta tables trained through ray generation) and NeRF-W-style
+appearance embeddings (cfg.appearance_dim — per-image codes appended to
+the direction encoding, models/nerf.py app_dim).
+
+No reference analogue (the reference trusts dataset poses and assumes
+constant exposure, utils/dataload.py); these are the real-capture
+extensions the COLMAP loader pairs with.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_simple_tpu.config import TrainConfig
+from nerf_simple_tpu.models import model_from_train_config
+from nerf_simple_tpu.models.nerf import NerfMLP, infer_arch, init_nerf_params
+from nerf_simple_tpu.ops.rays import apply_cam_deltas, rodrigues_rotate
+from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+
+# ---------------------------------------------------------------------------
+# rodrigues_rotate / apply_cam_deltas units
+# ---------------------------------------------------------------------------
+
+
+def _rotmat(r):
+    th = np.linalg.norm(r)
+    if th < 1e-12:
+        return np.eye(3)
+    k = r / th
+    K = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
+    )
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def test_rodrigues_matches_f64_rotation_matrices():
+    rng = np.random.default_rng(0)
+    rv = rng.normal(size=(16, 3)) * rng.uniform(0, 2.5, (16, 1))
+    v = rng.normal(size=(16, 3))
+    want = np.stack([_rotmat(r) @ vi for r, vi in zip(rv, v)])
+    got = np.asarray(
+        rodrigues_rotate(jnp.asarray(rv, jnp.float32), jnp.asarray(v, jnp.float32))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # norms preserved (it is a rotation)
+    np.testing.assert_allclose(
+        np.linalg.norm(got, axis=-1), np.linalg.norm(v, axis=-1), rtol=1e-5
+    )
+
+
+def test_rodrigues_zero_is_identity_with_finite_grad():
+    v = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    z = jnp.zeros((8, 3))
+    np.testing.assert_allclose(np.asarray(rodrigues_rotate(z, v)), np.asarray(v))
+    # the training init: gradients must be finite AND correct at dr = 0.
+    # d/d(dr) [u . (dr x v)] = v x u, the small-angle limit
+    u = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+    g = jax.grad(lambda r: jnp.sum(u * rodrigues_rotate(r, v)))(z)
+    assert bool(jnp.isfinite(g).all())
+    np.testing.assert_allclose(
+        np.asarray(g), np.cross(np.asarray(v), np.asarray(u)), atol=1e-5
+    )
+
+
+def test_apply_cam_deltas_identity_and_passthrough():
+    rays8 = jax.random.normal(jax.random.PRNGKey(0), (6, 8))
+    z = jnp.zeros((6, 3))
+    out = apply_cam_deltas(rays8, z, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rays8))
+    dt = jnp.ones((6, 3))
+    out = apply_cam_deltas(rays8, z, dt)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :3]), np.asarray(rays8[:, :3]) + 1.0
+    )
+    # mip radius/weight columns pass through rotation untouched
+    dr = 0.3 * jnp.ones((6, 3))
+    np.testing.assert_allclose(
+        np.asarray(apply_cam_deltas(rays8, dr, z)[:, 6:]),
+        np.asarray(rays8[:, 6:]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# appearance model plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_appearance_model_shapes_and_apply():
+    model = NerfMLP(Lp=4, Ld=2, H=32, app_dim=5)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    assert params["color0"]["w"].shape[0] == 32 + (6 * 2 + 3) + 5
+    v = jax.random.normal(jax.random.PRNGKey(1), (7, 6))
+    app = jax.random.normal(jax.random.PRNGKey(2), (7, 5))
+    from nerf_simple_tpu.models.nerf import nerf_apply
+
+    out = nerf_apply(params, v, model, app=app)
+    assert out.shape == (7, 4)
+    # the code conditions color but NOT density
+    out2 = nerf_apply(params, v, model, app=app + 1.0)
+    assert not np.allclose(np.asarray(out2[:, :3]), np.asarray(out[:, :3]))
+    np.testing.assert_allclose(
+        np.asarray(out2[:, 3]), np.asarray(out[:, 3]), atol=1e-6
+    )
+    with pytest.raises(ValueError, match="app"):
+        nerf_apply(params, v, model)  # missing code
+    with pytest.raises(ValueError, match="app"):
+        nerf_apply(init_nerf_params(jax.random.PRNGKey(0), NerfMLP(H=32)), v, NerfMLP(H=32), app=app)
+
+
+def test_infer_arch_rejects_appearance_checkpoints():
+    model = NerfMLP(Lp=4, Ld=2, H=32, app_dim=5)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    with pytest.raises(ValueError, match="sidecar"):
+        infer_arch(params)
+    # but the model.json sidecar path rebuilds it exactly
+    from nerf_simple_tpu.models import model_from_meta, model_meta
+
+    assert model_from_meta(model_meta(model)) == model
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="appearance_dim"):
+        TrainConfig(datapath="x", appearance_dim=-1)
+    with pytest.raises(ValueError, match="shard_dataset"):
+        TrainConfig(datapath="x", pose_opt=True, shard_dataset=True)
+    with pytest.raises(ValueError, match="mip"):
+        TrainConfig(datapath="x", appearance_dim=4, mip=True)
+    with pytest.raises(ValueError, match="NerfMLP"):
+        TrainConfig(datapath="x", appearance_dim=4, model_family="hashgrid")
+    with pytest.raises(ValueError, match="NDC"):
+        TrainConfig(datapath="x", pose_opt=True, dataset="llff", ndc=True)
+    # pose_opt + occupancy / hierarchical / proposal compose
+    TrainConfig(datapath="x", pose_opt=True, occupancy=True)
+    TrainConfig(datapath="x", appearance_dim=4, hierarchical=True)
+    TrainConfig(datapath="x", appearance_dim=4, proposal=True)
+
+
+# ---------------------------------------------------------------------------
+# train-step integration
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        datapath="x", Nf=4, Nc=0, num_iters=4, batch_size=32,
+        steps_per_call=2, net_H=32, net_Lp=4, net_Ld=2, pose_warmup=0,
+        ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_train_step_moves_all_param_groups():
+    cfg = _tiny_cfg(pose_opt=True, appearance_dim=4)
+    model = model_from_train_config(cfg)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model, n_images=4)
+    assert set(state.params) == {"field", "cams", "app"}
+    step = build_train_step(cfg, model, donate=False, rays_per_image=16)
+    rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+    s2, losses = step(state, rays, pix, jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(losses).all())
+    assert float(jnp.abs(s2.params["cams"]["dr"]).max()) > 0
+    assert float(jnp.abs(s2.params["cams"]["dt"]).max()) > 0
+    assert float(jnp.abs(s2.params["app"]).max()) > 0
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0,
+        s2.params["field"], state.params["field"],
+    )
+    assert all(jax.tree.leaves(moved))
+
+
+def test_make_train_state_requires_n_images():
+    cfg = _tiny_cfg(pose_opt=True)
+    with pytest.raises(ValueError, match="n_images"):
+        make_train_state(jax.random.PRNGKey(0), cfg, model_from_train_config(cfg))
+
+
+def test_pallas_backend_falls_back_with_warning():
+    cfg = _tiny_cfg(pose_opt=True, backend="pallas", net_H=32)
+    model = model_from_train_config(cfg)
+    step = build_train_step(cfg, model, donate=False, rays_per_image=16)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model, n_images=4)
+    rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+    with pytest.warns(UserWarning, match="pose_opt / appearance"):
+        _, losses = step(state, rays, pix, jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(losses).all())
+
+
+def test_zero_deltas_match_vanilla_step_losses():
+    """With pose_opt on but deltas at their zero init, the FIRST
+    iteration's loss equals the vanilla run's (identity refinement,
+    same PRNG streams) — the wrapper changes nothing but trainability."""
+    rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+    cfg0 = _tiny_cfg(steps_per_call=1)
+    m0 = model_from_train_config(cfg0)
+    s0 = make_train_state(jax.random.PRNGKey(0), cfg0, m0)
+    _, l0 = build_train_step(cfg0, m0, donate=False)(
+        s0, rays, pix, jax.random.PRNGKey(3)
+    )
+
+    cfg1 = _tiny_cfg(steps_per_call=1, pose_opt=True)
+    m1 = model_from_train_config(cfg1)
+    s1 = make_train_state(jax.random.PRNGKey(0), cfg1, m1, n_images=4)
+    # same field init as the vanilla state (the wrapper reuses the key)
+    s1 = s1._replace(params={**s1.params, "field": s0.params})
+    _, l1 = build_train_step(cfg1, m1, donate=False, rays_per_image=16)(
+        s1, rays, pix, jax.random.PRNGKey(3)
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# e2e recovery (slow): the features do their actual jobs
+# ---------------------------------------------------------------------------
+
+
+def _perturb_train_poses(scene, dr_scale, dt_scale, seed=7):
+    """Left-multiply each train pose's rotation by a random small
+    rotation and shift its origin — returns (true_poses, perturbed)."""
+    tj_path = os.path.join(scene, "transforms_train.json")
+    tj = json.load(open(tj_path))
+    rng = np.random.default_rng(seed)
+    true_poses, pert_poses = [], []
+    for fr in tj["frames"]:
+        p = np.array(fr["transform_matrix"], np.float64)
+        true_poses.append(p.copy())
+        eps_r = rng.normal(size=3)
+        eps_r *= dr_scale / max(np.linalg.norm(eps_r), 1e-9)
+        eps_t = rng.normal(size=3)
+        eps_t *= dt_scale / max(np.linalg.norm(eps_t), 1e-9)
+        p[:3, :3] = _rotmat(eps_r) @ p[:3, :3]
+        p[:3, 3] += eps_t
+        pert_poses.append(p)
+        fr["transform_matrix"] = p.tolist()
+    json.dump(tj, open(tj_path, "w"))
+    return np.stack(true_poses), np.stack(pert_poses)
+
+
+@pytest.mark.slow
+def test_pose_opt_recovers_quality_under_noisy_poses(tmp_path):
+    """Corrupt the train poses (~2.9 deg + 0.05 units) and train with and
+    without pose_opt: refinement must recover novel-view quality on the
+    TRUE-pose val views and reach a lower training loss.
+
+    Why quality and not raw delta error: rotation-about-center and
+    image-plane translation are near-degenerate for a small-parallax rig
+    (both shift the image), so the photometric loss has a flat valley in
+    (dr, dt) along which stochastic Adam random-walks without hurting
+    renders — delta-space residual is a gauge-polluted metric, view
+    quality is the real one (same reason BARF evaluates after a
+    similarity alignment)."""
+    from nerf_simple_tpu.data.blender import load_blender
+    from nerf_simple_tpu.data.dataset import RayDataset
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_chunked,
+    )
+    from nerf_simple_tpu.train.metrics import img_psnr
+
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    write_blender_scene(
+        scene, n_train=6, n_val=2, n_test=1, H=32, W=32, train_jitter=3
+    )
+    _perturb_train_poses(scene, dr_scale=0.05, dt_scale=0.05)
+    data = load_blender(scene, half_res=False)
+    rd = RayDataset.from_blender(data)
+    H, W = data.H, data.W
+
+    def run(pose_opt):
+        cfg = TrainConfig(
+            datapath=scene, Nf=32, Nc=0, num_iters=2000, batch_size=512,
+            steps_per_call=100, half_res=False, pose_opt=pose_opt,
+            pose_lr_init=1e-3, pose_lr_final=1e-4, pose_warmup=300,
+            net_Lp=6, net_Ld=2, net_H=32,
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+        )
+        model = model_from_train_config(cfg)
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model,
+            n_images=6 if pose_opt else None,
+        )
+        step = build_train_step(cfg, model, donate=False, rays_per_image=H * W)
+        key = jax.random.PRNGKey(1)
+        for i in range(20):
+            state, losses = step(
+                state, rd.rays["train"], rd.pixels["train"],
+                jax.random.fold_in(key, i),
+            )
+        params = state.params["field"] if pose_opt else state.params
+        rgb, _ = render_rays_chunked(
+            params, rd.rays["val"], jax.random.PRNGKey(5),
+            RenderSettings(N=32), model, chunk=1024,
+        )
+        gt = np.asarray(rd.pixels["val"]).reshape(2, H, W, 3)
+        rgb = np.asarray(rgb).reshape(2, H, W, 3)
+        psnr = float(
+            np.mean([img_psnr(gt[i : i + 1], rgb[i : i + 1]) for i in range(2)])
+        )
+        return float(losses[-1]), psnr
+
+    loss_plain, psnr_plain = run(False)
+    loss_pose, psnr_pose = run(True)
+    # measured on this fixture: 21.3 -> 23.1 dB mean val PSNR and
+    # 0.0019 -> 0.0012 train loss; assert with headroom
+    assert psnr_pose > psnr_plain + 0.75, (psnr_plain, psnr_pose)
+    assert loss_pose < loss_plain, (loss_plain, loss_pose)
+
+
+@pytest.mark.slow
+def test_pose_opt_through_train_loop(tmp_path):
+    """Loop-level smoke: pose_opt through train() — wrapper params reach
+    the driver's eval renders (refined train rays branch), checkpoints
+    carry the delta tables, and evaluate.load_params unwraps them."""
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.evaluate import load_params
+    from nerf_simple_tpu.train.loop import train
+
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    write_blender_scene(scene, n_train=3, n_val=1, n_test=1, H=16, W=16)
+    cfg = TrainConfig(
+        datapath=scene,
+        savepath=os.path.join(root, "models"),
+        exp_name="pose",
+        Nf=8,
+        Nc=0,
+        num_iters=40,
+        batch_size=64,
+        steps_per_call=20,
+        half_res=False,
+        pose_opt=True,
+        pose_warmup=10,
+        val_idxs=(0,),
+        net_Lp=4,
+        net_Ld=2,
+        net_H=16,
+        ckpt_loss=20,
+        ckpt_images=20,
+        ckpt_model=20,
+        log_dir=os.path.join(root, "logs"),
+    )
+    state = train(cfg)
+    assert set(state.params) == {"field", "cams"}
+    assert np.isfinite(np.asarray(state.params["cams"]["dr"])).all()
+    params, aux = load_params(
+        os.path.join(root, "models", "pose"), return_aux=True
+    )
+    assert "cams" in aux and "trunk0" in params
+
+
+def _write_exposure_twin_scene(root):
+    """3 base train views + an exposure twin of each: r_{3+i} is r_i's
+    image scaled by 0.55 at the SAME pose. Identical poses mean identical
+    view directions, so the vanilla color head cannot separate the twins
+    (on a plain multi-camera rig it CAN fake per-image exposure through
+    view-dependence — directions act as image IDs — which confounds any
+    loss comparison; measured during design). Only a per-image code can
+    tell the twins apart."""
+    import cv2
+
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+
+    scene = os.path.join(root, "scene")
+    write_blender_scene(
+        scene, n_train=3, n_val=1, n_test=1, H=32, W=32, train_jitter=3
+    )
+    tj_path = os.path.join(scene, "transforms_train.json")
+    tj = json.load(open(tj_path))
+    frames = tj["frames"]
+    for i in range(3):
+        src = os.path.join(scene, "train", f"r_{i}.png")
+        img = cv2.imread(src).astype(np.float64)
+        cv2.imwrite(
+            os.path.join(scene, "train", f"r_{i + 3}.png"),
+            (img * 0.55).astype(np.uint8),
+        )
+        frames.append(
+            {
+                "file_path": f"./train/r_{i + 3}",
+                "transform_matrix": frames[i]["transform_matrix"],
+            }
+        )
+    json.dump(tj, open(tj_path, "w"))
+    return scene
+
+
+@pytest.mark.slow
+def test_appearance_separates_exposure_twins(tmp_path):
+    """Exposure-twin fixture: appearance codes must (a) reach a far lower
+    train loss than the no-embedding run (which is floored by the twin
+    brightness gap — nothing else can express it), and (b) learn codes
+    whose renders reproduce the injected exposure ratio on the SAME
+    rays. Measured on this fixture: loss ratio 0.17, brightness ratio
+    1.83 vs 1/0.55 = 1.82 injected; asserted with headroom."""
+    from nerf_simple_tpu.data.blender import load_blender
+    from nerf_simple_tpu.data.dataset import RayDataset
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_chunked,
+    )
+
+    scene = _write_exposure_twin_scene(str(tmp_path))
+    data = load_blender(scene, half_res=False)
+    rd = RayDataset.from_blender(data)
+    H, W = data.H, data.W
+    assert rd.split_size("train") // (H * W) == 6
+
+    def run(app_dim):
+        cfg = TrainConfig(
+            datapath=scene, Nf=32, Nc=0, num_iters=1200, batch_size=512,
+            steps_per_call=100, half_res=False, appearance_dim=app_dim,
+            net_Lp=6, net_Ld=2, net_H=32,
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+        )
+        model = model_from_train_config(cfg)
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model, n_images=6 if app_dim else None
+        )
+        step = build_train_step(cfg, model, donate=False, rays_per_image=H * W)
+        key = jax.random.PRNGKey(1)
+        for i in range(12):
+            state, losses = step(
+                state, rd.rays["train"], rd.pixels["train"],
+                jax.random.fold_in(key, i),
+            )
+        return state, model, float(losses[-1])
+
+    state_a, model_a, loss_app = run(4)
+    _, _, loss_plain = run(0)
+    # measured ratio 0.17 — codes absorb the twin exposure gap
+    assert loss_app < 0.35 * loss_plain, (loss_app, loss_plain)
+
+    # render the SAME rays under the bright twin's code vs the dim
+    # twin's: mean brightness must follow the injected 1/0.55 exposure
+    tbl = state_a.params["app"]
+    assert np.asarray(tbl).std() > 0
+    rays0 = rd.rays["train"][: H * W]
+
+    def brightness(code):
+        rgb, _ = render_rays_chunked(
+            state_a.params["field"], rays0, jax.random.PRNGKey(5),
+            RenderSettings(N=32), model_a, chunk=1024, app=code,
+        )
+        return float(np.asarray(rgb).mean())
+
+    ratio = brightness(tbl[0]) / max(brightness(tbl[3]), 1e-9)
+    assert 1.4 < ratio < 2.3, ratio  # injected 1.82, measured 1.83
+
+
+@pytest.mark.slow
+def test_appearance_through_train_loop(tmp_path):
+    """Loop-level smoke: appearance_dim through train() — the driver
+    passes n_images, eval renders condition on per-image/mean codes,
+    checkpoints carry the code table, and evaluate.load_params unwraps
+    it as aux."""
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.evaluate import load_params
+    from nerf_simple_tpu.train.loop import train
+
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    write_blender_scene(scene, n_train=3, n_val=1, n_test=1, H=16, W=16)
+    cfg = TrainConfig(
+        datapath=scene,
+        savepath=os.path.join(root, "models"),
+        exp_name="app",
+        Nf=8,
+        Nc=0,
+        num_iters=40,
+        batch_size=64,
+        steps_per_call=20,
+        half_res=False,
+        appearance_dim=2,
+        val_idxs=(0,),
+        net_Lp=4,
+        net_Ld=2,
+        net_H=16,
+        ckpt_loss=20,
+        ckpt_images=20,
+        ckpt_model=20,
+        log_dir=os.path.join(root, "logs"),
+    )
+    state = train(cfg)
+    assert set(state.params) == {"field", "app"}
+    assert np.isfinite(np.asarray(state.params["app"])).all()
+    params, aux = load_params(
+        os.path.join(root, "models", "app"), return_aux=True
+    )
+    assert "app" in aux and "trunk0" in params
