@@ -1,0 +1,96 @@
+"""Step-time cost of the per-image trainable extras (pose_opt,
+appearance_dim) at the bench shape (batch 4096 x Nf 128, bf16).
+
+Both extras force the autodiff XLA loss path (the fused kernel
+differentiates only wrt MLP weights; pose/appearance grads flow through
+the ray stream / encoding concat), so the relevant comparisons are:
+
+  fused pallas baseline   <- what you give up (the flagship fast path)
+  xla autodiff baseline   <- the path the extras actually ride
+  + pose_opt              <- se(3) deltas on every sampled ray
+  + appearance_dim 8      <- per-ray code gather + wider color head
+  + both                  <- the real-capture recipe
+
+Writes benchmarks/poseapp_bench.json. Scene content is irrelevant for
+step timing (fixed shapes); reuses $PA_SCENE or generates a tiny one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from nerf_simple_tpu.config import TrainConfig
+from nerf_simple_tpu.data.blender import load_blender
+from nerf_simple_tpu.data.dataset import RayDataset
+from nerf_simple_tpu.models import model_from_train_config
+from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+SCENE = os.environ.get("PA_SCENE", "/tmp/pa_scene/scene")
+ITERS = int(os.environ.get("PA_ITERS", 2000))
+SPC = int(os.environ.get("PA_SPC", 40))
+
+CONFIGS = [
+    ("fused pallas (flagship fast path)", dict(backend="pallas")),
+    ("xla autodiff", dict()),
+    ("xla + pose_opt", dict(pose_opt=True, pose_warmup=100)),
+    ("xla + appearance_dim 8", dict(appearance_dim=8)),
+    (
+        "xla + pose_opt + appearance_dim 8 (real-capture recipe)",
+        dict(pose_opt=True, pose_warmup=100, appearance_dim=8),
+    ),
+]
+
+
+def main():
+    if not os.path.exists(SCENE):
+        from nerf_simple_tpu.data.synthetic import write_blender_scene
+
+        write_blender_scene(SCENE, n_train=8, n_val=2, n_test=2, H=64, W=64)
+    data = load_blender(SCENE, half_res=False)
+    rd = RayDataset.from_blender(data)
+    rows = []
+    for name, kw in CONFIGS:
+        cfg = TrainConfig(
+            datapath=SCENE, Nf=128, batch_size=4096, num_iters=ITERS,
+            steps_per_call=SPC, compute_dtype="bf16",
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9, **kw,
+        )
+        model = model_from_train_config(cfg)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False)
+        rays, pixels = rd.rays["train"], rd.pixels["train"]
+        key = jax.random.PRNGKey(0)
+        state, losses = step(state, rays, pixels, jax.random.fold_in(key, 0))
+        float(losses[-1])  # sync out the compile chunk
+        t0 = time.time()
+        n_chunks = ITERS // SPC
+        for i in range(1, n_chunks):
+            state, losses = step(
+                state, rays, pixels, jax.random.fold_in(key, i)
+            )
+        float(losses[-1])
+        wall = time.time() - t0
+        ms = wall / max(ITERS - SPC, 1) * 1e3
+        rows.append({"config": name, "ms_per_iter": round(ms, 2)})
+        print(rows[-1], flush=True)
+
+    base = next(
+        r["ms_per_iter"] for r in rows if r["config"] == "xla autodiff"
+    )
+    for r in rows:
+        r["vs_xla"] = round(r["ms_per_iter"] / base, 2)
+    out = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    with open(os.path.join(out, "poseapp_bench.json"), "w") as fh:
+        json.dump(rows, fh, indent=1)
+    print("wrote benchmarks/poseapp_bench.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -368,3 +368,75 @@ def test_distortion_s_space_tames_far_disparity_bins():
     snorm = float(distortion_loss(w, s))
     assert raw > 1.0, raw  # the failure mode the fix removes
     assert snorm < 0.02, snorm  # bounded by the ~1/N s-space bin width
+
+
+@pytest.mark.slow
+def test_full_360_recipe_e2e(tmp_path):
+    """The complete colmap360.yaml recipe shape through the real
+    drivers: contract + disparity + proposal + distortion trained
+    together, then proposal-guided eval from the checkpoint (sidecar
+    recovers contract; Np in test_params recovers the proposal arch).
+    Benchmark context: on the radius-varied unbounded fixture this
+    combination is the ONLY one that generalizes to novel views
+    (benchmarks/unbounded_bench.json) — pin that it stays wired."""
+    import os
+
+    from nerf_simple_tpu.config import TestConfig
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.evaluate import test as run_eval
+    from nerf_simple_tpu.train.loop import train
+
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    write_blender_scene(scene, n_train=3, n_val=1, n_test=1, H=20, W=20)
+    state = train(
+        TrainConfig(
+            datapath=scene,
+            savepath=os.path.join(root, "models"),
+            exp_name="full360",
+            Nf=8,
+            contract=True,
+            sampling_space="disparity",
+            tn=0.5,
+            tf=30.0,
+            proposal=True,
+            Np=8,
+            prop_Lp=4,
+            prop_D=2,
+            prop_H=32,
+            distortion_loss_weight=0.01,
+            net_Lp=4,
+            net_Ld=2,
+            net_H=32,
+            num_iters=20,
+            batch_size=64,
+            steps_per_call=10,
+            half_res=False,
+            ckpt_loss=1000,
+            ckpt_images=10**9,
+            ckpt_model=10**9,
+            log_dir=os.path.join(root, "logs"),
+        )
+    )
+    assert int(state.step) == 20
+    run_eval(
+        TestConfig(
+            loadpath=os.path.join(root, "models", "full360"),
+            datapath=scene,
+            savepath=os.path.join(root, "results"),
+            exp_name="full360",
+            batch_size=512,
+            half_res=False,
+            im_set="test",
+            im_idxs=(0,),
+            animation=False,
+            N_samples=8,
+            Np=8,
+            sampling_space="disparity",
+            tn=0.5,
+            tf=30.0,
+        )
+    )
+    assert os.path.exists(
+        os.path.join(root, "results", "full360", "rgb_0.png")
+    )
