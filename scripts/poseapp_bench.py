@@ -63,8 +63,15 @@ def main():
             ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9, **kw,
         )
         model = model_from_train_config(cfg)
-        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
-        step = build_train_step(cfg, model, donate=False)
+        n_images = rd.split_size("train") // (data.H * data.W)
+        aux_on = cfg.pose_opt or cfg.appearance_dim > 0
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model,
+            n_images=n_images if aux_on else None,
+        )
+        step = build_train_step(
+            cfg, model, donate=False, rays_per_image=data.H * data.W
+        )
         rays, pixels = rd.rays["train"], rd.pixels["train"]
         key = jax.random.PRNGKey(0)
         state, losses = step(state, rays, pixels, jax.random.fold_in(key, 0))
