@@ -140,6 +140,33 @@ class TrainConfig:
     # structure first, so pose gradients point at each image's actual
     # misalignment. Rule of thumb: ~3-5% of num_iters.
     pose_warmup: int = 300
+    # two-phase refinement: at this step the trained pose deltas are
+    # BAKED into the HBM ray dataset (one jitted pass over all rays,
+    # ops/rays.py::bake_cam_deltas), the {"field","cams"} params wrapper
+    # is dropped (Adam moments and schedule counts carry over), and the
+    # run continues as a plain config — re-eligible for the fused
+    # Pallas train kernel. Rationale: pose_opt rides the autodiff XLA
+    # path at ~5.5x the fused step (benchmarks/poseapp_bench.json), but
+    # pose deltas converge early; freezing amortizes refinement to near
+    # zero. The deltas are persisted as <exp_dir>/cam_deltas.npz (resume
+    # re-bakes from it; train-split eval renders keep using it). 0 = off
+    # (poses train the whole run). Costs one extra step compile at the
+    # freeze boundary. Pose-only: rejected with appearance_dim > 0.
+    pose_freeze_at: int = 0
+    # BARF coarse-to-fine PE annealing (Lin et al. 2021 eqn. 14), the
+    # pose-refinement companion: octave k of the positional encoding is
+    # cosine-ramped in as training progresses, reaching the full
+    # encoder at this step (ops/encoding.py::anneal_weights). Rationale:
+    # full-frequency PE makes photometric POSE gradients oscillate at
+    # 2^k, so joint refinement stalls in noise — the smooth octaves must
+    # align the rig before the sharp ones lock detail in (measured:
+    # without annealing pose_opt recovers ~1 dB of a ~10 dB
+    # miscalibration gap; benchmarks/pose_freeze_bench.json). Traced
+    # from the step counter: one compiled program serves the whole
+    # schedule. Requires pose_opt (its reason to exist here) and, with
+    # pose_freeze_at, must finish by the freeze (phase B's fused kernel
+    # computes the standard full-frequency encoder). 0 = off.
+    pe_anneal_until: int = 0
     # restrict training ray sampling to these train-image indices — the
     # reference's commented-out select_imgs mode (train.py:48,
     # dataload.py:155-179). Empty = sample the whole split (default).
@@ -456,6 +483,65 @@ class TrainConfig:
                 raise ValueError(
                     "pose_lr_init/pose_lr_final must be positive, got "
                     f"{self.pose_lr_init}/{self.pose_lr_final}"
+                )
+        if self.pose_freeze_at < 0:
+            raise ValueError(
+                f"pose_freeze_at must be >= 0, got {self.pose_freeze_at}"
+            )
+        if self.pose_freeze_at > 0:
+            if not self.pose_opt:
+                raise ValueError(
+                    "pose_freeze_at > 0 without pose_opt: there are no "
+                    "pose deltas to freeze"
+                )
+            if self.appearance_dim > 0:
+                raise ValueError(
+                    "pose_freeze_at cannot combine with appearance_dim: "
+                    "freezing drops the per-image params wrapper, but "
+                    "appearance codes must stay trainable for the whole "
+                    "run (freeze is pose-only)"
+                )
+            if self.pose_freeze_at <= self.pose_warmup:
+                raise ValueError(
+                    f"pose_freeze_at ({self.pose_freeze_at}) must exceed "
+                    f"pose_warmup ({self.pose_warmup}): pose lr is zero "
+                    "through the warmup, so freezing before it ends "
+                    "would bake untrained (identity) deltas"
+                )
+            if self.pose_freeze_at >= self.num_iters:
+                raise ValueError(
+                    f"pose_freeze_at ({self.pose_freeze_at}) must be < "
+                    f"num_iters ({self.num_iters}); for poses trained to "
+                    "the end just leave pose_freeze_at at 0"
+                )
+        if self.pe_anneal_until < 0:
+            raise ValueError(
+                f"pe_anneal_until must be >= 0, got {self.pe_anneal_until}"
+            )
+        if self.pe_anneal_until > 0:
+            if not self.pose_opt:
+                raise ValueError(
+                    "pe_anneal_until > 0 without pose_opt: PE annealing "
+                    "exists to stabilize joint pose refinement (and by "
+                    "itself only slows convergence)"
+                )
+            if self.mip:
+                raise ValueError(
+                    "pe_anneal_until is not plumbed through the mip IPE "
+                    "encoder (IPE's variance damping plays the same "
+                    "low-pass role)"
+                )
+            if self.model_family != "nerf":
+                raise ValueError(
+                    "pe_anneal_until is NerfMLP-family only (the "
+                    "hashgrid analogue — level weighting — is not built)"
+                )
+            if self.pose_freeze_at and self.pe_anneal_until > self.pose_freeze_at:
+                raise ValueError(
+                    f"pe_anneal_until ({self.pe_anneal_until}) must "
+                    f"finish by pose_freeze_at ({self.pose_freeze_at}): "
+                    "the post-freeze fused kernel computes the standard "
+                    "full-frequency encoder"
                 )
 
     @property

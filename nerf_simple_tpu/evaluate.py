@@ -217,6 +217,40 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
             for k, v in rd.rays.items()
         }
 
+    # pose-refined checkpoints: train-split stills render from the
+    # REFINED rig (what the field was actually fit to). Deltas come from
+    # the checkpoint's live "cams" tables, or — after a pose freeze
+    # (TrainConfig.pose_freeze_at) — from the cam_deltas.npz sidecar the
+    # freeze wrote next to the checkpoints. Val/test poses are never
+    # refined (only train images have deltas).
+    cam_dr = cam_dt = None
+    if "cams" in aux:
+        cam_dr, cam_dt = aux["cams"]["dr"], aux["cams"]["dt"]
+    else:
+        _side = os.path.join(
+            cfg.loadpath
+            if os.path.isdir(cfg.loadpath)
+            else os.path.dirname(cfg.loadpath),
+            "cam_deltas.npz",
+        )
+        if os.path.exists(_side):
+            _d = np.load(_side)
+            cam_dr, cam_dt = jnp.asarray(_d["dr"]), jnp.asarray(_d["dt"])
+    if cam_dr is not None and "train" in eval_rays:
+        from nerf_simple_tpu.ops.rays import bake_cam_deltas
+
+        n_tr = eval_rays["train"].shape[0] // (rd.H * rd.W)
+        if n_tr == cam_dr.shape[0]:
+            eval_rays = dict(eval_rays)
+            eval_rays["train"] = bake_cam_deltas(
+                eval_rays["train"], cam_dr, cam_dt, rd.H * rd.W
+            )
+        else:
+            print(
+                f"pose deltas cover {cam_dr.shape[0]} train images but "
+                f"the split has {n_tr}; skipping eval-time refinement"
+            )
+
     if cfg.animation:
         if cfg.dataset == "llff":
             # forward-facing capture: a dome orbit leaves the pose cone the

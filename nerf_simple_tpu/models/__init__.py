@@ -45,12 +45,16 @@ __all__ = [
 ]
 
 
-def apply_model(params, v, model, compute_dtype, app=None):
+def apply_model(params, v, model, compute_dtype, app=None, enc_alpha=None):
     """Family dispatch for the forward pass (same (B,6)->(B,4) contract).
 
     ``app``: (B, app_dim) appearance codes — NerfMLP-only (models/nerf.py),
     required iff ``model.app_dim > 0``. Density-only consumers (occupancy
     probes, normals, mesh export) pass zeros: sigma never sees the code.
+
+    ``enc_alpha``: optional BARF anneal progress — NerfMLP-only (the
+    hashgrid family's coarse-to-fine analogue would be level weighting,
+    not built).
     """
     if isinstance(model, HashGridModel):
         if app is not None:
@@ -58,8 +62,15 @@ def apply_model(params, v, model, compute_dtype, app=None):
                 "appearance codes are NerfMLP-family only (hashgrid has no "
                 "app_dim)"
             )
+        if enc_alpha is not None:
+            raise ValueError(
+                "enc_alpha (PE annealing) is NerfMLP-family only"
+            )
         return hashgrid_apply(params, v, model, compute_dtype=compute_dtype)
-    return nerf_apply(params, v, model, compute_dtype=compute_dtype, app=app)
+    return nerf_apply(
+        params, v, model, compute_dtype=compute_dtype, app=app,
+        enc_alpha=enc_alpha,
+    )
 
 
 def zeros_app_for(model, n: int):

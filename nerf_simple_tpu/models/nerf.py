@@ -164,6 +164,7 @@ def nerf_apply(
     model: NerfMLP = NerfMLP(),
     compute_dtype: Any = jnp.float32,
     app: jnp.ndarray | None = None,
+    enc_alpha: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Forward pass: raw (B, 6) ``[xyz | unit dir]`` rows -> (B, 4) rgb+sigma.
 
@@ -174,6 +175,11 @@ def nerf_apply(
     ``app``: (B, app_dim) per-row appearance codes, required iff
     ``model.app_dim > 0`` — appended to the direction encoding so they
     condition only the color head.
+
+    ``enc_alpha``: optional BARF coarse-to-fine anneal progress in
+    [0, 1] (traced scalar; ops/encoding.py::anneal_weights) — the
+    pose-refinement companion (TrainConfig.pe_anneal_until). None = the
+    standard full-frequency encoder.
     """
     if (app is None) != (model.app_dim == 0) or (
         app is not None and app.shape[-1] != model.app_dim
@@ -189,7 +195,9 @@ def nerf_apply(
         v = jnp.concatenate(
             [scene_contraction(v[..., :3]), v[..., 3:]], axis=-1
         )
-    posx, posd = positional_encoder(v, Lp=model.Lp, Ld=model.Ld)
+    posx, posd = positional_encoder(
+        v, Lp=model.Lp, Ld=model.Ld, alpha=enc_alpha
+    )
     if app is not None:
         posd = jnp.concatenate([posd, app.astype(posd.dtype)], axis=-1)
     return _apply_encoded(params, posx, posd, compute_dtype)

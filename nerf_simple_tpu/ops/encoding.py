@@ -23,12 +23,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def gamma(x: jnp.ndarray, L: int = 4) -> jnp.ndarray:
+def gamma(
+    x: jnp.ndarray, L: int = 4, alpha: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Frequency-encode each scalar feature of ``x``.
 
     Args:
       x: (..., C) array.
       L: number of frequency octaves.
+      alpha: optional BARF anneal progress in [0, 1] (traced scalar) —
+        octave k is scaled by ``anneal_weights(L, alpha)[k]``. None =
+        the standard (full-frequency) encoder.
 
     Returns:
       (..., C * 2L) array. For each input channel the 2L outputs are
@@ -40,7 +45,30 @@ def gamma(x: jnp.ndarray, L: int = 4) -> jnp.ndarray:
     ang = x[..., None] * freqs  # (..., C, L)
     # (..., C, L, 2) with sin before cos, then flatten (C, L, 2) -> C*2L.
     enc = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if alpha is not None:
+        enc = enc * anneal_weights(L, alpha, x.dtype)[:, None]
     return enc.reshape(*x.shape[:-1], x.shape[-1] * 2 * L)
+
+
+def anneal_weights(L: int, alpha: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """BARF coarse-to-fine octave weights (Lin et al. 2021, eqn. 14).
+
+    ``alpha`` is the anneal PROGRESS in [0, 1]; octave k's weight is
+
+        w_k = (1 - cos(pi * clip(alpha * L - k, 0, 1))) / 2
+
+    — zero before the window reaches the octave, a smooth cosine ramp
+    through it, one after. At alpha=0 every octave is off (only the
+    raw-prepended values drive the MLP); at alpha>=1 this is the
+    standard encoder. Rationale: full-frequency positional encoding
+    makes photometric POSE gradients oscillate at 2^k, so joint pose
+    refinement (TrainConfig.pose_opt) stalls in noise; annealing lets
+    the smooth octaves align the rig before the sharp ones lock detail
+    in. Returns (L,) weights, traced-alpha friendly (one compiled
+    program serves the whole schedule)."""
+    k = jnp.arange(L, dtype=dtype)
+    ramp = jnp.clip(alpha * L - k, 0.0, 1.0)
+    return (1.0 - jnp.cos(jnp.pi * ramp)) / 2.0
 
 
 def scene_contraction(x: jnp.ndarray) -> jnp.ndarray:
@@ -143,7 +171,10 @@ def ipe_encoder(
 
 
 def positional_encoder(
-    vec: jnp.ndarray, Lp: int = 10, Ld: int = 4
+    vec: jnp.ndarray,
+    Lp: int = 10,
+    Ld: int = 4,
+    alpha: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Encode packed ``[xyz | view-dir]`` rows.
 
@@ -151,6 +182,9 @@ def positional_encoder(
       vec: (..., 6) array of ``x, y, z, d1, d2, d3`` rows.
       Lp: octaves for the position channels.
       Ld: octaves for the direction channels.
+      alpha: optional BARF anneal progress in [0, 1], applied to BOTH
+        encoders on the same progress scale (each finishes its own L
+        octaves at alpha=1). The raw-prepended values are never damped.
 
     Returns:
       ``(posx, posd)``: (..., 3 + 6*Lp) and (..., 3 + 6*Ld), raw values
@@ -159,6 +193,6 @@ def positional_encoder(
     """
     xyz = vec[..., 0:3]
     d = vec[..., 3:6]
-    posx = jnp.concatenate([xyz, gamma(xyz, Lp)], axis=-1)
-    posd = jnp.concatenate([d, gamma(d, Ld)], axis=-1)
+    posx = jnp.concatenate([xyz, gamma(xyz, Lp, alpha)], axis=-1)
+    posd = jnp.concatenate([d, gamma(d, Ld, alpha)], axis=-1)
     return posx, posd

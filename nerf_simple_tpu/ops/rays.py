@@ -216,6 +216,24 @@ def apply_cam_deltas(
     )
 
 
+def bake_cam_deltas(
+    rays: jnp.ndarray,
+    dr_tbl: jnp.ndarray,
+    dt_tbl: jnp.ndarray,
+    rays_per_image: int,
+) -> jnp.ndarray:
+    """Apply per-IMAGE pose deltas to a whole packed ray dataset in one
+    pass: row i belongs to image ``i // rays_per_image`` (the row-major
+    [image, pixel] layout of ``rays_for_poses``). Used when pose
+    refinement freezes (TrainConfig.pose_freeze_at): after baking, the
+    dataset itself carries the refinement and the per-step
+    ``apply_cam_deltas`` (and its gradient traffic) disappears from the
+    train step. Equal to the per-ray form by construction — pinned in
+    tests/test_pose_app.py."""
+    im = jnp.arange(rays.shape[0]) // rays_per_image
+    return apply_cam_deltas(rays, dr_tbl[im], dt_tbl[im])
+
+
 # --- Spherical ("dome orbit") pose synthesis: reference utils/xyz.py:55-91.
 # Host-side numpy: poses are tiny, built once per render job.
 

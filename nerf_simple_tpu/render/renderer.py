@@ -123,6 +123,7 @@ def render_rays(
     model: NerfMLP = NerfMLP(),
     ts: jnp.ndarray | None = None,
     app: jnp.ndarray | None = None,
+    enc_alpha: jnp.ndarray | None = None,
 ) -> CompositeOut:
     """Stratified-sample and render a batch of rays (coarse-only path).
 
@@ -135,6 +136,9 @@ def render_rays(
       app: optional (B, model.app_dim) per-ray appearance codes
         (models/nerf.py app_dim) — broadcast over samples and appended to
         the direction encoding. XLA MLP path only.
+      enc_alpha: optional BARF anneal progress in [0, 1] (traced scalar)
+        — damps high PE octaves during joint pose refinement
+        (TrainConfig.pe_anneal_until). XLA MLP path only.
 
     Returns CompositeOut; ``.rgb`` is raw/unclipped like the reference.
     """
@@ -145,13 +149,16 @@ def render_rays(
     if settings.mip:
         assert ts is None, "mip rendering draws its own interval edges"
         assert app is None, "appearance codes are not plumbed through mip"
+        assert enc_alpha is None, "PE annealing is not plumbed through mip"
         return _render_mip(params, rays, key, settings, model, noise_key)
     if ts is None:
         ts = stratified_ts_spaced(
             key, B, settings.N, settings.tn, settings.tf, rays.dtype,
             settings.sampling_space,
         )
-    return _render_at_ts(params, rays, ts, settings, model, noise_key, app)
+    return _render_at_ts(
+        params, rays, ts, settings, model, noise_key, app, enc_alpha
+    )
 
 
 def _render_mip(
@@ -269,9 +276,15 @@ def _render_at_ts(
     model: NerfMLP,
     noise_key: jax.Array | None = None,
     app: jnp.ndarray | None = None,
+    enc_alpha: jnp.ndarray | None = None,
 ) -> CompositeOut:
     B, N = ts.shape
-    if app is None and settings.backend == "pallas" and isinstance(model, NerfMLP):
+    if (
+        app is None
+        and enc_alpha is None
+        and settings.backend == "pallas"
+        and isinstance(model, NerfMLP)
+    ):
         # feature-major path: build the kernel's x^T directly from the
         # (B, N) ray/sample structure — no (B*N, 6) transpose ever exists
         outT = _fused_mlp_bn(params, rays, ts, settings, model)  # (4,B,N)
@@ -307,6 +320,7 @@ def _render_at_ts(
         return apply_model(
             params, q[:, :6], model, compute_dtype=settings.compute_dtype,
             app=q[:, 6:] if app is not None else None,
+            enc_alpha=enc_alpha,
         )
 
     rows = B * N
@@ -426,6 +440,7 @@ def render_rays_hierarchical(
     ts_coarse: jnp.ndarray | None = None,
     return_ts: bool = False,
     app: jnp.ndarray | None = None,
+    enc_alpha: jnp.ndarray | None = None,
 ) -> tuple[CompositeOut, CompositeOut]:
     """Coarse+fine rendering (reference roadmap feature, built per the NeRF
     paper sec. 5.2): Nc stratified coarse samples -> weight PDF ->
@@ -449,7 +464,8 @@ def render_rays_hierarchical(
             rays.dtype, settings.sampling_space,
         )
     coarse_out = _render_at_ts(
-        params_coarse, rays, ts_c, settings, model, app=app
+        params_coarse, rays, ts_c, settings, model, app=app,
+        enc_alpha=enc_alpha,
     )
 
     ts_f = importance_ts(
@@ -461,7 +477,8 @@ def render_rays_hierarchical(
     )
     ts_all = merge_sorted(ts_c, ts_f)  # both sorted: O(N) rank merge
     fine_out = _render_at_ts(
-        params_fine, rays, ts_all, settings, model, app=app
+        params_fine, rays, ts_all, settings, model, app=app,
+        enc_alpha=enc_alpha,
     )
     if return_ts:
         return coarse_out, fine_out, (ts_c, ts_all)
@@ -479,6 +496,7 @@ def render_rays_proposal(
     ts_prop: jnp.ndarray | None = None,
     return_aux: bool = False,
     app: jnp.ndarray | None = None,
+    enc_alpha: jnp.ndarray | None = None,
 ):
     """Proposal-guided rendering (mip-NeRF 360 scheme, models/proposal.py):
     N_prop stratified probes of the tiny proposal density -> weight PDF ->
@@ -514,7 +532,13 @@ def render_rays_proposal(
         settings.N,
         det=det_fine,
     )
-    out = _render_at_ts(params["fine"], rays, ts_f, settings, model, app=app)
+    # enc_alpha anneals the MAIN field only: the proposal MLP is a
+    # low-capacity smooth density (Lp=6 default) whose whole job is the
+    # coarse geometry the anneal would be keeping anyway
+    out = _render_at_ts(
+        params["fine"], rays, ts_f, settings, model, app=app,
+        enc_alpha=enc_alpha,
+    )
     if return_aux:
         return out, (ts_prop, w_prop, ts_f)
     return out

@@ -158,22 +158,85 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
     # row per TRAIN image
     aux_on = cfg.pose_opt or cfg.appearance_dim > 0
     n_train_images = rd.split_size("train") // (rd.H * rd.W)
+
+    # two-phase pose refinement (cfg.pose_freeze_at): phase A trains the
+    # {"field","cams"} wrapper on the autodiff path, then at the first
+    # chunk boundary >= pose_freeze_at the deltas are baked into the ray
+    # dataset and the run continues as the plain config (fused-eligible).
+    # ``frozen``/``cam_tbl`` are runtime flags shared with the eval
+    # renderer; the deltas persist as <exp_dir>/cam_deltas.npz.
+    freeze_eff = 0
+    cfg_frozen = cfg
+    if cfg.pose_opt and cfg.pose_freeze_at:
+        import dataclasses as _dcf
+
+        freeze_eff = min(
+            -(-cfg.pose_freeze_at // cfg.steps_per_call)
+            * cfg.steps_per_call,
+            cfg.num_iters,
+        )
+        cfg_frozen = _dcf.replace(
+            cfg, pose_opt=False, pose_freeze_at=0, pe_anneal_until=0
+        )
+    frozen = False
+    cam_tbl: tuple | None = None  # host (dr, dt) after freeze
+
     state = make_train_state(
         k_init, cfg, model, n_images=n_train_images if aux_on else None
     )
     if cfg.resume:
         latest = ckpt.latest_checkpoint(exp_dir)
         if latest is not None:
+            saved_step = int(os.path.basename(str(latest)).rsplit("_", 1)[-1])
+            if freeze_eff and saved_step >= freeze_eff:
+                # post-freeze checkpoints are plain-shaped: restore into
+                # the frozen template and re-bake the persisted deltas
+                sidecar = os.path.join(exp_dir, "cam_deltas.npz")
+                if not os.path.exists(sidecar):
+                    raise FileNotFoundError(
+                        f"resuming past pose_freeze_at ({saved_step} >= "
+                        f"{freeze_eff}) but {sidecar} is missing: cannot "
+                        "re-apply the baked pose refinement"
+                    )
+                import jax.numpy as jnp
+
+                from nerf_simple_tpu.ops.rays import bake_cam_deltas
+
+                d = np.load(sidecar)
+                cam_tbl = (d["dr"], d["dt"])
+                rays = jax.jit(bake_cam_deltas, static_argnums=3)(
+                    rays, jnp.asarray(d["dr"]), jnp.asarray(d["dt"]),
+                    rd.H * rd.W,
+                )
+                state = make_train_state(k_init, cfg_frozen, model)
+                frozen = True
             state = ckpt.restore_checkpoint(latest, state)
             print(f"resumed from {latest} at step {int(state.step)}")
 
     # mip cone radius: pixel world-space half-width at unit distance
     # (2/sqrt(12) * the 1/f dir-grid spacing, mip-NeRF sec. 3.1)
     base_radius = 2.0 / math.sqrt(12.0) / rd.f if cfg.mip else 0.0
-    step_fn = build_train_step(
-        cfg, model, mesh, rays_per_image=rd.H * rd.W,
-        base_radius=base_radius,
-    )
+
+    _step_fns: dict = {}
+
+    def get_step_fn(spc_n: int, use_frozen: bool):
+        """Scanned train step for a chunk length / phase, built lazily
+        (the freeze boundary and resume offsets can each need one
+        non-default chunk length; every variant compiles once)."""
+        k = (spc_n, use_frozen)
+        if k not in _step_fns:
+            import dataclasses as _dc
+
+            c = cfg_frozen if use_frozen else cfg
+            if spc_n != c.steps_per_call:
+                c = _dc.replace(c, steps_per_call=spc_n)
+            _step_fns[k] = build_train_step(
+                c, model, mesh, rays_per_image=rd.H * rd.W,
+                base_radius=base_radius,
+            )
+        return _step_fns[k]
+
+    step_fn = get_step_fn(cfg.steps_per_call, frozen)
     prop_arch = None
     if cfg.proposal:
         from nerf_simple_tpu.models.proposal import proposal_from_train_config
@@ -222,7 +285,9 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         # the live grid: an occupancy-reduced Nf budget rendered with
         # plain stratified samples would systematically understate the
         # model's quality in the logged curves.
-        render_params = state.params["field"] if aux_on else state.params
+        render_params = (
+            state.params["field"] if (aux_on and not frozen) else state.params
+        )
         app_vec = None
         if cfg.appearance_dim > 0:
             tbl = state.params["app"]
@@ -235,15 +300,23 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         )
         if cfg.pose_opt and split == "train":
             # train-split renders use the REFINED pose (what the model
-            # was actually fit to); val poses are un-refined by design
+            # was actually fit to); val poses are un-refined by design.
+            # After the freeze the live delta tables are gone — the
+            # host-side baked copy (cam_tbl) supplies the same values.
             import jax.numpy as jnp
 
             from nerf_simple_tpu.ops.rays import apply_cam_deltas
 
+            if frozen:
+                dr_i = jnp.asarray(cam_tbl[0][ii])
+                dt_i = jnp.asarray(cam_tbl[1][ii])
+            else:
+                dr_i = state.params["cams"]["dr"][ii]
+                dt_i = state.params["cams"]["dt"][ii]
             rays_img = apply_cam_deltas(
                 rays_img,
-                jnp.broadcast_to(state.params["cams"]["dr"][ii], (n, 3)),
-                jnp.broadcast_to(state.params["cams"]["dt"][ii], (n, 3)),
+                jnp.broadcast_to(dr_i, (n, 3)),
+                jnp.broadcast_to(dt_i, (n, 3)),
             )
         from nerf_simple_tpu.render.renderer import render_rays_chunked
 
@@ -286,17 +359,39 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
 
     meter = SteadyStateMeter(cfg.batch_size)
     start = int(state.step)
-    # exact num_iters: full steps_per_call chunks + one remainder chunk
-    # (the remainder compiles a second, shorter scan once)
-    remainder = (cfg.num_iters - start) % cfg.steps_per_call
-    rem_step_fn = None
-    if remainder:
-        import dataclasses as _dc
 
-        rem_step_fn = build_train_step(
-            _dc.replace(cfg, steps_per_call=remainder), model, mesh,
-            rays_per_image=rd.H * rd.W, base_radius=base_radius,
+    def do_freeze() -> None:
+        """Cross the pose-freeze boundary: persist + bake the trained
+        deltas, drop the params wrapper (Adam moments carry over), and
+        flip the runtime flags so later chunks take the plain step."""
+        nonlocal state, rays, frozen, cam_tbl
+        import jax.numpy as jnp
+
+        from nerf_simple_tpu.ops.rays import bake_cam_deltas
+        from nerf_simple_tpu.train.step import freeze_pose_state
+
+        dr = np.asarray(jax.device_get(state.params["cams"]["dr"]))
+        dt = np.asarray(jax.device_get(state.params["cams"]["dt"]))
+        np.savez(
+            os.path.join(exp_dir, "cam_deltas.npz"),
+            dr=dr, dt=dt, freeze_step=int(state.step),
         )
+        rays = jax.jit(bake_cam_deltas, static_argnums=3)(
+            rays, jnp.asarray(dr), jnp.asarray(dt), rd.H * rd.W
+        )
+        state = freeze_pose_state(state, cfg)
+        cam_tbl = (dr, dt)
+        frozen = True
+        # the next chunk compiles the post-freeze step: restart the
+        # steady-state meter so the reported rays/s is phase-B's
+        meter.discard_warmup()
+        print(
+            f"pose freeze at step {int(state.step)}: deltas baked into "
+            f"the ray dataset (|dr| max {np.abs(dr).max():.4f} rad, "
+            f"|dt| max {np.abs(dt).max():.4f}); continuing on the plain "
+            f"{cfg.backend} step"
+        )
+
     if cfg.profile_dir and cfg.num_iters - start >= 2 * cfg.steps_per_call:
         # capture chunks 1-2 (post-compile) as a device trace; skipped when
         # fewer than two full chunks remain (a short run / late resume must
@@ -315,52 +410,71 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             f"profile_dir set but only {cfg.num_iters - start} iters remain "
             f"(< 2*steps_per_call={2 * cfg.steps_per_call}); skipping trace"
         )
-    for chunk_start, spc, boundary in chunk_schedule(
-        start,
-        cfg.num_iters,
-        cfg.steps_per_call,
-        (cfg.ckpt_loss, cfg.ckpt_images, cfg.ckpt_model),
-    ):
-        if spc == cfg.steps_per_call:
-            state, losses = step_fn(state, rays, pixels, k_train)
-        else:
-            state, losses = rem_step_fn(state, rays, pixels, k_train)
-        # Only synchronize with the device when this chunk crosses a
-        # logging/checkpoint boundary — otherwise chunks stay enqueued and
-        # the device never idles waiting on the host (each sync costs a
-        # full tunnel round trip).
-        if not boundary:
-            continue
-        losses = np.asarray(losses)  # device sync
-        # first sync includes jit compile (and, cold, data load) — the
-        # meter excludes it so reported rays/s is steady-state
-        meter.sync(chunk_start + spc - start)
+    def walk(w_start: int, w_end: int) -> None:
+        nonlocal state
+        for chunk_start, spc, boundary in chunk_schedule(
+            w_start,
+            w_end,
+            cfg.steps_per_call,
+            (cfg.ckpt_loss, cfg.ckpt_images, cfg.ckpt_model),
+        ):
+            state, losses = get_step_fn(spc, frozen)(
+                state, rays, pixels, k_train
+            )
+            # Only synchronize with the device when this chunk crosses a
+            # logging/checkpoint boundary — otherwise chunks stay
+            # enqueued and the device never idles waiting on the host
+            # (each sync costs a full tunnel round trip).
+            if not boundary:
+                continue
+            losses = np.asarray(losses)  # device sync
+            # first sync includes jit compile (and, cold, data load) —
+            # the meter excludes it so reported rays/s is steady-state
+            meter.sync(chunk_start + spc - start)
 
-        for j, loss in enumerate(losses):
-            i = chunk_start + j
-            if i % cfg.ckpt_loss == 0:
-                lr0 = cfg.lr_init if cfg.honor_lr_init else 5e-4
-                decay = math.exp(
-                    math.log(cfg.lr_final / cfg.lr_init) / cfg.num_iters
-                )
-                logger.scalar("Loss/train", float(loss), i + 1)
-                logger.scalar("Train/lr", lr0 * decay ** (i + 1), i + 1)
-                rate = (
-                    f"{meter.iters_per_sec:.1f} it/s | "
-                    f"{meter.rays_per_sec:,.0f} rays/s"
-                    if meter.iters
-                    else "warmup (compile)"
-                )
-                print(f"loss: {float(loss):.6f} | iter: {i + 1} | {rate}")
+            for j, loss in enumerate(losses):
+                i = chunk_start + j
+                if i % cfg.ckpt_loss == 0:
+                    lr0 = cfg.lr_init if cfg.honor_lr_init else 5e-4
+                    decay = math.exp(
+                        math.log(cfg.lr_final / cfg.lr_init) / cfg.num_iters
+                    )
+                    logger.scalar("Loss/train", float(loss), i + 1)
+                    logger.scalar("Train/lr", lr0 * decay ** (i + 1), i + 1)
+                    rate = (
+                        f"{meter.iters_per_sec:.1f} it/s | "
+                        f"{meter.rays_per_sec:,.0f} rays/s"
+                        if meter.iters
+                        else "warmup (compile)"
+                    )
+                    print(
+                        f"loss: {float(loss):.6f} | iter: {i + 1} | {rate}"
+                    )
 
-        i_last = chunk_start + spc - 1
-        if any((chunk_start + j) % cfg.ckpt_images == 0 for j in range(len(losses))):
-            for ii in cfg.val_idxs:
-                render_and_log("train", ii, i_last)
-                render_and_log("val", ii, i_last)
-        if any((chunk_start + j) % cfg.ckpt_model == 0 for j in range(len(losses))):
-            path = ckpt.save_checkpoint(exp_dir, state)
-            print(f"saved checkpoint {path}")
+            i_last = chunk_start + spc - 1
+            if any(
+                (chunk_start + j) % cfg.ckpt_images == 0
+                for j in range(len(losses))
+            ):
+                for ii in cfg.val_idxs:
+                    render_and_log("train", ii, i_last)
+                    render_and_log("val", ii, i_last)
+            if any(
+                (chunk_start + j) % cfg.ckpt_model == 0
+                for j in range(len(losses))
+            ):
+                p = ckpt.save_checkpoint(exp_dir, state)
+                print(f"saved checkpoint {p}")
+
+    if freeze_eff and not frozen:
+        # phase A: refine poses up to the (chunk-aligned) freeze
+        # boundary; resumes landing mid-phase get a one-off remainder
+        # scan from get_step_fn
+        walk(start, min(freeze_eff, cfg.num_iters))
+        do_freeze()
+        walk(max(start, freeze_eff), cfg.num_iters)
+    else:
+        walk(start, cfg.num_iters)
 
     path = ckpt.save_checkpoint(exp_dir, state)
     ckpt.export_params_npz(
@@ -376,7 +490,8 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         try:
             host_params = jax.device_get(state.params)
             # per-image extras are not part of the reference format
-            if aux_on:
+            # (post-freeze states already dropped the wrapper)
+            if aux_on and not frozen:
                 host_params = host_params["field"]
             # hierarchical/proposal states export the fine net — the
             # reference's single-network semantics

@@ -166,6 +166,61 @@ def make_train_state(
     )
 
 
+def freeze_pose_state(state: TrainState, cfg: TrainConfig) -> TrainState:
+    """Drop the pose-refinement {"field", "cams"} params wrapper
+    (TrainConfig.pose_freeze_at): returns a post-freeze TrainState whose
+    params are the bare field and whose optimizer state is the plain
+    field optimizer's — with the field's Adam moments (mu/nu/count) and
+    the lr-schedule count carried over from the multi_transform state,
+    so the optimizer trajectory is seamless across the freeze. The
+    caller is responsible for baking ``state.params["cams"]`` into the
+    ray dataset first (ops/rays.py::bake_cam_deltas) — dropping the
+    deltas without baking silently un-refines the rig.
+
+    Falls back to a FRESH field-optimizer init (with carried-over
+    schedule/bias-correction counts where the state shape permits, and a
+    loud warning) if the optax state layout ever stops matching the
+    ``multi_transform(adam)`` structure this surgery expects."""
+    import dataclasses
+    import warnings
+
+    field = state.params["field"]
+    cfg2 = dataclasses.replace(
+        cfg, pose_opt=False, pose_freeze_at=0, pe_anneal_until=0
+    )
+    tmpl = make_optimizer(cfg2).init(field)
+    new_opt = tmpl
+    try:
+        # multi_transform state: inner_states["field"] is a MaskedState
+        # whose inner_state is the field adam's chain state
+        # (ScaleByAdamState, ScaleByScheduleState); mu/nu are full-tree
+        # dicts with MaskedNode at non-field leaves.
+        adam_st, sched_st = state.opt_state.inner_states[
+            "field"
+        ].inner_state
+        new_opt = (
+            tmpl[0]._replace(
+                count=adam_st.count,
+                mu=adam_st.mu["field"],
+                nu=adam_st.nu["field"],
+            ),
+            tmpl[1]._replace(count=sched_st.count),
+        )
+        if jax.tree.structure(new_opt) != jax.tree.structure(tmpl):
+            raise TypeError("carried state tree != plain optimizer tree")
+    except (AttributeError, KeyError, TypeError) as e:
+        warnings.warn(
+            "pose freeze: could not carry Adam moments across the "
+            f"wrapper drop ({type(e).__name__}: {e}); re-initializing "
+            "the field optimizer (moments rebuild within ~100 iters, "
+            "but the lr schedule restarts from lr_init)"
+        )
+        new_opt = tmpl
+    return TrainState(
+        params=field, opt_state=new_opt, step=state.step, occ=state.occ
+    )
+
+
 def build_train_step(
     cfg: TrainConfig,
     model: NerfMLP = NerfMLP(),
@@ -303,7 +358,7 @@ def build_train_step(
         sq = jnp.where(valid, (out.depth - gt_d) ** 2, 0.0)
         return jnp.sum(sq) / jnp.maximum(jnp.sum(valid), 1)
 
-    def loss_fn(params, rays_b, pix_b, im_b, key, occ):
+    def loss_fn(params, rays_b, pix_b, im_b, key, occ, step=None):
         # per-image extras: unwrap the {"field", "cams"/"app"} params,
         # refine the sampled rays by their source image's pose delta
         # (gradients flow into the delta tables through ray generation),
@@ -324,12 +379,21 @@ def build_train_step(
         gt_d = None
         if cfg.depth_loss_weight > 0:
             pix_b, gt_d = pix_b[:, :3], pix_b[:, 3]
+        # BARF coarse-to-fine anneal progress (cfg.pe_anneal_until):
+        # traced from the step counter, so the whole schedule is one
+        # compiled program. None = standard encoder (static, free).
+        enc_alpha = None
+        if cfg.pe_anneal_until > 0 and step is not None:
+            enc_alpha = jnp.clip(
+                step.astype(jnp.float32) / cfg.pe_anneal_until, 0.0, 1.0
+            )
         if cfg.hierarchical:
             coarse, fine, (_, ts_all) = render_rays_hierarchical(
                 params["coarse"], params["fine"], rays_b, key, settings, model,
                 ts_coarse=_maybe_occ_ts(key, rays_b, occ, cfg.Nc),
                 return_ts=True,
                 app=app_b,
+                enc_alpha=enc_alpha,
             )
             # standard NeRF total loss (paper eqn. 6): both heads to gt
             loss = jnp.mean((coarse.rgb - pix_b) ** 2) + jnp.mean(
@@ -358,6 +422,7 @@ def build_train_step(
                 ts_prop=_maybe_occ_ts(key, rays_b, occ, cfg.Np),
                 return_aux=True,
                 app=app_b,
+                enc_alpha=enc_alpha,
             )
             loss = jnp.mean((out.rgb - pix_b) ** 2)
             # distill the proposal from the main field's weights; the
@@ -401,7 +466,10 @@ def build_train_step(
                 key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype,
                 cfg.sampling_space,
             )
-        out = render_rays(params, rays_b, key, settings, model, ts=ts, app=app_b)
+        out = render_rays(
+            params, rays_b, key, settings, model, ts=ts, app=app_b,
+            enc_alpha=enc_alpha,
+        )
         if cfg.mip and rays_b.shape[-1] >= 8:
             # multiscale: footprint-area loss weight rides ray column 7
             loss = jnp.mean(rays_b[:, 7:8] * (out.rgb - pix_b) ** 2)
@@ -536,9 +604,9 @@ def build_train_step(
                     f"XLA path for this step",
                     stacklevel=2,
                 )
-            return lambda params, rays_b, pix_b, im_b, key, occ: (
+            return lambda params, rays_b, pix_b, im_b, key, occ, step=None: (
                 jax.value_and_grad(loss_fn)(
-                    params, rays_b, pix_b, im_b, key, occ
+                    params, rays_b, pix_b, im_b, key, occ, step
                 )
             )
 
@@ -554,7 +622,7 @@ def build_train_step(
 
         if cfg.hierarchical:
 
-            def core(params, rays_b, pix_b, im_b, key, occ):
+            def core(params, rays_b, pix_b, im_b, key, occ, step=None):
                 B = rays_b.shape[0]
                 k_strat, k_imp = jax.random.split(key)
                 ts_c = _maybe_occ_ts(key, rays_b, occ, cfg.Nc)
@@ -595,7 +663,7 @@ def build_train_step(
             from nerf_simple_tpu.models.proposal import proposal_weights
             from nerf_simple_tpu.ops.volume import interlevel_loss
 
-            def core(params, rays_b, pix_b, im_b, key, occ):
+            def core(params, rays_b, pix_b, im_b, key, occ, step=None):
                 # proposal probes + importance placement run in XLA (tiny
                 # MXU matmuls, <3% of step time); only the main field's
                 # fwd+bwd goes through the fused kernel. The kernel's
@@ -641,7 +709,7 @@ def build_train_step(
         if cfg.mip:
             from nerf_simple_tpu.ops.sampling import resample_edges
 
-            def core(params, rays_b, pix_b, im_b, key, occ):
+            def core(params, rays_b, pix_b, im_b, key, occ, step=None):
                 # same key -> identical edge stream as the XLA
                 # _render_mip path (renderer.py), so xla/pallas losses
                 # agree; mip excludes hierarchical/proposal/occupancy by
@@ -680,7 +748,7 @@ def build_train_step(
 
             return core
 
-        def core(params, rays_b, pix_b, im_b, key, occ):
+        def core(params, rays_b, pix_b, im_b, key, occ, step=None):
             ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
             if ts is None:
                 ts = stratified_ts_spaced(
@@ -696,14 +764,14 @@ def build_train_step(
 
         return core
 
-    def _loss_and_grads_single(params, occ, rays, pixels, key):
+    def _loss_and_grads_single(params, occ, rays, pixels, key, step=None):
         k_sel, k_render = jax.random.split(key)
         idx = sample_idx(k_sel, cfg.batch_size, rays.shape[0])
         rays_b = rays[idx]
         pix_b = pixels[idx]
         im_b = idx // rays_per_image if aux_on else None
         return _make_core(cfg.batch_size)(
-            params, rays_b, pix_b, im_b, k_render, occ
+            params, rays_b, pix_b, im_b, k_render, occ, step
         )
 
     if mesh is not None:
@@ -728,7 +796,7 @@ def build_train_step(
 
         shard_core = _make_core(shard_B)
 
-        def _shard_fn(params, occ, rays, pixels, key):
+        def _shard_fn(params, occ, rays, pixels, key, step):
             shard = jax.lax.axis_index("data")
             k_sel, k_render = jax.random.split(jax.random.fold_in(key, shard))
             # under shard_dataset, ``rays`` here is this chip's local block
@@ -738,7 +806,7 @@ def build_train_step(
             idx = sample_idx(k_sel, shard_B, rays.shape[0])
             im_b = idx // rays_per_image if aux_on else None
             loss, grads = shard_core(
-                params, rays[idx], pixels[idx], im_b, k_render, occ
+                params, rays[idx], pixels[idx], im_b, k_render, occ, step
             )
             # equal shard sizes -> pmean of shard means == global mean
             return jax.lax.pmean((loss, grads), "data")
@@ -747,7 +815,7 @@ def build_train_step(
         _loss_and_grads = shard_map(
             _shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(), data_spec, data_spec, P()),
+            in_specs=(P(), P(), data_spec, data_spec, P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -783,7 +851,9 @@ def build_train_step(
                 lambda o: o,
                 occ,
             )
-        loss, grads = _loss_and_grads(state.params, occ, rays, pixels, key)
+        loss, grads = _loss_and_grads(
+            state.params, occ, rays, pixels, key, state.step
+        )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

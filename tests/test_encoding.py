@@ -42,3 +42,55 @@ def test_positional_encoder_dims_and_oracle(rng):
     # raw values are prepended (reference utils/xyz.py:33-34)
     np.testing.assert_allclose(np.asarray(posx[:, :3]), v[:, :3], atol=0)
     np.testing.assert_allclose(np.asarray(posd[:, :3]), v[:, 3:], atol=0)
+
+
+def test_anneal_weights_closed_form():
+    """BARF eqn. 14 octave weights: off before the window, cosine ramp
+    through it, one after; endpoints exact."""
+    from nerf_simple_tpu.ops.encoding import anneal_weights
+
+    w0 = np.asarray(anneal_weights(4, 0.0))
+    np.testing.assert_allclose(w0, np.zeros(4), atol=1e-7)
+    w1 = np.asarray(anneal_weights(4, 1.0))
+    np.testing.assert_allclose(w1, np.ones(4), atol=1e-6)
+    # alpha*L = 2.0: octaves 0,1 fully on, 2,3 fully off
+    np.testing.assert_allclose(
+        np.asarray(anneal_weights(4, 0.5)), [1, 1, 0, 0], atol=1e-6
+    )
+    # alpha*L = 1.5: octave 1 mid-ramp -> (1 - cos(pi/2))/2 = 0.5
+    np.testing.assert_allclose(
+        np.asarray(anneal_weights(4, 0.375)), [1, 0.5, 0, 0], atol=1e-6
+    )
+
+
+def test_gamma_alpha_scales_octave_blocks():
+    """gamma with alpha equals the standard encoding with each octave's
+    sin/cos pair scaled by its anneal weight (raw layout preserved)."""
+    from nerf_simple_tpu.ops.encoding import anneal_weights, gamma
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+    L, alpha = 4, 0.4
+    full = np.asarray(gamma(x, L)).reshape(5, 3, L, 2)
+    damped = np.asarray(gamma(x, L, alpha)).reshape(5, 3, L, 2)
+    w = np.asarray(anneal_weights(L, alpha))
+    np.testing.assert_allclose(
+        damped, full * w[None, None, :, None], rtol=1e-6, atol=1e-7
+    )
+    # alpha=1 is the standard encoder
+    np.testing.assert_allclose(
+        np.asarray(gamma(x, L, 1.0)), np.asarray(gamma(x, L)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_positional_encoder_alpha_keeps_raw_channels():
+    from nerf_simple_tpu.ops.encoding import positional_encoder
+
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.normal(size=(7, 6)), jnp.float32)
+    px0, pd0 = positional_encoder(v, Lp=6, Ld=3, alpha=0.0)
+    # at alpha=0 every octave is dark: only the raw-prepended values live
+    np.testing.assert_array_equal(np.asarray(px0[:, :3]), np.asarray(v[:, :3]))
+    np.testing.assert_allclose(np.asarray(px0[:, 3:]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pd0[:, 3:]), 0.0, atol=1e-7)

@@ -500,3 +500,218 @@ def test_appearance_through_train_loop(tmp_path):
         os.path.join(root, "models", "app"), return_aux=True
     )
     assert "app" in aux and "trunk0" in params
+
+
+# ---------------------------------------------------------------------------
+# two-phase pose refinement (cfg.pose_freeze_at)
+# ---------------------------------------------------------------------------
+
+
+def test_bake_matches_per_ray_apply():
+    """bake_cam_deltas (whole-dataset, per-image tables) == the train
+    step's per-ray apply_cam_deltas with gathered deltas."""
+    from nerf_simple_tpu.ops.rays import bake_cam_deltas
+
+    rng = np.random.default_rng(0)
+    n_img, hw = 3, 8
+    rays = jnp.asarray(rng.normal(size=(n_img * hw, 6)), jnp.float32)
+    dr = jnp.asarray(rng.normal(scale=0.05, size=(n_img, 3)), jnp.float32)
+    dt = jnp.asarray(rng.normal(scale=0.1, size=(n_img, 3)), jnp.float32)
+    baked = bake_cam_deltas(rays, dr, dt, hw)
+    im = np.arange(n_img * hw) // hw
+    ref = apply_cam_deltas(rays, dr[im], dt[im])
+    np.testing.assert_array_equal(np.asarray(baked), np.asarray(ref))
+    # mip columns (7/8-col rays) pass through untouched
+    rays8 = jnp.concatenate(
+        [rays, jnp.ones((n_img * hw, 2), jnp.float32)], axis=1
+    )
+    baked8 = bake_cam_deltas(rays8, dr, dt, hw)
+    np.testing.assert_array_equal(np.asarray(baked8[:, 6:]), 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(baked8[:, :6]), np.asarray(baked)
+    )
+
+
+def test_freeze_pose_state_carries_adam_moments():
+    """freeze_pose_state drops the {"field","cams"} wrapper and carries
+    the field's Adam mu/nu and both schedule counts into the plain
+    optimizer state, so the trajectory is seamless across the freeze."""
+    import dataclasses
+
+    from nerf_simple_tpu.train.step import (
+        TrainState,
+        freeze_pose_state,
+        make_optimizer,
+    )
+
+    cfg = _tiny_cfg(pose_opt=True, pose_freeze_at=2, num_iters=4)
+    model = model_from_train_config(cfg)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model, n_images=3)
+    opt = make_optimizer(cfg)
+    # two real updates so the moments are nonzero and counts advance
+    params, opt_state = state.params, state.opt_state
+    for i in range(2):
+        grads = jax.tree.map(
+            lambda p: jnp.full_like(p, 0.1 * (i + 1)), params
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    state = TrainState(
+        params=params, opt_state=opt_state, step=jnp.int32(2), occ=()
+    )
+
+    new = freeze_pose_state(state, cfg)
+    assert isinstance(new.params, dict)
+    assert "trunk0" in new.params and "field" not in new.params
+    adam_old = state.opt_state.inner_states["field"].inner_state[0]
+    sched_old = state.opt_state.inner_states["field"].inner_state[1]
+    assert int(new.opt_state[0].count) == int(adam_old.count) == 2
+    assert int(new.opt_state[1].count) == int(sched_old.count) == 2
+    for got, want in zip(
+        jax.tree.leaves(new.opt_state[0].mu),
+        jax.tree.leaves(adam_old.mu["field"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert any(
+        np.abs(np.asarray(m)).max() > 0
+        for m in jax.tree.leaves(new.opt_state[0].mu)
+    )  # the carried moments are the real (nonzero) ones, not a re-init
+    # the carried state drives the PLAIN optimizer without error
+    cfg2 = dataclasses.replace(cfg, pose_opt=False, pose_freeze_at=0)
+    opt2 = make_optimizer(cfg2)
+    g2 = jax.tree.map(jnp.ones_like, new.params)
+    updates, _ = opt2.update(g2, new.opt_state, new.params)
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(updates)[0])
+    ).all()
+
+
+def test_pose_freeze_config_validation():
+    with pytest.raises(ValueError, match="without pose_opt"):
+        _tiny_cfg(pose_freeze_at=2)
+    with pytest.raises(ValueError, match="appearance"):
+        _tiny_cfg(
+            pose_opt=True, appearance_dim=2, pose_freeze_at=2
+        )
+    with pytest.raises(ValueError, match="pose_warmup"):
+        _tiny_cfg(pose_opt=True, pose_freeze_at=2, pose_warmup=3)
+    with pytest.raises(ValueError, match="num_iters"):
+        _tiny_cfg(pose_opt=True, pose_freeze_at=4, num_iters=4)
+
+
+@pytest.mark.slow
+def test_pose_freeze_through_train_loop(tmp_path):
+    """Two-phase e2e: train() with pose_freeze_at crosses the boundary
+    (sidecar written, wrapper dropped, loss keeps improving on the plain
+    step), resume PAST the freeze restores the plain state and re-bakes
+    from the sidecar, and the eval CLI applies the sidecar deltas to
+    train-split stills."""
+    from nerf_simple_tpu.config import TestConfig
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+    from nerf_simple_tpu.evaluate import test as run_eval
+    from nerf_simple_tpu.train.loop import train
+
+    root = str(tmp_path)
+    scene = os.path.join(root, "scene")
+    write_blender_scene(scene, n_train=3, n_val=1, n_test=1, H=16, W=16)
+    kw = dict(
+        datapath=scene,
+        savepath=os.path.join(root, "models"),
+        exp_name="pf",
+        Nf=8,
+        Nc=0,
+        batch_size=64,
+        steps_per_call=10,
+        half_res=False,
+        pose_opt=True,
+        pose_warmup=5,
+        pose_freeze_at=20,
+        val_idxs=(0,),
+        net_Lp=4,
+        net_Ld=2,
+        net_H=16,
+        ckpt_loss=10,
+        ckpt_images=10**9,
+        ckpt_model=20,
+        log_dir=os.path.join(root, "logs"),
+    )
+    state = train(TrainConfig(num_iters=40, **kw))
+    assert int(state.step) == 40
+    # wrapper dropped at step 20; final params are plain field params
+    assert "trunk0" in state.params and "cams" not in state.params
+    sidecar = os.path.join(root, "models", "pf", "cam_deltas.npz")
+    assert os.path.exists(sidecar)
+    d = np.load(sidecar)
+    assert d["dr"].shape == (3, 3) and int(d["freeze_step"]) == 20
+
+    # resume past the freeze: plain template + re-bake from the sidecar
+    state2 = train(TrainConfig(num_iters=60, resume=True, **kw))
+    assert int(state2.step) == 60 and "trunk0" in state2.params
+
+    # eval CLI: train-split still goes through the sidecar-refined rays
+    run_eval(
+        TestConfig(
+            loadpath=os.path.join(root, "models", "pf"),
+            datapath=scene,
+            savepath=os.path.join(root, "results"),
+            exp_name="pf",
+            batch_size=256,
+            half_res=False,
+            im_set="train",
+            im_idxs=(0,),
+            animation=False,
+            N_samples=8,
+        )
+    )
+    assert os.path.exists(os.path.join(root, "results", "pf", "rgb_0.png"))
+
+
+# ---------------------------------------------------------------------------
+# BARF PE annealing (cfg.pe_anneal_until)
+# ---------------------------------------------------------------------------
+
+
+def test_pe_anneal_config_validation():
+    with pytest.raises(ValueError, match="without pose_opt"):
+        _tiny_cfg(pe_anneal_until=2)
+    with pytest.raises(ValueError, match="mip"):
+        _tiny_cfg(pose_opt=True, mip=True, pe_anneal_until=2)
+    with pytest.raises(ValueError, match="finish by pose_freeze_at"):
+        _tiny_cfg(
+            pose_opt=True, pose_freeze_at=2, pe_anneal_until=3, num_iters=8
+        )
+
+
+def test_anneal_step_trains_and_matches_full_encoder_at_end():
+    """A pose_opt + pe_anneal train step runs with finite losses, and
+    once the schedule completes (step >= pe_anneal_until) the annealed
+    loss equals the anneal-free config's bitwise (weights are all one,
+    same program semantics)."""
+    from nerf_simple_tpu.train.step import TrainState
+
+    scene_rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+    def run(pe_anneal_until, step0):
+        cfg = _tiny_cfg(
+            pose_opt=True, pe_anneal_until=pe_anneal_until, num_iters=8
+        )
+        model = model_from_train_config(cfg)
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model, n_images=4
+        )
+        state = TrainState(
+            params=state.params, opt_state=state.opt_state,
+            step=jnp.int32(step0), occ=state.occ,
+        )
+        step = build_train_step(cfg, model, donate=False, rays_per_image=16)
+        _, losses = step(state, scene_rays, pix, jax.random.PRNGKey(3))
+        return np.asarray(losses)
+
+    mid = run(4, 0)  # anneal active: steps 0-1 damped
+    assert np.isfinite(mid).all()
+    done = run(4, 6)  # schedule complete: alpha clamps to 1
+    off = run(0, 6)  # anneal disabled entirely
+    np.testing.assert_allclose(done, off, rtol=1e-5, atol=1e-7)
+    # and the damped early losses differ from the full-encoder ones
+    assert not np.allclose(mid, run(0, 0), rtol=1e-4)
