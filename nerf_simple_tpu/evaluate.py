@@ -226,17 +226,27 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
     cam_dr = cam_dt = None
     if "cams" in aux:
         cam_dr, cam_dt = aux["cams"]["dr"], aux["cams"]["dt"]
-    else:
-        _side = os.path.join(
-            cfg.loadpath
-            if os.path.isdir(cfg.loadpath)
-            else os.path.dirname(cfg.loadpath),
-            "cam_deltas.npz",
-        )
+    elif cfg.im_set == "train" and not cfg.animation:
+        # the sidecar lives in the EXP dir: step up from a params file
+        # (<exp>/params_N.npz) OR a specific checkpoint dir
+        # (<exp>/ckpt_N — also a directory, so isdir alone misroutes)
+        _exp = cfg.loadpath
+        if not os.path.isdir(_exp) or os.path.basename(
+            os.path.normpath(_exp)
+        ).startswith("ckpt_"):
+            _exp = os.path.dirname(os.path.normpath(_exp))
+        _side = os.path.join(_exp, "cam_deltas.npz")
         if os.path.exists(_side):
             _d = np.load(_side)
             cam_dr, cam_dt = jnp.asarray(_d["dr"]), jnp.asarray(_d["dt"])
-    if cam_dr is not None and "train" in eval_rays:
+    # only the train split has refined poses; baking is one jitted pass
+    # over ALL train rays, so skip it when those renders won't happen
+    if (
+        cam_dr is not None
+        and "train" in eval_rays
+        and cfg.im_set == "train"
+        and not cfg.animation
+    ):
         from nerf_simple_tpu.ops.rays import bake_cam_deltas
 
         n_tr = eval_rays["train"].shape[0] // (rd.H * rd.W)

@@ -576,9 +576,16 @@ def _chunked_render_fn(
     mesh=None,
     prop_model=None,
     has_app: bool = False,
+    has_alpha: bool = False,
 ):
     """Build a jitted fn mapping padded (n_chunks, chunk, 6) rays ->
     (rgb, disp) with one compiled chunk program scanned over chunks.
+
+    ``has_alpha``: thread the traced BARF anneal progress (``alpha``
+    argument of the returned fn) into the encoders — used by mid-anneal
+    training previews (TrainConfig.pe_anneal_until), where rendering at
+    full frequency would feed never-trained octaves. Forces the XLA
+    path (the fused kernel computes the standard encoder).
 
     With ``mesh``, chunks are sharded over the ``data`` axis (shard_map:
     each chip scans its own block of chunks, params/occ replicated, no
@@ -590,7 +597,7 @@ def _chunked_render_fn(
 
     fused_tile = (
         _fused_render_tile_for(settings, chunk)
-        if _kernel_supported(model) and not has_app
+        if _kernel_supported(model) and not has_app and not has_alpha
         else 0
     )
 
@@ -637,7 +644,9 @@ def _chunked_render_fn(
             group=settings.occ_group,
         )
 
-    def _scan_chunks(params, rays_chunks, idxs, key, occ, app):
+    def _scan_chunks(params, rays_chunks, idxs, key, occ, app, alpha):
+        al = alpha if has_alpha else None
+
         def one_chunk(carry, inp):
             params, key = carry
             rays_c, idx = inp
@@ -665,7 +674,7 @@ def _chunked_render_fn(
                     params["coarse"], params["fine"], rays_c, k, settings,
                     model, det_fine=True,
                     ts_coarse=_occ_ts(occ, rays_c, k, settings.N_coarse),
-                    app=app_c,
+                    app=app_c, enc_alpha=al,
                 )
             elif settings.N_prop > 0:
                 # proposal eval: params = {"prop", "fine"}; deterministic
@@ -674,13 +683,13 @@ def _chunked_render_fn(
                     params, rays_c, k, settings, model, prop_model,
                     det_fine=True,
                     ts_prop=_occ_ts(occ, rays_c, k, settings.N_prop),
-                    app=app_c,
+                    app=app_c, enc_alpha=al,
                 )
             else:
                 out = render_rays(
                     params, rays_c, k, settings, model,
                     ts=_occ_ts(occ, rays_c, k, settings.N),
-                    app=app_c,
+                    app=app_c, enc_alpha=al,
                 )
             rgb = jnp.clip(out.rgb, 0.0, 1.0)  # eval clip: rendering.py:103
             return carry, (rgb, out.disp)
@@ -693,8 +702,10 @@ def _chunked_render_fn(
     if mesh is None:
 
         @jax.jit
-        def run(params, rays_chunks, idxs, key, occ, app):
-            return _scan_chunks(params, rays_chunks, idxs, key, occ, app)
+        def run(params, rays_chunks, idxs, key, occ, app, alpha):
+            return _scan_chunks(
+                params, rays_chunks, idxs, key, occ, app, alpha
+            )
 
         return run
 
@@ -702,14 +713,14 @@ def _chunked_render_fn(
     from jax.sharding import PartitionSpec as P
 
     @jax.jit
-    def run(params, rays_chunks, idxs, key, occ, app):
+    def run(params, rays_chunks, idxs, key, occ, app, alpha):
         return shard_map(
             _scan_chunks,
             mesh=mesh,
-            in_specs=(P(), P("data"), P("data"), P(), P(), P()),
+            in_specs=(P(), P("data"), P("data"), P(), P(), P(), P()),
             out_specs=(P("data"), P("data")),
             check_vma=False,
-        )(params, rays_chunks, idxs, key, occ, app)
+        )(params, rays_chunks, idxs, key, occ, app, alpha)
 
     return run
 
@@ -725,11 +736,18 @@ def render_rays_chunked(
     mesh=None,
     prop_model=None,
     app: jnp.ndarray | None = None,
+    enc_alpha: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render an arbitrary number of rays in fixed-size padded chunks.
 
     ``app``: optional (app_dim,) appearance code conditioning the whole
     render (appearance-embedding checkpoints; broadcast per ray).
+
+    ``enc_alpha``: optional BARF anneal progress in [0, 1) — render with
+    the same partially-annealed encoder the field is being trained with
+    (mid-anneal training previews; TrainConfig.pe_anneal_until). Traced,
+    so every preview step reuses one compiled program. None = the
+    standard full-frequency encoder (and fused-kernel eligibility).
 
     Returns (rgb clipped to [0,1] (R,3), disparity (R,)) for all R input
     rays — including the remainder the reference drops
@@ -772,10 +790,12 @@ def render_rays_chunked(
     if pad:
         rays_p = rays_p.at[R:].set(jnp.broadcast_to(rays[R - 1], (pad, C)))
     run = _chunked_render_fn(
-        settings, model, chunk, mesh, prop_model, has_app=app is not None
+        settings, model, chunk, mesh, prop_model,
+        has_app=app is not None, has_alpha=enc_alpha is not None,
     )
     rays_chunks = rays_p.reshape(n_chunks, chunk, C)
     idxs = jnp.arange(n_chunks)
+    alpha = jnp.float32(1.0 if enc_alpha is None else enc_alpha)
     if multihost:
         # host numpy in (identical on every process -> jax uploads each
         # process's addressable shards of the P("data") inputs and treats
@@ -787,7 +807,8 @@ def render_rays_chunked(
         key = np.asarray(key)
         occ = None if occ is None else np.asarray(occ)
         app = None if app is None else np.asarray(app)
-    rgb, disp = run(params, rays_chunks, idxs, key, occ, app)
+        alpha = np.asarray(alpha)
+    rgb, disp = run(params, rays_chunks, idxs, key, occ, app, alpha)
     if multihost:
         # the result is sharded over non-addressable devices; assemble the
         # full image on every host (one allgather over DCN per frame)

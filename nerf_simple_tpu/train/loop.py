@@ -188,13 +188,16 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         latest = ckpt.latest_checkpoint(exp_dir)
         if latest is not None:
             saved_step = int(os.path.basename(str(latest)).rsplit("_", 1)[-1])
-            if freeze_eff and saved_step >= freeze_eff:
+            # strictly past the boundary: a checkpoint AT freeze_eff is
+            # always wrapper-shaped (phase A's last chunk saved it;
+            # do_freeze itself never saves) — re-freezing from it below
+            if freeze_eff and saved_step > freeze_eff:
                 # post-freeze checkpoints are plain-shaped: restore into
                 # the frozen template and re-bake the persisted deltas
                 sidecar = os.path.join(exp_dir, "cam_deltas.npz")
                 if not os.path.exists(sidecar):
                     raise FileNotFoundError(
-                        f"resuming past pose_freeze_at ({saved_step} >= "
+                        f"resuming past pose_freeze_at ({saved_step} > "
                         f"{freeze_eff}) but {sidecar} is missing: cannot "
                         "re-apply the baked pose refinement"
                     )
@@ -204,6 +207,11 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
 
                 d = np.load(sidecar)
                 cam_tbl = (d["dr"], d["dt"])
+                # NOT donated: rd.rays["train"] aliases this buffer and
+                # the preview renderer slices the UN-refined copy from it
+                # (deltas are re-applied per image there) — donating
+                # frees it under the renderer (TPU INVALID_ARGUMENT).
+                # Cost: a transient 2x ray-dataset footprint at the bake.
                 rays = jax.jit(bake_cam_deltas, static_argnums=3)(
                     rays, jnp.asarray(d["dr"]), jnp.asarray(d["dt"]),
                     rd.H * rd.W,
@@ -320,6 +328,15 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             )
         from nerf_simple_tpu.render.renderer import render_rays_chunked
 
+        # mid-anneal previews render with the encoder the field is
+        # actually being trained with — at full frequency the untrained
+        # high-octave weights (zero input so far) would corrupt the
+        # logged images/PSNR into a phantom regression
+        enc_alpha = None
+        if cfg.pe_anneal_until > 0 and not frozen and (
+            i + 1
+        ) < cfg.pe_anneal_until:
+            enc_alpha = (i + 1) / cfg.pe_anneal_until
         rgb, disp = render_rays_chunked(
             render_params,
             rays_img,
@@ -334,6 +351,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             mesh=mesh,
             prop_model=prop_arch,
             app=app_vec,
+            enc_alpha=enc_alpha,
         )
         rgb = np.asarray(rgb).reshape(1, rd.H, rd.W, 3)
         disp = np.asarray(disp).reshape(1, rd.H, rd.W, 1)
@@ -376,6 +394,10 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             os.path.join(exp_dir, "cam_deltas.npz"),
             dr=dr, dt=dt, freeze_step=int(state.step),
         )
+        # NOT donated: rd.rays["train"] aliases this buffer and the
+        # preview renderer keeps slicing the un-refined copy from it
+        # (deltas re-applied per image) — donating frees it under the
+        # renderer. Cost: a transient 2x ray-dataset footprint here.
         rays = jax.jit(bake_cam_deltas, static_argnums=3)(
             rays, jnp.asarray(dr), jnp.asarray(dt), rd.H * rd.W
         )
@@ -392,7 +414,20 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
             f"{cfg.backend} step"
         )
 
-    if cfg.profile_dir and cfg.num_iters - start >= 2 * cfg.steps_per_call:
+    if cfg.profile_dir and (
+        freeze_eff
+        and not frozen
+        and start + 2 * cfg.steps_per_call > freeze_eff
+    ):
+        # the two profiling chunks run OUTSIDE the phase walk with the
+        # pre-freeze step fn — crossing the boundary here would silently
+        # train poses past the configured freeze step
+        print(
+            f"profile_dir set but the trace chunks would cross "
+            f"pose_freeze_at ({freeze_eff}); skipping trace (profile a "
+            "resumed post-freeze run instead)"
+        )
+    elif cfg.profile_dir and cfg.num_iters - start >= 2 * cfg.steps_per_call:
         # capture chunks 1-2 (post-compile) as a device trace; skipped when
         # fewer than two full chunks remain (a short run / late resume must
         # not overshoot num_iters)
@@ -470,7 +505,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         # phase A: refine poses up to the (chunk-aligned) freeze
         # boundary; resumes landing mid-phase get a one-off remainder
         # scan from get_step_fn
-        walk(start, min(freeze_eff, cfg.num_iters))
+        walk(start, freeze_eff)  # freeze_eff is already <= num_iters
         do_freeze()
         walk(max(start, freeze_eff), cfg.num_iters)
     else:

@@ -715,3 +715,39 @@ def test_anneal_step_trains_and_matches_full_encoder_at_end():
     np.testing.assert_allclose(done, off, rtol=1e-5, atol=1e-7)
     # and the damped early losses differ from the full-encoder ones
     assert not np.allclose(mid, run(0, 0), rtol=1e-4)
+
+
+def test_chunked_render_honors_enc_alpha():
+    """render_rays_chunked(enc_alpha=...) — the mid-anneal training
+    preview path (train/loop.py::render_and_log) — matches a direct
+    render_rays call at the same partial alpha, and differs from the
+    full-frequency render (the damped octaves must actually be off)."""
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays,
+        render_rays_chunked,
+    )
+
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rays = jax.random.normal(jax.random.PRNGKey(1), (24, 6))
+    settings = RenderSettings(N=4, tn=2.0, tf=6.0)
+    key = jax.random.PRNGKey(2)
+
+    rgb_c, disp_c = render_rays_chunked(
+        params, rays, key, settings, model, chunk=8, enc_alpha=0.4
+    )
+    # the chunked path folds the key per chunk index; replicate chunk 0
+    out0 = render_rays(
+        params, rays[:8], jax.random.fold_in(key, 0), settings, model,
+        enc_alpha=jnp.float32(0.4),
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_c)[:8],
+        np.clip(np.asarray(out0.rgb), 0.0, 1.0),
+        rtol=2e-5, atol=2e-6,
+    )
+    rgb_full, _ = render_rays_chunked(
+        params, rays, key, settings, model, chunk=8
+    )
+    assert not np.allclose(np.asarray(rgb_c), np.asarray(rgb_full), atol=1e-4)
