@@ -322,6 +322,29 @@ def _cast_weights(wts: FusedWeights, dtype) -> FusedWeights:
     )
 
 
+def anneal_row_weights(model: NerfMLP, alpha) -> tuple:
+    """BARF anneal weights in the kernel's encoded-row layout.
+
+    Returns (wx (FX, 1), wd (FD, 1)) f32: raw rows (incl. the bias
+    rail) carry 1; octave i's sin AND cos rows carry
+    ops/encoding.py::anneal_weights(L, alpha)[i]; pad rows carry 1
+    (their values are dead under zeroed weight columns). ``alpha`` is a
+    traced scalar, so one compiled kernel serves the whole schedule."""
+    from nerf_simple_tpu.ops.encoding import anneal_weights
+
+    def rows(L):
+        w = anneal_weights(L, alpha, jnp.float32)  # (L,)
+        sb = _sin_block(L)
+        blk = jnp.concatenate(
+            [jnp.tile(w, 3), jnp.ones((sb - 3 * L,), jnp.float32)]
+        )
+        return jnp.concatenate([jnp.ones((8,), jnp.float32), blk, blk])[
+            :, None
+        ]
+
+    return rows(model.Lp), rows(model.Ld)
+
+
 def _mm(a, b, dtype):
     return jax.lax.dot_general(
         a.astype(dtype),
@@ -331,8 +354,16 @@ def _mm(a, b, dtype):
     )
 
 
-def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP, v8=None, Sv=None):
+def _encode(
+    x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP, v8=None, Sv=None,
+    wx=None, wd=None,
+):
     """x: (8, TR) f32 -> posx (FX, TR), posd (FD, TR).
+
+    ``wx``/``wd``: optional (FX, 1)/(FD, 1) per-row BARF anneal weights
+    (anneal_row_weights) multiplied onto the encoded features — raw rows
+    (incl. the bias rail) carry 1, octave k's sin AND cos rows carry
+    w_k. Matches ops/encoding.py::gamma's alpha windowing exactly.
 
     Aligned raw/sin/cos row blocks: sin and cos each run on only their own
     block slice (pad rows evaluate to garbage under zeroed weight
@@ -404,20 +435,24 @@ def _encode(x, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP, v8=None, Sv=None):
         ],
         axis=0,
     )
+    if wx is not None:
+        posx = posx * wx
+        posd = posd * wd
     return posx.astype(dtype), posd.astype(dtype)
 
 
 def _forward_tile(
     x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP,
-    v8=None, Sv=None,
+    v8=None, Sv=None, wx=None, wd=None,
 ):
     """Shared fwd math: x (8, TR) -> (out (8, TR), residuals for bwd).
-    ``v8``/``Sv`` switch the encoder to integrated PE (mip) — everything
-    downstream (trunk, heads, backward) is unchanged: the damped posx
-    lands in the residuals, so the existing dW matmuls are automatically
-    the correct mip gradients (x itself is never differentiated)."""
+    ``v8``/``Sv`` switch the encoder to integrated PE (mip); ``wx``/``wd``
+    window it for BARF annealing — everything downstream (trunk, heads,
+    backward) is unchanged: the damped/windowed posx lands in the
+    residuals, so the existing dW matmuls are automatically the correct
+    gradients (x itself is never differentiated by them)."""
     H = model.H
-    posx, posd = _encode(x, Sx, Sd, dtype, model, v8, Sv)
+    posx, posd = _encode(x, Sx, Sd, dtype, model, v8, Sv, wx, wd)
     relu = lambda v: jnp.maximum(v, 0.0)
 
     h0 = relu(_mm(wts.W1, posx, dtype) + wts.b1)
@@ -453,21 +488,31 @@ def _forward_tile(
 _N_W = len(FusedWeights._fields)
 
 
-def _fwd_kernel(dtype, model, mip, x_ref, *refs):
-    # refs: _N_W weight refs, Sx, Sd[, Sv], out_ref
+def _fwd_kernel(dtype, model, mip, anneal, x_ref, *refs):
+    # refs: _N_W weight refs, Sx, Sd[, Sv][, wx, wd], out_ref
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
-    Sx = refs[_N_W][:]
-    Sd = refs[_N_W + 1][:]
+    i = _N_W
+    Sx, Sd = refs[i][:], refs[i + 1][:]
+    i += 2
+    Sv = None
     if mip:
-        Sv = refs[_N_W + 2][:]
-        out_ref = refs[_N_W + 3]
+        Sv = refs[i][:]
+        i += 1
+    wx = wd = None
+    if anneal:
+        wx, wd = refs[i][:], refs[i + 1][:]
+        i += 2
+    out_ref = refs[i]
+    if mip:
         x16 = x_ref[:]
         out, _ = _forward_tile(
-            x16[:8], wts, Sx, Sd, dtype, model, v8=x16[8:16], Sv=Sv
+            x16[:8], wts, Sx, Sd, dtype, model, v8=x16[8:16], Sv=Sv,
+            wx=wx, wd=wd,
         )
     else:
-        out_ref = refs[_N_W + 2]
-        out, _ = _forward_tile(x_ref[:], wts, Sx, Sd, dtype, model)
+        out, _ = _forward_tile(
+            x_ref[:], wts, Sx, Sd, dtype, model, wx=wx, wd=wd
+        )
     out_ref[:] = out
 
 
@@ -481,6 +526,7 @@ def fused_mlp_forward(
     compute_dtype: Any = jnp.bfloat16,
     model: NerfMLP = FLAGSHIP,
     mip: bool = False,
+    enc_w=None,
 ) -> jnp.ndarray:
     """Run the fused MLP forward.
 
@@ -491,6 +537,9 @@ def fused_mlp_forward(
         With ``mip=True``: (16, rows) — rows 0..2 frustum Gaussian means,
         3..5 unit view dirs, 11..13 diagonal variances, rest zero (the
         encoder becomes integrated PE; models/nerf.py::nerf_apply_mip).
+      enc_w: optional (wx, wd) BARF anneal row weights
+        (anneal_row_weights) — traced, so one compiled program serves
+        the whole anneal schedule.
 
     Returns:
       (8, rows) f32 — rows 0..2 raw rgb, row 3 raw sigma.
@@ -502,9 +551,12 @@ def fused_mlp_forward(
     grid = (rows // tile_rows,)
     wts = _cast_weights(wts, compute_dtype)
 
-    extras = [_spread_x(model), _spread_d(model)]
+    extras = [jnp.asarray(_spread_x(model)), jnp.asarray(_spread_d(model))]
     if mip:
-        extras.append(_spread_v(model))
+        extras.append(jnp.asarray(_spread_v(model)))
+    anneal = enc_w is not None
+    if anneal:
+        extras.extend(enc_w)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -524,12 +576,12 @@ def fused_mlp_forward(
     )
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, compute_dtype, model, mip),
+        functools.partial(_fwd_kernel, compute_dtype, model, mip, anneal),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((8, rows), jnp.float32),
-    )(xT, *wts, *[jnp.asarray(e) for e in extras])
+    )(xT, *wts, *extras)
 
 
 # ---------------------------------------------------------------------------
@@ -542,25 +594,39 @@ def _relu_mask(h):
     return (h.astype(jnp.float32) > 0).astype(jnp.float32)
 
 
-def _bwd_kernel(dtype, model, mip, x_ref, g_ref, *refs):
+def _bwd_kernel(dtype, model, mip, anneal, want_dx, x_ref, g_ref, *refs):
     """Per tile: recompute fwd activations in VMEM, backprop, accumulate
     weight/bias grads across the grid into the outputs (same block every
-    step — revisited-block accumulation)."""
+    step — revisited-block accumulation). With ``want_dx`` the LAST
+    output ref is the per-tile input gradient dL/dx (tiled, not
+    accumulated) — see _input_grad_tile."""
     wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
-    Sx = refs[_N_W][:]
-    Sd = refs[_N_W + 1][:]
-    n_extra = 3 if mip else 2
-    Sv = refs[_N_W + 2][:] if mip else None
-    grad_refs = refs[_N_W + n_extra :]
+    i = _N_W
+    Sx, Sd = refs[i][:], refs[i + 1][:]
+    i += 2
+    Sv = None
+    if mip:
+        Sv = refs[i][:]
+        i += 1
+    wx = wd = None
+    if anneal:
+        wx, wd = refs[i][:], refs[i + 1][:]
+        i += 2
+    grad_refs = refs[i:]
+    dx_ref = None
+    if want_dx:
+        assert not mip, "input grads are not built for the IPE encoder"
+        grad_refs, dx_ref = grad_refs[:-1], grad_refs[-1]
     assert len(grad_refs) == _N_W
 
     x = x_ref[:]
     if mip:
         _, res = _forward_tile(
-            x[:8], wts, Sx, Sd, dtype, model, v8=x[8:16], Sv=Sv
+            x[:8], wts, Sx, Sd, dtype, model, v8=x[8:16], Sv=Sv,
+            wx=wx, wd=wd,
         )
     else:
-        _, res = _forward_tile(x, wts, Sx, Sd, dtype, model)
+        _, res = _forward_tile(x, wts, Sx, Sd, dtype, model, wx=wx, wd=wd)
 
     g = g_ref[:]  # (8, TR) f32: rows 0..2 d_rgb, row 3 d_sigma
     rows_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
@@ -568,16 +634,28 @@ def _bwd_kernel(dtype, model, mip, x_ref, g_ref, *refs):
     # sigma grad back at fs row H: build (8, TR) with row 0 = d_sigma
     g_sig8 = jnp.where(rows_i == 0, pltpu.roll(g, 5, axis=0), 0.0)
 
-    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype, model)
+    if want_dx:
+        grads, (g_posx, g_posd) = _backprop_tile(
+            wts, res, g_rgb8, g_sig8, dtype, model, want_pos_grads=True
+        )
+        dx_ref[:] = _input_grad_tile(
+            x, g_posx, g_posd, Sx, Sd, model, wx=wx, wd=wd
+        )
+    else:
+        grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype, model)
     _accumulate_grads(grad_refs, grads)
 
 
 def _backprop_tile(
-    wts, res, g_rgb8, g_sig8, dtype, model: NerfMLP = FLAGSHIP
-) -> FusedWeights:
+    wts, res, g_rgb8, g_sig8, dtype, model: NerfMLP = FLAGSHIP,
+    want_pos_grads: bool = False,
+):
     """Backprop through the MLP given per-sample output cotangents
     (g_rgb8 rows 0..2, g_sig8 row 0) and saved activations ``res``.
-    Returns this tile's weight-gradient contribution."""
+    Returns this tile's weight-gradient contribution; with
+    ``want_pos_grads`` additionally the encoded-INPUT cotangents
+    ``(g_posx, g_posd)`` — three extra skinny mTg matmuls — for input
+    gradients (dL/dx, the pose-refinement path; _input_grad_tile)."""
     H = model.H
     posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, hc = res
 
@@ -651,9 +729,8 @@ def _backprop_tile(
     g_h0 = mTg(wts.Wt1, g_h1) * _relu_mask(h0)
     dW1 = mmT_acc(g_h0, posx)
     db1 = rail(dW1)
-    # (no gradient w.r.t. x needed: rays/ts carry no trainable state)
 
-    return FusedWeights(
+    grads = FusedWeights(
         W1=dW1, b1=db1,
         Wt1=dWt1, bt1=dbt1, Wt2=dWt2, bt2=dbt2,
         Wt3=dWt3, bt3=dbt3, Wt4=dWt4, bt4=dbt4,
@@ -662,6 +739,84 @@ def _backprop_tile(
         Wcs=dWcs, bcs=dbcs, Wcd=dWcd,
         Wc1=dWc1, bc1=dbc1,
     )
+    if not want_pos_grads:
+        # rays/ts carry no trainable state: dL/dx is dead code
+        return grads
+    # posx feeds layer 1 AND the skip layer; posd feeds the color head.
+    # Zeroed weight columns at pad rows make the pad-row cotangents
+    # exactly zero, so no validity masking is needed here.
+    g_posx = mTg(wts.W1, g_h0) + mTg(wts.Wsx, g_h5)
+    g_posd = mTg(wts.Wcd, g_hc)
+    return grads, (g_posx, g_posd)
+
+
+def _input_grad_tile(
+    x, g_posx, g_posd, Sx, Sd, model: NerfMLP = FLAGSHIP, wx=None, wd=None,
+):
+    """Encoder-transpose: encoded-feature cotangents -> dL/dx (8, TR).
+
+    ``wx``/``wd``: the forward's BARF anneal row weights, if any — the
+    window is elementwise on the encoded features, so its transpose is
+    the same multiply on the cotangents before the encoder transpose.
+
+    Forward was ``pos* = f(S @ xc)`` with f = identity on the raw rows
+    (row 3 is the constant bias rail -> zero grad), sin/cos on their
+    blocks — so ``dang = g_pos * f'(ang)`` elementwise and
+    ``dxc = Sx^T dang_x + Sd^T dang_d`` (two skinny MXU matmuls; the
+    spread matrices route position rows to x rows 0..2 and dir rows to
+    3..5 automatically). With ``model.contract`` the mip-NeRF 360
+    contraction Jacobian chains on top: y = g(n)x with n=|x| gives
+    dL/dx = g*dy + (g'(n)/n)(x . dy)x, and g'(n)/n is the same ``c``
+    the forward's Gaussian-variance transform uses. Angle math in f32
+    like _encode (bf16 angles would corrupt high-octave derivatives).
+
+    Used by the pose-refinement train path: dL/dx flows out of the
+    kernel into XLA's autodiff of ray generation (apply_cam_deltas).
+    No mip support (IPE would also need d/d(variance) rows)."""
+    if wx is not None:
+        g_posx = g_posx * wx
+        g_posd = g_posd * wd
+    if model.contract:
+        xyz = x[0:3]
+        n = jnp.sqrt(
+            jnp.maximum(xyz[0:1] ** 2 + xyz[1:2] ** 2 + xyz[2:3] ** 2, 1e-20)
+        )
+        inside = n <= 1.0
+        g = jnp.where(inside, 1.0, (2.0 - 1.0 / n) / n)
+        c = jnp.where(inside, 0.0, (-2.0 / n**2 + 2.0 / n**3) / n)
+        xc = jnp.concatenate([xyz * g, x[3:]], axis=0)
+    else:
+        xc = x
+
+    def dang(S, gp, L):
+        sb = _sin_block(L)
+        ang = _mm(S, xc, jnp.float32)
+        gp = gp.astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8,) + gp.shape[1:], 0)
+        return jnp.concatenate(
+            [
+                jnp.where(rows == 3, 0.0, gp[0:8]),  # rail row: constant
+                gp[8 : 8 + sb] * jnp.cos(ang[8 : 8 + sb]),
+                -gp[8 + sb :] * jnp.sin(ang[8 + sb :]),
+            ],
+            axis=0,
+        )
+
+    def sT(S, d):  # S^T @ d: contract the encoded-row axis
+        return jax.lax.dot_general(
+            S, d, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dxc = sT(Sx, dang(Sx, g_posx, model.Lp)) + sT(
+        Sd, dang(Sd, g_posd, model.Ld)
+    )
+    if model.contract:
+        dy = dxc[0:3]
+        dot = xyz[0:1] * dy[0:1] + xyz[1:2] * dy[1:2] + xyz[2:3] * dy[2:3]
+        dxyz = g * dy + c * dot * xyz
+        dxc = jnp.concatenate([dxyz, dxc[3:]], axis=0)
+    return dxc
 
 
 def _accumulate_grads(grad_refs, grads) -> None:
@@ -678,7 +833,8 @@ def _accumulate_grads(grad_refs, grads) -> None:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_rows", "compute_dtype", "model", "mip")
+    jax.jit,
+    static_argnames=("tile_rows", "compute_dtype", "model", "mip", "want_dx"),
 )
 def _fused_mlp_bwd(
     wts: FusedWeights,
@@ -688,16 +844,22 @@ def _fused_mlp_bwd(
     compute_dtype: Any = jnp.bfloat16,
     model: NerfMLP = FLAGSHIP,
     mip: bool = False,
-) -> FusedWeights:
+    want_dx: bool = False,
+    enc_w=None,
+):
     rows = xT.shape[1]
     in_rows = 16 if mip else 8
     assert rows % tile_rows == 0
+    assert not (mip and want_dx), "input grads need the plain encoder"
     grid = (rows // tile_rows,)
     wts = _cast_weights(wts, compute_dtype)
 
-    extras = [_spread_x(model), _spread_d(model)]
+    extras = [jnp.asarray(_spread_x(model)), jnp.asarray(_spread_d(model))]
     if mip:
-        extras.append(_spread_v(model))
+        extras.append(jnp.asarray(_spread_v(model)))
+    anneal = enc_w is not None
+    if anneal:
+        extras.extend(enc_w)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -716,19 +878,26 @@ def _fused_mlp_bwd(
     out_shape = tuple(
         jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts
     )
+    if want_dx:
+        out_specs = out_specs + (tile(8),)
+        out_shape = out_shape + (jax.ShapeDtypeStruct((8, rows), jnp.float32),)
 
-    grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, compute_dtype, model, mip),
+    outs = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, compute_dtype, model, mip, anneal, want_dx
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-    )(xT, gT, *wts, *[jnp.asarray(e) for e in extras])
-    return FusedWeights(*grads)
+    )(xT, gT, *wts, *extras)
+    if want_dx:
+        return FusedWeights(*outs[:-1]), outs[-1]
+    return FusedWeights(*outs)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
 )
 def fused_mlp(
     wts: FusedWeights,
@@ -737,22 +906,53 @@ def fused_mlp(
     compute_dtype: Any = jnp.bfloat16,
     model: NerfMLP = FLAGSHIP,
     mip: bool = False,
+    want_dx: bool = False,
+    enc_w=None,
 ) -> jnp.ndarray:
-    """Differentiable fused MLP (gradients w.r.t. weights only; xT is
-    treated as non-differentiable input — ray geometry carries no params)."""
-    return fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model, mip)
+    """Differentiable fused MLP. Gradients w.r.t. weights always; with
+    ``want_dx`` the VJP also emits dL/dxT from the backward kernel
+    (_input_grad_tile) so upstream ray math can be differentiated — the
+    pose-refinement (TrainConfig.pose_opt) train path. Default off: the
+    extra encoder-transpose matmuls and the (8, rows) HBM write are dead
+    weight when ray geometry carries no trainable state.
+
+    ``enc_w``: optional (wx, wd) BARF anneal row weights
+    (anneal_row_weights) applied inside the kernel's encoder — traced,
+    schedule-friendly, treated as a constant by the VJP (the anneal
+    progress is a schedule, not a trainable)."""
+    return fused_mlp_forward(
+        wts, xT, tile_rows, compute_dtype, model, mip, enc_w
+    )
 
 
-def _fused_mlp_fwd(wts, xT, tile_rows, compute_dtype, model=FLAGSHIP, mip=False):
-    out = fused_mlp_forward(wts, xT, tile_rows, compute_dtype, model, mip)
-    return out, (wts, xT)
+def _fused_mlp_fwd(
+    wts, xT, tile_rows, compute_dtype, model=FLAGSHIP, mip=False,
+    want_dx=False, enc_w=None,
+):
+    out = fused_mlp_forward(
+        wts, xT, tile_rows, compute_dtype, model, mip, enc_w
+    )
+    return out, (wts, xT, enc_w)
 
 
-def _fused_mlp_bwd_rule(tile_rows, compute_dtype, model, mip, res, g):
-    wts, xT = res
+def _fused_mlp_bwd_rule(
+    tile_rows, compute_dtype, model, mip, want_dx, res, g
+):
+    wts, xT, enc_w = res
+    d_enc_w = (
+        None if enc_w is None else jax.tree.map(jnp.zeros_like, enc_w)
+    )
     bwd_tile = min(tile_rows, 1024)  # bf16 residuals fit 1024-wide tiles
-    dw = _fused_mlp_bwd(wts, xT, g, bwd_tile, compute_dtype, model, mip)
-    return dw, jnp.zeros_like(xT)
+    if want_dx:
+        dw, dx = _fused_mlp_bwd(
+            wts, xT, g, bwd_tile, compute_dtype, model, mip, want_dx=True,
+            enc_w=enc_w,
+        )
+        return dw, dx.astype(xT.dtype), d_enc_w
+    dw = _fused_mlp_bwd(
+        wts, xT, g, bwd_tile, compute_dtype, model, mip, enc_w=enc_w
+    )
+    return dw, jnp.zeros_like(xT), d_enc_w
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd_rule)

@@ -113,6 +113,12 @@ class RenderSettings:
     # cost, by the group size. 1 = per-ray probes (always used for
     # training's random ray batches).
     occ_group: int = 1
+    # Ask the fused kernel's VJP for input gradients dL/dx (pose
+    # refinement trains through ray generation; kernels/mlp.py
+    # _input_grad_tile). Only meaningful under autodiff on the pallas
+    # backend; costs three skinny matmuls + an (8, rows) write in the
+    # backward kernel, so off for everything but the pose train path.
+    input_grads: bool = False
 
 
 def render_rays(
@@ -138,7 +144,8 @@ def render_rays(
         the direction encoding. XLA MLP path only.
       enc_alpha: optional BARF anneal progress in [0, 1] (traced scalar)
         — damps high PE octaves during joint pose refinement
-        (TrainConfig.pe_anneal_until). XLA MLP path only.
+        (TrainConfig.pe_anneal_until). Both backends: the pallas path
+        windows in-kernel (kernels/mlp.py::anneal_row_weights).
 
     Returns CompositeOut; ``.rgb`` is raw/unclipped like the reference.
     """
@@ -281,13 +288,16 @@ def _render_at_ts(
     B, N = ts.shape
     if (
         app is None
-        and enc_alpha is None
         and settings.backend == "pallas"
         and isinstance(model, NerfMLP)
     ):
         # feature-major path: build the kernel's x^T directly from the
-        # (B, N) ray/sample structure — no (B*N, 6) transpose ever exists
-        outT = _fused_mlp_bn(params, rays, ts, settings, model)  # (4,B,N)
+        # (B, N) ray/sample structure — no (B*N, 6) transpose ever
+        # exists. BARF annealing (enc_alpha) runs in-kernel via per-row
+        # window weights (kernels/mlp.py::anneal_row_weights).
+        outT = _fused_mlp_bn(
+            params, rays, ts, settings, model, enc_alpha=enc_alpha
+        )  # (4,B,N)
         if noise_key is not None and settings.sigma_noise > 0:
             noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
             outT = outT.at[3].add(noise)
@@ -393,6 +403,7 @@ def _fused_mlp_bn(
     ts: jnp.ndarray,
     settings: RenderSettings,
     model: NerfMLP,
+    enc_alpha: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Evaluate the fused Pallas MLP over a (B, N) ray/sample grid.
 
@@ -425,7 +436,15 @@ def _fused_mlp_bn(
     if rows_p != rows:
         x = jnp.pad(x, ((0, 0), (0, rows_p - rows)))
     wts = pack_weights(params, model=model)
-    outT = fused_mlp(wts, x, tile, settings.compute_dtype, model)
+    enc_w = None
+    if enc_alpha is not None:
+        from nerf_simple_tpu.kernels.mlp import anneal_row_weights
+
+        enc_w = anneal_row_weights(model, enc_alpha)
+    outT = fused_mlp(
+        wts, x, tile, settings.compute_dtype, model, False,
+        settings.input_grads, enc_w,
+    )
     return outT[:4, :rows].reshape(4, B, N)
 
 

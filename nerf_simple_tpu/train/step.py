@@ -290,6 +290,24 @@ def build_train_step(
         import dataclasses as _dc
 
         model = _dc.replace(model, grad_mode="sample-fwd")
+    # Pose-ONLY refinement can stay on the Pallas render path: the fused
+    # kernel's vjp emits dL/dx from the backward kernel when asked
+    # (kernels/mlp.py _input_grad_tile), XLA autodiff chains it through
+    # ray generation into the delta tables, and BARF annealing runs
+    # in-kernel via traced window-weight inputs (anneal_row_weights).
+    # Appearance codes (extra MLP inputs) and mip (IPE would need
+    # d/d(variance)) still need the XLA render path.
+    from nerf_simple_tpu.kernels.mlp import supported as _kernel_supported
+
+    pallas_aux = (
+        _aux_on(cfg)
+        and cfg.backend == "pallas"
+        and cfg.pose_opt
+        and cfg.appearance_dim == 0
+        and not cfg.mip
+        and isinstance(model, NerfMLP)
+        and _kernel_supported(model)
+    )
     settings = RenderSettings(
         N=cfg.Nf,
         N_coarse=cfg.Nc if cfg.hierarchical else 0,
@@ -302,11 +320,12 @@ def build_train_step(
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
-        # per-image extras need d(loss)/d(rays) and per-ray codes: the
-        # fused render kernel's vjp is weights-only (kernels/mlp.py
-        # fused_mlp: dxT = 0), so the LOSS path must render through XLA
-        # autodiff. Eval settings are unaffected (no pose/code grads).
-        backend="xla" if _aux_on(cfg) else cfg.backend,
+        # per-image extras need d(loss)/d(rays) and per-ray codes: apart
+        # from the pose-only case above, the LOSS path must render
+        # through XLA autodiff (the fused kernel's default vjp is
+        # weights-only). Eval settings are unaffected (no pose grads).
+        backend=cfg.backend if (not _aux_on(cfg) or pallas_aux) else "xla",
+        input_grads=pallas_aux,
         sigma_noise=cfg.sigma_noise,
     )
     prop_arch = None
@@ -576,13 +595,17 @@ def build_train_step(
             and None not in (tile_f, tile_c, tile_u)
         )
         if not fused_ok:
-            if cfg.backend == "pallas":
+            # pose-only refinement intentionally runs the 2-kernel
+            # custom-vjp path (fused fwd + fused bwd with input grads)
+            # instead of the single fused train kernel — still Pallas,
+            # no warning.
+            if cfg.backend == "pallas" and not pallas_aux:
                 import warnings
 
                 reason = (
-                    "pose_opt / appearance_dim (per-image extras need "
-                    "gradients through the ray/code stream; the fused "
-                    "kernel differentiates only wrt weights)"
+                    "appearance_dim / mip pose refinement (these extras "
+                    "need gradients the fused kernels don't emit: "
+                    "per-ray codes or d/d(variance))"
                     if aux_on
                     else "sigma_noise > 0"
                     if cfg.sigma_noise != 0.0

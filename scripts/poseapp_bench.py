@@ -1,13 +1,16 @@
 """Step-time cost of the per-image trainable extras (pose_opt,
 appearance_dim) at the bench shape (batch 4096 x Nf 128, bf16).
 
-Both extras force the autodiff XLA loss path (the fused kernel
-differentiates only wrt MLP weights; pose/appearance grads flow through
-the ray stream / encoding concat), so the relevant comparisons are:
+Appearance codes force the autodiff XLA loss path (extra MLP inputs the
+fused kernel doesn't take). Pose-ONLY refinement rides the Pallas
+2-kernel custom-vjp path: the backward kernel emits dL/dx
+(kernels/mlp.py::_input_grad_tile) and autodiff chains it through ray
+generation. The relevant comparisons:
 
-  fused pallas baseline   <- what you give up (the flagship fast path)
-  xla autodiff baseline   <- the path the extras actually ride
-  + pose_opt              <- se(3) deltas on every sampled ray
+  fused pallas baseline   <- the flagship fast path (1-kernel train step)
+  xla autodiff baseline   <- the path appearance extras actually ride
+  + pose_opt (xla)        <- se(3) deltas, XLA autodiff render
+  + pose_opt (pallas)     <- se(3) deltas, input-grad kernel path
   + appearance_dim 8      <- per-ray code gather + wider color head
   + both                  <- the real-capture recipe
 
@@ -39,7 +42,18 @@ SPC = int(os.environ.get("PA_SPC", 40))
 CONFIGS = [
     ("fused pallas (flagship fast path)", dict(backend="pallas")),
     ("xla autodiff", dict()),
-    ("xla + pose_opt", dict(pose_opt=True, pose_warmup=100)),
+    ("xla + pose_opt", dict(pose_opt=True, pose_warmup=100, backend="xla")),
+    (
+        "pallas + pose_opt (input-grad kernel)",
+        dict(pose_opt=True, pose_warmup=100, backend="pallas"),
+    ),
+    (
+        "pallas + pose_opt + anneal (in-kernel BARF windows)",
+        dict(
+            pose_opt=True, pose_warmup=100, backend="pallas",
+            pe_anneal_until=1000,
+        ),
+    ),
     ("xla + appearance_dim 8", dict(appearance_dim=8)),
     (
         "xla + pose_opt + appearance_dim 8 (real-capture recipe)",

@@ -184,15 +184,65 @@ def test_make_train_state_requires_n_images():
 
 
 def test_pallas_backend_falls_back_with_warning():
-    cfg = _tiny_cfg(pose_opt=True, backend="pallas", net_H=32)
+    """Appearance codes are extra MLP inputs the fused kernel doesn't
+    take — backend='pallas' warns and renders through XLA autodiff."""
+    cfg = _tiny_cfg(appearance_dim=4, backend="pallas", net_H=32)
     model = model_from_train_config(cfg)
     step = build_train_step(cfg, model, donate=False, rays_per_image=16)
     state = make_train_state(jax.random.PRNGKey(0), cfg, model, n_images=4)
     rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
     pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
-    with pytest.warns(UserWarning, match="pose_opt / appearance"):
+    with pytest.warns(UserWarning, match="appearance_dim / mip"):
         _, losses = step(state, rays, pix, jax.random.PRNGKey(3))
     assert bool(jnp.isfinite(losses).all())
+
+
+@pytest.mark.slow  # ~40 s interpret mode; the multichip dryrun also
+# pins pose/pallas-vs-xla loss agreement every round
+def test_pose_only_pallas_matches_xla_step():
+    """Pose-ONLY refinement rides the Pallas path (no fallback warning):
+    the fused backward emits dL/dx (kernels/mlp.py::_input_grad_tile)
+    and autodiff chains it through apply_cam_deltas. One full train step
+    must move the delta tables identically to the XLA backend (f32,
+    interpret mode)."""
+    import warnings as _warnings
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+    def run(backend, **kw):
+        cfg = _tiny_cfg(
+            pose_opt=True, backend=backend, steps_per_call=2, **kw
+        )
+        model = model_from_train_config(cfg)
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model, n_images=4
+        )
+        step = build_train_step(cfg, model, donate=False, rays_per_image=16)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # any fallback warning fails
+            s2, losses = step(state, rays, pix, jax.random.PRNGKey(3))
+        return s2, losses
+
+    for extra in ({}, {"pe_anneal_until": 8}):
+        s_x, l_x = run("xla", **extra)
+        with pltpu.force_tpu_interpret_mode():
+            s_p, l_p = run("pallas", **extra)
+
+        np.testing.assert_allclose(
+            np.asarray(l_p), np.asarray(l_x), rtol=2e-5, err_msg=str(extra)
+        )
+        # delta tables moved, and moved the same way under both backends
+        assert float(jnp.abs(s_x.params["cams"]["dr"]).max()) > 0
+        for k in ("dr", "dt"):
+            np.testing.assert_allclose(
+                np.asarray(s_p.params["cams"][k]),
+                np.asarray(s_x.params["cams"][k]),
+                atol=1e-5,
+                err_msg=f"{k} {extra}",
+            )
 
 
 def test_zero_deltas_match_vanilla_step_losses():
