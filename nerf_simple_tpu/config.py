@@ -205,6 +205,20 @@ class TrainConfig:
     # gather rows (the step-time bottleneck), unbiased, with per-query
     # vertex-snap noise. Eval/checkpoint renders stay exact.
     hash_fwd_mode: str = "exact"
+    # CP-grid knobs (used when model_family == "cpgrid"); see
+    # models/cpgrid.py::CPGridModel for semantics — the MXU-native
+    # factorized-grid family (line interpolation as hat-basis matmuls;
+    # no gather/scatter anywhere)
+    cp_Rs: tuple = (64, 256)  # per-level grid resolutions
+    cp_Cs: int = 32  # sigma components per level
+    cp_Ca: int = 96  # appearance components per level
+    cp_P: int = 27  # appearance feature width after the basis projection
+    cp_H: int = 64  # decoder MLP width
+    cp_aabb: float = 4.0
+    # grid-parameter learning rate (TensoRF sec. 5: grids train at ~20x
+    # the MLP lr; decays by the SAME per-step factor as the main
+    # schedule). The decoder MLP and basis use the regular lr schedule.
+    cp_lr_grid: float = 2e-2
     # --- occupancy-grid accelerated sampling (ops/occupancy.py) ---
     # Redistributes the N training samples per ray into density-occupied
     # space via an EMA'd occupancy grid (TPU-static empty-space skipping;
@@ -284,7 +298,10 @@ class TrainConfig:
                     ("hierarchical", self.hierarchical),
                     ("proposal", self.proposal),
                     ("occupancy", self.occupancy),
-                    ("model_family=hashgrid", self.model_family == "hashgrid"),
+                    (
+                        f"model_family={self.model_family}",
+                        self.model_family != "nerf",
+                    ),
                     (
                         "distortion_loss_weight > 0",
                         self.distortion_loss_weight > 0,
@@ -399,11 +416,26 @@ class TrainConfig:
             raise ValueError(
                 f"steps_per_call must be positive, got {self.steps_per_call}"
             )
-        if self.model_family not in ("nerf", "hashgrid"):
+        if self.model_family not in ("nerf", "hashgrid", "cpgrid"):
             raise ValueError(
-                f"model_family must be 'nerf' or 'hashgrid', got "
+                f"model_family must be 'nerf', 'hashgrid' or 'cpgrid', got "
                 f"{self.model_family!r}"
             )
+        if self.model_family == "cpgrid":
+            if len(tuple(self.cp_Rs)) == 0 or min(self.cp_Rs) < 2:
+                raise ValueError(
+                    f"cp_Rs needs at least one level of resolution >= 2, "
+                    f"got {self.cp_Rs!r}"
+                )
+            if self.cp_Cs <= 0 or self.cp_Ca <= 0:
+                raise ValueError(
+                    "cpgrid component counts must be positive, got "
+                    f"cp_Cs={self.cp_Cs} cp_Ca={self.cp_Ca}"
+                )
+            if self.cp_lr_grid <= 0:
+                raise ValueError(
+                    f"cp_lr_grid must be positive, got {self.cp_lr_grid}"
+                )
         if self.hash_grad_mode not in ("sample", "exact"):
             raise ValueError(
                 f"hash_grad_mode must be 'sample' or 'exact', got "
@@ -422,11 +454,12 @@ class TrainConfig:
                 "transpose doesn't exist for that forward) — use "
                 "hash_grad_mode='sample', or hash_fwd_mode='exact'"
             )
-        if self.model_family == "hashgrid" and self.backend == "pallas":
+        if self.model_family != "nerf" and self.backend == "pallas":
             raise ValueError(
                 "backend='pallas' (the fused MLP kernels) supports only the "
-                "'nerf' model family; hashgrid is gather-bound and runs the "
-                "XLA path — set backend: xla"
+                f"'nerf' model family; {self.model_family} runs the XLA "
+                "path (hashgrid is gather-bound; cpgrid is already "
+                "matmul-native under XLA) — set backend: xla"
             )
         if self.model_family == "hashgrid" and self.steps_per_call > 20:
             warnings.warn(

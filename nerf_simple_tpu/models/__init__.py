@@ -1,6 +1,6 @@
 """Model families as functional pytree models.
 
-Two families share one contract — ``apply(params, (B, 6) raw
+Three families share one contract — ``apply(params, (B, 6) raw
 ``[xyz | unit dir]`` rows) -> (B, 4) raw ``[rgb | sigma]`` — so every
 render/train/eval path is family-agnostic:
 
@@ -9,6 +9,9 @@ render/train/eval path is family-agnostic:
   family with a fused Pallas kernel path.
 - ``HashGridModel`` (models/hashgrid.py): Instant-NGP multiresolution
   hash encoding + small MLP heads (opt-in ``model_family: hashgrid``).
+- ``CPGridModel`` (models/cpgrid.py): TensoRF-CP factorized grids whose
+  line interpolations are hat-basis MATMULS — the MXU-native grid family
+  (opt-in ``model_family: cpgrid``).
 """
 
 from __future__ import annotations
@@ -17,6 +20,11 @@ import dataclasses
 
 import jax
 
+from nerf_simple_tpu.models.cpgrid import (
+    CPGridModel,
+    cpgrid_apply,
+    init_cpgrid_params,
+)
 from nerf_simple_tpu.models.hashgrid import (
     HashGridModel,
     hashgrid_apply,
@@ -32,10 +40,13 @@ from nerf_simple_tpu.models.nerf import (
 __all__ = [
     "NerfMLP",
     "HashGridModel",
+    "CPGridModel",
     "init_nerf_params",
     "init_hashgrid_params",
+    "init_cpgrid_params",
     "nerf_apply",
     "hashgrid_apply",
+    "cpgrid_apply",
     "apply_model",
     "init_model_params",
     "model_from_train_config",
@@ -56,17 +67,21 @@ def apply_model(params, v, model, compute_dtype, app=None, enc_alpha=None):
     hashgrid family's coarse-to-fine analogue would be level weighting,
     not built).
     """
-    if isinstance(model, HashGridModel):
+    if isinstance(model, (HashGridModel, CPGridModel)):
+        family = "hashgrid" if isinstance(model, HashGridModel) else "cpgrid"
         if app is not None:
             raise ValueError(
-                "appearance codes are NerfMLP-family only (hashgrid has no "
-                "app_dim)"
+                f"appearance codes are NerfMLP-family only ({family} has "
+                "no app_dim)"
             )
         if enc_alpha is not None:
             raise ValueError(
                 "enc_alpha (PE annealing) is NerfMLP-family only"
             )
-        return hashgrid_apply(params, v, model, compute_dtype=compute_dtype)
+        fam_apply = (
+            hashgrid_apply if isinstance(model, HashGridModel) else cpgrid_apply
+        )
+        return fam_apply(params, v, model, compute_dtype=compute_dtype)
     return nerf_apply(
         params, v, model, compute_dtype=compute_dtype, app=app,
         enc_alpha=enc_alpha,
@@ -90,6 +105,8 @@ def init_model_params(key: jax.Array, model, dtype=None):
     dtype = dtype or jnp.float32
     if isinstance(model, HashGridModel):
         return init_hashgrid_params(key, model, dtype)
+    if isinstance(model, CPGridModel):
+        return init_cpgrid_params(key, model, dtype)
     return init_nerf_params(key, model, dtype)
 
 
@@ -108,6 +125,17 @@ def model_from_train_config(cfg):
             grad_mode=cfg.hash_grad_mode,
             contract=cfg.contract,
         )
+    if cfg.model_family == "cpgrid":
+        return CPGridModel(
+            Rs=tuple(cfg.cp_Rs),
+            Cs=cfg.cp_Cs,
+            Ca=cfg.cp_Ca,
+            P=cfg.cp_P,
+            Ld=cfg.net_Ld,
+            H=cfg.cp_H,
+            aabb=cfg.cp_aabb,
+            contract=cfg.contract,
+        )
     return NerfMLP(
         Lp=cfg.net_Lp, Ld=cfg.net_Ld, H=cfg.net_H, contract=cfg.contract,
         app_dim=cfg.appearance_dim,
@@ -116,7 +144,13 @@ def model_from_train_config(cfg):
 
 def model_meta(model) -> dict:
     """JSON-serializable model description (checkpoint sidecar)."""
-    family = "hashgrid" if isinstance(model, HashGridModel) else "nerf"
+    family = (
+        "hashgrid"
+        if isinstance(model, HashGridModel)
+        else "cpgrid"
+        if isinstance(model, CPGridModel)
+        else "nerf"
+    )
     return {"family": family, **dataclasses.asdict(model)}
 
 
@@ -125,6 +159,8 @@ def model_from_meta(meta: dict):
     family = meta.pop("family", "nerf")
     if family == "hashgrid":
         return HashGridModel(**meta)
+    if family == "cpgrid":
+        return CPGridModel(**meta)  # __post_init__ re-tuples json's Rs list
     if family == "nerf":
         # NerfMLP field names differ from its YAML knobs; meta stores
         # dataclass fields directly
@@ -145,6 +181,36 @@ def infer_model(params):
     p = params
     if isinstance(p, dict) and "fine" in p and "tables" not in p:
         p = p["fine"]
+    if isinstance(p, dict) and "basis" in p and "lines0" in p:
+        import warnings
+
+        Rs = []
+        while f"lines{len(Rs)}" in p:
+            Rs.append(p[f"lines{len(Rs)}"].shape[1] - 1)
+        C = p["lines0"].shape[2]
+        P = p["basis"].shape[1]
+        H = p["color0"]["w"].shape[1]
+        Ld = (p["color0"]["w"].shape[0] - P - 3) // 6
+        # the Cs/Ca split and aabb are NOT recoverable from weight
+        # shapes — they come from the model.json sidecar the train
+        # driver writes; fall back to the family split only if it fits
+        m = CPGridModel(Rs=tuple(Rs), P=P, Ld=Ld, H=H)
+        if m.C != C or p["basis"].shape[0] != m.Ca * m.n_levels:
+            raise ValueError(
+                "cpgrid checkpoint has no model.json sidecar and its "
+                f"component width C={C} does not match the family default "
+                f"split Cs={m.Cs}/Ca={m.Ca}: the split cannot be recovered "
+                "from weight shapes — keep the model.json the train "
+                "driver writes next to every checkpoint"
+            )
+        warnings.warn(
+            "cpgrid checkpoint has no model.json sidecar: the Cs/Ca "
+            "component split and aabb are not recoverable from weights; "
+            "the shapes match the family defaults, using those — renders "
+            "will be wrong if training overrode cp_aabb",
+            stacklevel=2,
+        )
+        return m
     if isinstance(p, dict) and "tables" in p:
         import warnings
 

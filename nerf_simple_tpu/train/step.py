@@ -79,8 +79,39 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         field = optax.adam(learning_rate=schedule, b2=0.99, eps=1e-15)
     else:
         field = optax.adam(learning_rate=schedule)
-    if not _aux_on(cfg):
-        return field
+    grid_tx = None
+    if cfg.model_family == "cpgrid":
+        # TensoRF sec. 5: the factor grids train at ~20x the decoder lr
+        # (cfg.cp_lr_grid), decaying by the SAME per-step factor. Labels
+        # are path-based so the split survives any params nesting
+        # (hierarchical {"coarse","fine"}, proposal {"prop","fine"},
+        # per-image-extras {"field", ...}).
+        grid_tx = optax.adam(
+            optax.exponential_decay(
+                init_value=cfg.cp_lr_grid,
+                transition_steps=1,
+                decay_rate=decay,
+            )
+        )
+    aux = _aux_on(cfg)
+
+    def _cp_label_fn(params):
+        def lab(path, _):
+            keys = [getattr(k, "key", None) for k in path]
+            if aux and keys and keys[0] in ("cams", "app"):
+                return keys[0]
+            if any(isinstance(n, str) and n.startswith("lines") for n in keys):
+                return "grid"
+            return "field"
+
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    if not aux:
+        if grid_tx is None:
+            return field
+        return optax.multi_transform(
+            {"field": field, "grid": grid_tx}, _cp_label_fn
+        )
     # per-image extras get their own Adam groups: pose deltas on the
     # (faster-decaying) pose schedule, appearance codes on the main one
     pose_decay = float(
@@ -98,6 +129,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         "cams": optax.adam(pose_schedule),
         "app": optax.adam(learning_rate=schedule),
     }
+    if grid_tx is not None:
+        tx["grid"] = grid_tx
+        return optax.multi_transform(tx, _cp_label_fn)
 
     def label_fn(params):
         return {k: jax.tree.map(lambda _: k, v) for k, v in params.items()}
