@@ -443,19 +443,32 @@ def _encode(
 
 def _forward_tile(
     x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP,
-    v8=None, Sv=None, wx=None, wd=None,
+    v8=None, Sv=None, wx=None, wd=None, pre_enc=None, prefetch=None,
 ):
     """Shared fwd math: x (8, TR) -> (out (8, TR), residuals for bwd).
     ``v8``/``Sv`` switch the encoder to integrated PE (mip); ``wx``/``wd``
     window it for BARF annealing — everything downstream (trunk, heads,
     backward) is unchanged: the damped/windowed posx lands in the
     residuals, so the existing dW matmuls are automatically the correct
-    gradients (x itself is never differentiated by them)."""
+    gradients (x itself is never differentiated by them).
+
+    Software-pipelining hooks (the sub-block pipeline in _train_kernel):
+    ``pre_enc`` supplies (posx, posd) computed earlier so the encoder is
+    skipped here; ``prefetch`` is a thunk EMITTED RIGHT AFTER the first
+    trunk matmul — its VPU work (the NEXT sub-block's sin/cos burst)
+    issues while this block's MXU chain drains, hiding the encoding
+    transcendentals that otherwise run exposed at tile start (the one
+    serial VPU cost the r3 trace identified). Returns ``(out, residuals,
+    prefetch())`` when a prefetch thunk is given."""
     H = model.H
-    posx, posd = _encode(x, Sx, Sd, dtype, model, v8, Sv, wx, wd)
+    if pre_enc is not None:
+        posx, posd = pre_enc
+    else:
+        posx, posd = _encode(x, Sx, Sd, dtype, model, v8, Sv, wx, wd)
     relu = lambda v: jnp.maximum(v, 0.0)
 
     h0 = relu(_mm(wts.W1, posx, dtype) + wts.b1)
+    pf = prefetch() if prefetch is not None else None
     h1 = relu(_mm(wts.Wt1, h0, dtype) + wts.bt1)
     h2 = relu(_mm(wts.Wt2, h1, dtype) + wts.bt2)
     h3 = relu(_mm(wts.Wt3, h2, dtype) + wts.bt3)
@@ -482,6 +495,8 @@ def _forward_tile(
         r.astype(dtype)
         for r in (posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, hc)
     )
+    if prefetch is not None:
+        return out, residuals, pf
     return out, residuals
 
 
@@ -988,38 +1003,27 @@ def _seg_cumsum(x, segpos, N):
     return x
 
 
-def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
-    wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
-    Sx = refs[_N_W][:]
-    Sd = refs[_N_W + 1][:]
-    n_s = 3 if mip else 2
-    Sv = refs[_N_W + 2][:] if mip else None
-    ST = refs[_N_W + n_s][:]  # (R, tile) 0/1 segment matrix
-    grad_refs = refs[_N_W + n_s + 1 : _N_W + n_s + 1 + _N_W]
-    loss_ref = refs[_N_W + n_s + 1 + _N_W]
-    w_ref = refs[_N_W + n_s + 2 + _N_W] if want_w else None
+def _composite_grad_block(out8, x16b, N, ST, scale, mip):
+    """Compositing forward + MSE loss + loss gradient back to per-sample
+    rgb/sigma, on one lane block (ops/volume.py math, segmented on lanes).
 
-    x16 = x16_ref[:]
-    x8 = x16[:8]
-    out8, res = _forward_tile(
-        x8, wts, Sx, Sd, dtype, model,
-        v8=x16[8:16] if mip else None, Sv=Sv,
-    )
-
-    tile = x16.shape[1]
+    out8: (8, T) MLP outputs; x16b: (16, T) the matching input slice;
+    ST: (T//N, T) 0/1 segment matrix. Returns (loss, g_rgb8, g_sig8, w8)
+    — w8 is the per-sample compositing weights broadcast row (row 0),
+    consumed by the hierarchical path's importance sampler."""
+    tile = out8.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     segpos = lane1 % N
 
-    # --- compositing forward (ops/volume.py math, segmented on lanes) ---
     sig = out8[3:4, :]
     if mip:
         # interval compositing (ops/volume.py::composite_intervals): row 6
         # carries the true finite frustum widths — no 1e10 tail, leftover
         # transmittance stays unabsorbed
-        delta = x16[6:7, :]
+        delta = x16b[6:7, :]
     else:
-        ts = x16[6:7, :]  # (1, tile)
+        ts = x16b[6:7, :]  # (1, tile)
         ts_next = pltpu.roll(ts, tile - 1, axis=1)  # value at lane+1
         delta = jnp.where(segpos == N - 1, 1e10, ts_next - ts)
     sp = jax.nn.softplus(sig)
@@ -1038,7 +1042,7 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
 
     rgbw = jnp.where(rows_i < 3, out8 * w, 0.0)
     rgb_ray = dotT(rgbw, ST)  # (8, R), rows 0..2
-    gt8 = x16[8:16, :]  # rows 0..2 = gt broadcast per sample
+    gt8 = x16b[8:16, :]  # rows 0..2 = gt broadcast per sample
     head = (segpos == 0).astype(jnp.float32)
     gt_ray = dotT(jnp.where(rows_i < 3, gt8 * head, 0.0), ST)
 
@@ -1046,7 +1050,7 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
     if mip:
         # per-ray loss weight rides x16 row 14 (1.0 except multiscale
         # training, where it is the pixel's footprint area weight)
-        lw = x16[14:15, :]
+        lw = x16b[14:15, :]
         wr = dotT(
             jnp.where(
                 rows_i < 3, jnp.broadcast_to(lw * head, (8, tile)), 0.0
@@ -1084,25 +1088,86 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
     g_sig8 = jnp.where(
         rows_i == 0, jnp.broadcast_to(d_sigma, (8, tile)), 0.0
     )
+    w8 = jnp.where(rows_i == 0, jnp.broadcast_to(w, (8, tile)), 0.0)
+    return loss_tile, g_rgb8, g_sig8, w8
 
-    grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype, model)
-    _accumulate_grads(grad_refs, grads)
+
+def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
+    """Per grid step: a software-pipelined loop over lane sub-blocks.
+
+    The tile is split into K = tile/TS blocks (TS = the ST matrix's lane
+    width, chosen in fused_train_step). Block k+1's positional-encoding
+    transcendentals are emitted right after block k's FIRST trunk matmul
+    (_forward_tile's ``prefetch`` hook), so the VPU sin/cos burst issues
+    while block k's MXU chain drains — hiding the one serial VPU cost the
+    r3 trace found exposed (~0.85 ms/iter at the bench shape; Mosaic only
+    software-pipelines DMA across grid steps, not compute, so the overlap
+    must be staged inside the kernel body). Weight-gradient contributions
+    accumulate across blocks in registers and hit the output refs once."""
+    wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
+    Sx = refs[_N_W][:]
+    Sd = refs[_N_W + 1][:]
+    n_s = 3 if mip else 2
+    Sv = refs[_N_W + 2][:] if mip else None
+    ST = refs[_N_W + n_s][:]  # (TS//N, TS) 0/1 segment matrix
+    grad_refs = refs[_N_W + n_s + 1 : _N_W + n_s + 1 + _N_W]
+    loss_ref = refs[_N_W + n_s + 1 + _N_W]
+    w_ref = refs[_N_W + n_s + 2 + _N_W] if want_w else None
+
+    x16 = x16_ref[:]
+    tile = x16.shape[1]
+    TS = ST.shape[1]
+    K = tile // TS
+
+    def enc_block(k):
+        xb = x16[:, k * TS : (k + 1) * TS]
+        return xb, _encode(
+            xb[:8], Sx, Sd, dtype, model,
+            xb[8:16] if mip else None, Sv,
+        )
+
+    blk = enc_block(0)
+    acc = None
+    loss_acc = None
+    for k in range(K):
+        xb, pe = blk
+        pf = (lambda kk=k + 1: enc_block(kk)) if k + 1 < K else None
+        fwd = _forward_tile(
+            xb[:8], wts, Sx, Sd, dtype, model,
+            v8=xb[8:16] if mip else None, Sv=Sv,
+            pre_enc=pe, prefetch=pf,
+        )
+        if pf is None:
+            out8, res = fwd
+        else:
+            out8, res, blk = fwd
+        loss_k, g_rgb8, g_sig8, w8 = _composite_grad_block(
+            out8, xb, N, ST, scale, mip
+        )
+        if want_w:
+            # per-sample compositing weights (row 0) — consumed by the
+            # hierarchical path's inverse-CDF importance sampler
+            w_ref[:, k * TS : (k + 1) * TS] = w8
+        grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype, model)
+        acc = (
+            grads
+            if acc is None
+            else FusedWeights(*[a + b for a, b in zip(acc, grads)])
+        )
+        loss_acc = loss_k if loss_acc is None else loss_acc + loss_k
+    _accumulate_grads(grad_refs, acc)
 
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    loss_block = jnp.where((rows8 == 0) & (cols_i == 0), loss_tile, 0.0)
+    loss_block = jnp.where((rows8 == 0) & (cols_i == 0), loss_acc, 0.0)
     _accumulate_grads([loss_ref], [loss_block])
-
-    if want_w:
-        # per-sample compositing weights (row 0) — consumed by the
-        # hierarchical path's inverse-CDF importance sampler
-        w_ref[:] = jnp.where(rows_i == 0, jnp.broadcast_to(w, (8, tile)), 0.0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "N", "tile_rows", "compute_dtype", "out_weights", "model", "mip"
+        "N", "tile_rows", "compute_dtype", "out_weights", "model", "mip",
+        "pipeline_blocks",
     ),
 )
 def fused_train_step(
@@ -1114,6 +1179,7 @@ def fused_train_step(
     out_weights: bool = False,
     model: NerfMLP = FLAGSHIP,
     mip: bool = False,
+    pipeline_blocks: int = 1,
 ):
     """One fused fwd+composite+MSE-grad+bwd pass.
 
@@ -1130,20 +1196,40 @@ def fused_train_step(
       N: samples per ray.
       out_weights: also return the per-sample compositing weights (B, N)
         (used by the hierarchical path to drive importance sampling).
+      pipeline_blocks: split each tile into this many lane sub-blocks and
+        software-pipeline the encode across them (see _train_kernel).
+        Default 1 = full-width, the measured-fastest layout on v5e.
 
     Returns:
       (loss scalar, weight gradients in kernel layout[, weights (B, N)]).
     """
     rows = x16.shape[1]
     assert tile_rows % N == 0 and rows % tile_rows == 0, (rows, tile_rows, N)
-    R = tile_rows // N
     B = rows // N
     grid = (rows // tile_rows,)
     scale = 1.0 / (3.0 * B)
     wts = _cast_weights(wts, compute_dtype)
 
-    lane = np.arange(tile_rows)
-    ST = (lane[None, :] // N == np.arange(R)[:, None]).astype(np.float32)
+    # Sub-block width for the in-kernel software pipeline (_train_kernel):
+    # must hold whole rays (multiple of N) on whole lane tiles (multiple
+    # of 128). MEASURED ON v5e: pipeline_blocks=4 runs ~38% SLOWER than
+    # the full-width kernel (255K vs 352K rays/s at the bench shape) —
+    # narrow-lane matmuls pay MXU fill/drain latency and per-block weight
+    # reloads that far outweigh the ~0.85 ms/iter of encode VPU time the
+    # overlap hides. Default 1 (full width); the knob stays for parity
+    # testing and for re-evaluation on future hardware.
+    TS = tile_rows
+    if pipeline_blocks > 1:
+        base = int(np.lcm(N, 128))
+        while TS > base and tile_rows // TS < pipeline_blocks:
+            half = TS // 2
+            if half % base != 0 or tile_rows % half != 0:
+                break
+            TS = half
+    lane = np.arange(TS)
+    ST = (lane[None, :] // N == np.arange(TS // N)[:, None]).astype(
+        np.float32
+    )
     extras = [_spread_x(model), _spread_d(model)]
     if mip:
         extras.append(_spread_v(model))

@@ -166,6 +166,57 @@ def test_fused_train_step_matches_xla_loss_and_grads():
 
 
 @pytest.mark.slow
+def test_fused_train_step_pipelined_matches_full_width():
+    """The software-pipelined sub-block layout (pipeline_blocks > 1) must
+    reproduce the default full-width kernel's loss, gradients, and
+    compositing weights. The pipelined layout measured SLOWER on v5e
+    (kernels/mlp.py::fused_train_step) so it is default-off, but the knob
+    stays for re-evaluation — this pin keeps it correct."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.kernels.mlp import fused_train_step
+
+    B, N, tile = 4, 128, 512  # TS=128 -> 4 sub-blocks per tile
+    params = init_nerf_params(jax.random.PRNGKey(7))
+    wts = pack_weights(params)
+    rng = np.random.default_rng(11)
+    oT = jnp.asarray(rng.normal(0, 0.1, (3, B, 1)), jnp.float32)
+    d = rng.normal(size=(3, B, 1))
+    dT = jnp.asarray(d / np.linalg.norm(d, axis=0, keepdims=True))
+    ts = jnp.asarray(np.sort(rng.uniform(2, 6, (B, N)), -1), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, B, 1)), jnp.float32)
+    x16 = jnp.concatenate(
+        [
+            oT + dT * ts[None],
+            jnp.broadcast_to(dT, (3, B, N)),
+            ts[None],
+            jnp.zeros((1, B, N)),
+            jnp.broadcast_to(gt, (3, B, N)),
+            jnp.zeros((5, B, N)),
+        ],
+        axis=0,
+    ).reshape(16, B * N)
+
+    with pltpu.force_tpu_interpret_mode():
+        loss_a, dw_a, w_a = fused_train_step(
+            wts, x16, N, tile, jnp.float32, out_weights=True
+        )
+        loss_b, dw_b, w_b = fused_train_step(
+            wts, x16, N, tile, jnp.float32, out_weights=True,
+            pipeline_blocks=4,
+        )
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(w_b), np.asarray(w_a), atol=1e-6
+    )
+    for name, a, b in zip(dw_a._fields, dw_a, dw_b):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+@pytest.mark.slow
 def test_fused_hierarchical_train_matches_generic():
     """The two-pass fused hierarchical core must match the generic
     (autodiff) hierarchical loss and gradients (f32, interpret mode)."""
