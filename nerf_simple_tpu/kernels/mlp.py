@@ -454,12 +454,14 @@ def _forward_tile(
 
     Software-pipelining hooks (the sub-block pipeline in _train_kernel):
     ``pre_enc`` supplies (posx, posd) computed earlier so the encoder is
-    skipped here; ``prefetch`` is a thunk EMITTED RIGHT AFTER the first
+    skipped here (the encoder args Sx/Sd/v8/Sv are then unused — pass
+    None); ``prefetch`` is a thunk EMITTED RIGHT AFTER the first
     trunk matmul — its VPU work (the NEXT sub-block's sin/cos burst)
     issues while this block's MXU chain drains, hiding the encoding
     transcendentals that otherwise run exposed at tile start (the one
-    serial VPU cost the r3 trace identified). Returns ``(out, residuals,
-    prefetch())`` when a prefetch thunk is given."""
+    serial VPU cost the r3 trace identified). Always returns the
+    3-tuple ``(out, residuals, prefetch_result)`` — ``prefetch_result``
+    is None when no thunk was given."""
     H = model.H
     if pre_enc is not None:
         posx, posd = pre_enc
@@ -495,9 +497,7 @@ def _forward_tile(
         r.astype(dtype)
         for r in (posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, hc)
     )
-    if prefetch is not None:
-        return out, residuals, pf
-    return out, residuals
+    return out, residuals, pf
 
 
 _N_W = len(FusedWeights._fields)
@@ -520,12 +520,12 @@ def _fwd_kernel(dtype, model, mip, anneal, x_ref, *refs):
     out_ref = refs[i]
     if mip:
         x16 = x_ref[:]
-        out, _ = _forward_tile(
+        out, _, _ = _forward_tile(
             x16[:8], wts, Sx, Sd, dtype, model, v8=x16[8:16], Sv=Sv,
             wx=wx, wd=wd,
         )
     else:
-        out, _ = _forward_tile(
+        out, _, _ = _forward_tile(
             x_ref[:], wts, Sx, Sd, dtype, model, wx=wx, wd=wd
         )
     out_ref[:] = out
@@ -636,12 +636,12 @@ def _bwd_kernel(dtype, model, mip, anneal, want_dx, x_ref, g_ref, *refs):
 
     x = x_ref[:]
     if mip:
-        _, res = _forward_tile(
+        _, res, _ = _forward_tile(
             x[:8], wts, Sx, Sd, dtype, model, v8=x[8:16], Sv=Sv,
             wx=wx, wd=wd,
         )
     else:
-        _, res = _forward_tile(x, wts, Sx, Sd, dtype, model, wx=wx, wd=wd)
+        _, res, _ = _forward_tile(x, wts, Sx, Sd, dtype, model, wx=wx, wd=wd)
 
     g = g_ref[:]  # (8, TR) f32: rows 0..2 d_rgb, row 3 d_sigma
     rows_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
@@ -1132,15 +1132,10 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
     for k in range(K):
         xb, pe = blk
         pf = (lambda kk=k + 1: enc_block(kk)) if k + 1 < K else None
-        fwd = _forward_tile(
-            xb[:8], wts, Sx, Sd, dtype, model,
-            v8=xb[8:16] if mip else None, Sv=Sv,
+        out8, res, blk = _forward_tile(
+            xb[:8], wts, None, None, dtype, model,
             pre_enc=pe, prefetch=pf,
         )
-        if pf is None:
-            out8, res = fwd
-        else:
-            out8, res, blk = fwd
         loss_k, g_rgb8, g_sig8, w8 = _composite_grad_block(
             out8, xb, N, ST, scale, mip
         )
@@ -1196,9 +1191,13 @@ def fused_train_step(
       N: samples per ray.
       out_weights: also return the per-sample compositing weights (B, N)
         (used by the hierarchical path to drive importance sampling).
-      pipeline_blocks: split each tile into this many lane sub-blocks and
-        software-pipeline the encode across them (see _train_kernel).
-        Default 1 = full-width, the measured-fastest layout on v5e.
+      pipeline_blocks: software-pipeline the encode across lane
+        sub-blocks (see _train_kernel). The actual block count is the
+        smallest power of 2 >= this value whose sub-block width stays a
+        multiple of lcm(N, 128) and divides tile_rows (the halving loop
+        below only produces power-of-2 counts — e.g. a request of 3
+        yields 4 sub-blocks). Default 1 = full-width, the
+        measured-fastest layout on v5e.
 
     Returns:
       (loss scalar, weight gradients in kernel layout[, weights (B, N)]).
@@ -1290,7 +1289,7 @@ def _render_kernel(dtype, N, model, x16_ref, *refs):
     out_ref = refs[_N_W + 3]
 
     x16 = x16_ref[:]
-    out8, _ = _forward_tile(x16[:8], wts, Sx, Sd, dtype, model)
+    out8, _, _ = _forward_tile(x16[:8], wts, Sx, Sd, dtype, model)
 
     tile = x16.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)

@@ -45,8 +45,15 @@ def main() -> None:
     from nerf_simple_tpu.train.loop import train
     from nerf_simple_tpu.train.metrics import img_mse, img_psnr
 
-    hashgrid = args.family == "hashgrid"
-    lr = args.lr or (5e-3 if hashgrid else 5e-4)
+    # per-family defaults: the fused Pallas train kernel exists for the
+    # flagship MLP only (grid families run XLA — config.py rejects
+    # pallas for them); decoder lr follows each family's paper defaults
+    # (Instant-NGP trains everything at ~5e-3 with eps=1e-15; TensoRF
+    # sec. 5 uses 1e-3 for the decoder and ~20x that for the factor
+    # grids, which TrainConfig.cp_lr_grid supplies separately).
+    lr = args.lr or {"hashgrid": 5e-3, "cpgrid": 1e-3}.get(
+        args.family, 5e-4
+    )
     cfg = TrainConfig(
         datapath=args.scene,
         savepath=args.out_dir,
@@ -65,7 +72,8 @@ def main() -> None:
         num_train_imgs=-1,
         model_family=args.family,
         hash_aabb=args.aabb,
-        backend="xla" if hashgrid else "pallas",
+        cp_aabb=args.aabb,
+        backend="pallas" if args.family == "nerf" else "xla",
         compute_dtype=args.dtype,
         steps_per_call=100,
         log_dir=os.path.join(args.out_dir, "logs"),
