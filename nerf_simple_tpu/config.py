@@ -292,19 +292,20 @@ class TrainConfig:
                 f"{self.proposal_loss_weight}"
             )
         if self.mip:
+            # proposal COMPOSES with mip (proposal-placed interval edges
+            # + IPE frustums + optionally distortion = the published
+            # mip-NeRF 360 model; renderer.py::render_rays_proposal), as
+            # does distortion_loss_weight (interval-histogram form,
+            # ops/volume.py::distortion_loss_intervals). Occupancy /
+            # hierarchical / non-MLP families stay point-sampled only.
             bad = [
                 name
                 for name, on in (
                     ("hierarchical", self.hierarchical),
-                    ("proposal", self.proposal),
                     ("occupancy", self.occupancy),
                     (
                         f"model_family={self.model_family}",
                         self.model_family != "nerf",
-                    ),
-                    (
-                        "distortion_loss_weight > 0",
-                        self.distortion_loss_weight > 0,
                     ),
                 )
                 if on
@@ -322,6 +323,20 @@ class TrainConfig:
         if self.mip_levels == 2 and not self.mip:
             raise ValueError(
                 "mip_levels=2 (coarse+fine cone casting) requires mip=True"
+            )
+        if self.mip_levels == 2 and self.proposal:
+            raise ValueError(
+                "mip_levels=2 and proposal=True both define the coarse "
+                "level (shared-MLP cone resampling vs the proposal "
+                "histogram); pick one — the mip-NeRF 360 recipe is "
+                "proposal=True with mip_levels=1"
+            )
+        if self.mip_levels == 2 and self.distortion_loss_weight > 0:
+            raise ValueError(
+                "distortion_loss_weight > 0 with mip_levels=2 is not "
+                "supported (the fine level's interval edges live inside "
+                "the two-level renderer); the published recipe is the "
+                "proposal composition: proposal=True, mip_levels=1"
             )
         if self.mip_multiscale:
             if not self.mip:
@@ -659,11 +674,22 @@ class TestConfig:
                 "Np > 0 (proposal-guided eval) and Nc > 0 (hierarchical "
                 "eval) are alternative samplers; set at most one"
             )
-        if self.mip and (self.Np > 0 or self.Nc > 0 or self.occupancy):
+        if self.mip and (self.Nc > 0 or self.occupancy):
+            # Np composes with mip (the mip-NeRF 360 eval: proposal-
+            # placed interval edges + IPE frustums, renderer.py
+            # render_rays_proposal under settings.mip); Nc/occupancy
+            # are point-resampling schemes with no interval form
             raise ValueError(
                 "mip=True (cone-cast eval) draws its own interval edges; "
-                "it excludes Nc/Np/occupancy point-resampling "
-                "(mip_levels: 2 is the cone-cast hierarchical scheme)"
+                "it excludes Nc/occupancy point-resampling (use Np for "
+                "proposal-placed cone casting; mip_levels: 2 is the "
+                "cone-cast hierarchical scheme)"
+            )
+        if self.mip and self.mip_levels == 2 and self.Np > 0:
+            raise ValueError(
+                "mip_levels=2 and Np > 0 both define the coarse level; "
+                "pick one (the mip-NeRF 360 eval is Np > 0 with "
+                "mip_levels=1)"
             )
         if self.mip_levels not in (1, 2):
             raise ValueError(

@@ -73,12 +73,13 @@ def supported(model) -> bool:
     """Can the fused kernels run this architecture? NerfMLP-family only
     (other families, e.g. HashGridModel, always take the XLA path), and
     needs sublane-aligned widths: H and H//2 multiples of 8 (so
-    H % 16 == 0) and L >= 1."""
+    H % 16 == 0) and L >= 1. Appearance codes (model.app_dim) ride the
+    x16 stream's rows 8..15, so at most 8 of them fit."""
     if not isinstance(model, NerfMLP):
         return False
-    if model.app_dim:
-        # appearance codes are per-ray runtime inputs; the kernel's
-        # weight packing and x16 stream have no slot for them
+    if not 0 <= model.app_dim <= 8:
+        # wider appearance codes don't fit the (16, rows) input stream's
+        # free rows; those models take the XLA path
         return False
     return model.H % 16 == 0 and model.H >= 16 and model.Lp >= 1 and model.Ld >= 1
 
@@ -218,6 +219,45 @@ class FusedWeights(NamedTuple):
     bc1: jnp.ndarray
 
 
+class FusedWeightsApp(NamedTuple):
+    """FusedWeights + the appearance rail: ``Wca`` (H//2, 8) is the
+    color head's slice acting on per-ray appearance codes
+    (models/nerf.py app_dim — reference has no analogue; NeRF-W-style
+    extension). Codes ride the input stream's rows 8..15 (app_dim real
+    + zero pad, so pad columns of Wca are dead). Field ORDER matters:
+    Wca is appended last so refs[:N] unpacking in the kernels stays
+    positional-compatible with FusedWeights."""
+
+    W1: jnp.ndarray
+    b1: jnp.ndarray
+    Wt1: jnp.ndarray
+    bt1: jnp.ndarray
+    Wt2: jnp.ndarray
+    bt2: jnp.ndarray
+    Wt3: jnp.ndarray
+    bt3: jnp.ndarray
+    Wt4: jnp.ndarray
+    bt4: jnp.ndarray
+    Wsh: jnp.ndarray
+    Wsx: jnp.ndarray
+    bs: jnp.ndarray
+    Wp0: jnp.ndarray
+    bp0: jnp.ndarray
+    Wp1: jnp.ndarray
+    bp1: jnp.ndarray
+    Wcs: jnp.ndarray
+    bcs: jnp.ndarray
+    Wcd: jnp.ndarray
+    Wc1: jnp.ndarray
+    bc1: jnp.ndarray
+    Wca: jnp.ndarray  # (H//2, 8) appearance half of color0
+
+
+def _wcls(model: NerfMLP):
+    """Packed-weights class for this architecture (static per model)."""
+    return FusedWeightsApp if model.app_dim > 0 else FusedWeights
+
+
 def pack_weights(
     params: Params, dtype=jnp.float32, model: NerfMLP = FLAGSHIP
 ) -> FusedWeights:
@@ -248,7 +288,8 @@ def pack_weights(
 
     w = params
     skip_w = jnp.asarray(w["skip"]["w"], dtype)  # (H+CX, H)
-    color0_w = jnp.asarray(w["color0"]["w"], dtype)  # (H+CD, H//2)
+    color0_w = jnp.asarray(w["color0"]["w"], dtype)  # (H+CD[+A], H//2)
+    CD = model.in_Cd  # raw-prepended dir-encoding width (rows H:H+CD)
 
     # Fold the no-activation feature layer into the color head (see the
     # module docstring): Wcf' = Wcf @ Wf, b' = Wcf @ bf + bc0, computed in
@@ -282,7 +323,7 @@ def pack_weights(
         [jnp.asarray(w["color1"]["b"], dtype), jnp.zeros((5,), dtype)]
     )[:, None]
 
-    return FusedWeights(
+    fields = dict(
         W1=perm_pad(w["trunk0"]["w"], px, vx),
         b1=bias(w["trunk0"]["b"]),
         Wt1=T(w["trunk1"]["w"]),
@@ -302,10 +343,22 @@ def pack_weights(
         bp1=bias(w["post1"]["b"]),
         Wcs=Wcs,
         bcs=bcs,
-        Wcd=perm_pad(color0_w[H:], pd, vd),
+        Wcd=perm_pad(color0_w[H : H + CD], pd, vd),
         Wc1=Wc1,
         bc1=bc1,
     )
+    if model.app_dim > 0:
+        # appearance rail: the trailing app_dim rows of color0 act on
+        # the per-ray codes riding x16 rows 8..15; pad columns are zero
+        # (their code rows are zero too — doubly dead)
+        fields["Wca"] = jnp.concatenate(
+            [
+                color0_w[H + CD :].T,
+                jnp.zeros((H // 2, 8 - model.app_dim), dtype),
+            ],
+            axis=1,
+        )
+    return _wcls(model)(**fields)
 
 
 def _cast_weights(wts: FusedWeights, dtype) -> FusedWeights:
@@ -317,7 +370,7 @@ def _cast_weights(wts: FusedWeights, dtype) -> FusedWeights:
     Biases stay f32: they add into the f32 matmul accumulator."""
     if dtype == jnp.float32:
         return wts
-    return FusedWeights(
+    return type(wts)(
         *[w.astype(dtype) if w.shape[-1] > 1 else w for w in wts]
     )
 
@@ -444,6 +497,7 @@ def _encode(
 def _forward_tile(
     x, wts: FusedWeights, Sx, Sd, dtype, model: NerfMLP = FLAGSHIP,
     v8=None, Sv=None, wx=None, wd=None, pre_enc=None, prefetch=None,
+    app8=None,
 ):
     """Shared fwd math: x (8, TR) -> (out (8, TR), residuals for bwd).
     ``v8``/``Sv`` switch the encoder to integrated PE (mip); ``wx``/``wd``
@@ -483,7 +537,13 @@ def _forward_tile(
     # H//2: raw sigma (no activation)
     cs = _mm(wts.Wcs, h7, dtype) + wts.bcs  # (H//2 + 8, TR)
     sig8 = cs[H // 2 :, :]  # (8, TR), sigma at row 0
-    hc = relu(cs[: H // 2, :] + _mm(wts.Wcd, posd, dtype))
+    hc_pre = cs[: H // 2, :] + _mm(wts.Wcd, posd, dtype)
+    if app8 is not None:
+        # appearance rail (FusedWeightsApp.Wca): per-ray codes enter
+        # ONLY the color head, like the XLA path's posd-append
+        # (models/nerf.py::nerf_apply)
+        hc_pre = hc_pre + _mm(wts.Wca, app8, dtype)
+    hc = relu(hc_pre)
     rgb8 = _mm(wts.Wc1, hc, dtype) + wts.bc1  # (8, TR), rgb rows 0..2
 
     rows = jax.lax.broadcasted_iota(jnp.int32, rgb8.shape, 0)
@@ -504,9 +564,11 @@ _N_W = len(FusedWeights._fields)
 
 
 def _fwd_kernel(dtype, model, mip, anneal, x_ref, *refs):
-    # refs: _N_W weight refs, Sx, Sd[, Sv][, wx, wd], out_ref
-    wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
-    i = _N_W
+    # refs: n_w weight refs, Sx, Sd[, Sv][, wx, wd], out_ref
+    wcls = _wcls(model)
+    n_w = len(wcls._fields)
+    wts = wcls(*[r[:] for r in refs[:n_w]])
+    i = n_w
     Sx, Sd = refs[i][:], refs[i + 1][:]
     i += 2
     Sv = None
@@ -523,6 +585,13 @@ def _fwd_kernel(dtype, model, mip, anneal, x_ref, *refs):
         out, _, _ = _forward_tile(
             x16[:8], wts, Sx, Sd, dtype, model, v8=x16[8:16], Sv=Sv,
             wx=wx, wd=wd,
+        )
+    elif model.app_dim > 0:
+        # appearance codes ride input rows 8..15 (broadcast per sample)
+        x16 = x_ref[:]
+        out, _, _ = _forward_tile(
+            x16[:8], wts, Sx, Sd, dtype, model, wx=wx, wd=wd,
+            app8=x16[8:16],
         )
     else:
         out, _, _ = _forward_tile(
@@ -552,6 +621,9 @@ def fused_mlp_forward(
         With ``mip=True``: (16, rows) — rows 0..2 frustum Gaussian means,
         3..5 unit view dirs, 11..13 diagonal variances, rest zero (the
         encoder becomes integrated PE; models/nerf.py::nerf_apply_mip).
+        With ``model.app_dim > 0`` (exclusive with mip): (16, rows) —
+        rows 8..7+app_dim carry the per-ray appearance codes broadcast
+        per sample, remaining rows zero.
       enc_w: optional (wx, wd) BARF anneal row weights
         (anneal_row_weights) — traced, so one compiled program serves
         the whole anneal schedule.
@@ -560,9 +632,13 @@ def fused_mlp_forward(
       (8, rows) f32 — rows 0..2 raw rgb, row 3 raw sigma.
     """
     rows = xT.shape[1]
-    in_rows = 16 if mip else 8
+    assert not (mip and model.app_dim > 0), (
+        "appearance codes and the IPE encoder both need the 16-row "
+        "stream's upper rows; render_rays rejects the combination"
+    )
+    in_rows = 16 if (mip or model.app_dim > 0) else 8
     assert rows % tile_rows == 0, (rows, tile_rows)
-    assert xT.shape[0] == in_rows, (xT.shape, mip)
+    assert xT.shape[0] == in_rows, (xT.shape, mip, model.app_dim)
     grid = (rows // tile_rows,)
     wts = _cast_weights(wts, compute_dtype)
 
@@ -614,9 +690,12 @@ def _bwd_kernel(dtype, model, mip, anneal, want_dx, x_ref, g_ref, *refs):
     weight/bias grads across the grid into the outputs (same block every
     step — revisited-block accumulation). With ``want_dx`` the LAST
     output ref is the per-tile input gradient dL/dx (tiled, not
-    accumulated) — see _input_grad_tile."""
-    wts = FusedWeights(*[r[:] for r in refs[:_N_W]])
-    i = _N_W
+    accumulated) — see _input_grad_tile; for appearance models it is
+    (16, TR) with rows 8..15 the per-sample code gradient."""
+    wcls = _wcls(model)
+    n_w = len(wcls._fields)
+    wts = wcls(*[r[:] for r in refs[:n_w]])
+    i = n_w
     Sx, Sd = refs[i][:], refs[i + 1][:]
     i += 2
     Sv = None
@@ -632,16 +711,19 @@ def _bwd_kernel(dtype, model, mip, anneal, want_dx, x_ref, g_ref, *refs):
     if want_dx:
         assert not mip, "input grads are not built for the IPE encoder"
         grad_refs, dx_ref = grad_refs[:-1], grad_refs[-1]
-    assert len(grad_refs) == _N_W
+    assert len(grad_refs) == n_w
 
     x = x_ref[:]
+    app8 = x[8:16] if model.app_dim > 0 else None
     if mip:
         _, res, _ = _forward_tile(
             x[:8], wts, Sx, Sd, dtype, model, v8=x[8:16], Sv=Sv,
             wx=wx, wd=wd,
         )
     else:
-        _, res, _ = _forward_tile(x, wts, Sx, Sd, dtype, model, wx=wx, wd=wd)
+        _, res, _ = _forward_tile(
+            x[:8], wts, Sx, Sd, dtype, model, wx=wx, wd=wd, app8=app8
+        )
 
     g = g_ref[:]  # (8, TR) f32: rows 0..2 d_rgb, row 3 d_sigma
     rows_i = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
@@ -650,27 +732,37 @@ def _bwd_kernel(dtype, model, mip, anneal, want_dx, x_ref, g_ref, *refs):
     g_sig8 = jnp.where(rows_i == 0, pltpu.roll(g, 5, axis=0), 0.0)
 
     if want_dx:
-        grads, (g_posx, g_posd) = _backprop_tile(
-            wts, res, g_rgb8, g_sig8, dtype, model, want_pos_grads=True
+        grads, (g_posx, g_posd, g_app) = _backprop_tile(
+            wts, res, g_rgb8, g_sig8, dtype, model, want_pos_grads=True,
+            app8=app8,
         )
-        dx_ref[:] = _input_grad_tile(
-            x, g_posx, g_posd, Sx, Sd, model, wx=wx, wd=wd
+        dx = _input_grad_tile(
+            x[:8], g_posx, g_posd, Sx, Sd, model, wx=wx, wd=wd
         )
+        if g_app is not None:
+            dx = jnp.concatenate([dx, g_app], axis=0)
+        dx_ref[:] = dx
     else:
-        grads = _backprop_tile(wts, res, g_rgb8, g_sig8, dtype, model)
+        grads = _backprop_tile(
+            wts, res, g_rgb8, g_sig8, dtype, model, app8=app8
+        )
     _accumulate_grads(grad_refs, grads)
 
 
 def _backprop_tile(
     wts, res, g_rgb8, g_sig8, dtype, model: NerfMLP = FLAGSHIP,
-    want_pos_grads: bool = False,
+    want_pos_grads: bool = False, app8=None,
 ):
     """Backprop through the MLP given per-sample output cotangents
     (g_rgb8 rows 0..2, g_sig8 row 0) and saved activations ``res``.
     Returns this tile's weight-gradient contribution; with
     ``want_pos_grads`` additionally the encoded-INPUT cotangents
-    ``(g_posx, g_posd)`` — three extra skinny mTg matmuls — for input
-    gradients (dL/dx, the pose-refinement path; _input_grad_tile)."""
+    ``(g_posx, g_posd, g_app)`` — extra skinny mTg matmuls — for input
+    gradients (dL/dx, the pose-refinement path; _input_grad_tile) and
+    the per-sample appearance-code gradient (``g_app`` (8, TR), or
+    None when the model carries no appearance rail). ``app8`` is the
+    forward's appearance input block, required iff wts is
+    FusedWeightsApp."""
     H = model.H
     posx, posd, h0, h1, h2, h3, h4, h5, h6, h7, hc = res
 
@@ -745,7 +837,7 @@ def _backprop_tile(
     dW1 = mmT_acc(g_h0, posx)
     db1 = rail(dW1)
 
-    grads = FusedWeights(
+    fields = dict(
         W1=dW1, b1=db1,
         Wt1=dWt1, bt1=dbt1, Wt2=dWt2, bt2=dbt2,
         Wt3=dWt3, bt3=dbt3, Wt4=dWt4, bt4=dbt4,
@@ -754,6 +846,11 @@ def _backprop_tile(
         Wcs=dWcs, bcs=dbcs, Wcd=dWcd,
         Wc1=dWc1, bc1=dbc1,
     )
+    has_app = isinstance(wts, FusedWeightsApp)
+    if has_app:
+        assert app8 is not None, "FusedWeightsApp backward needs app8"
+        fields["Wca"] = mmT_acc(g_hc, app8)
+    grads = type(wts)(**fields)
     if not want_pos_grads:
         # rays/ts carry no trainable state: dL/dx is dead code
         return grads
@@ -762,7 +859,8 @@ def _backprop_tile(
     # exactly zero, so no validity masking is needed here.
     g_posx = mTg(wts.W1, g_h0) + mTg(wts.Wsx, g_h5)
     g_posd = mTg(wts.Wcd, g_hc)
-    return grads, (g_posx, g_posd)
+    g_app = mTg(wts.Wca, g_hc) if has_app else None
+    return grads, (g_posx, g_posd, g_app)
 
 
 def _input_grad_tile(
@@ -863,7 +961,7 @@ def _fused_mlp_bwd(
     enc_w=None,
 ):
     rows = xT.shape[1]
-    in_rows = 16 if mip else 8
+    in_rows = 16 if (mip or model.app_dim > 0) else 8
     assert rows % tile_rows == 0
     assert not (mip and want_dx), "input grads need the plain encoder"
     grid = (rows // tile_rows,)
@@ -894,8 +992,12 @@ def _fused_mlp_bwd(
         jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wts
     )
     if want_dx:
-        out_specs = out_specs + (tile(8),)
-        out_shape = out_shape + (jax.ShapeDtypeStruct((8, rows), jnp.float32),)
+        # appearance models: the input-grad output carries the code
+        # gradients on rows 8..15, so it spans the full 16-row stream
+        out_specs = out_specs + (tile(in_rows),)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((in_rows, rows), jnp.float32),
+        )
 
     outs = pl.pallas_call(
         functools.partial(
@@ -907,8 +1009,8 @@ def _fused_mlp_bwd(
         out_shape=out_shape,
     )(xT, gT, *wts, *extras)
     if want_dx:
-        return FusedWeights(*outs[:-1]), outs[-1]
-    return FusedWeights(*outs)
+        return type(wts)(*outs[:-1]), outs[-1]
+    return type(wts)(*outs)
 
 
 @functools.partial(
@@ -1003,14 +1105,24 @@ def _seg_cumsum(x, segpos, N):
     return x
 
 
-def _composite_grad_block(out8, x16b, N, ST, scale, mip):
+def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
     """Compositing forward + MSE loss + loss gradient back to per-sample
     rgb/sigma, on one lane block (ops/volume.py math, segmented on lanes).
 
     out8: (8, T) MLP outputs; x16b: (16, T) the matching input slice;
     ST: (T//N, T) 0/1 segment matrix. Returns (loss, g_rgb8, g_sig8, w8)
     — w8 is the per-sample compositing weights broadcast row (row 0),
-    consumed by the hierarchical path's importance sampler."""
+    consumed by the hierarchical path's importance sampler.
+
+    ``dist`` (non-mip only): ``(dist_scale, tn, tf, disparity)`` enables
+    the IN-KERNEL distortion regularizer (ops/volume.py::distortion_loss
+    point form, mip-NeRF 360 eqn. 15): positions are s-normalized ts
+    (train/step.py::_s_norm semantics — affine for linear spacing,
+    1/t-affine for disparity), the last sample is excluded (its 1e10
+    tail delta is artificial), and the loss gradient enters the sigma
+    backprop through the same generic d_w -> d_alpha conversion as the
+    MSE term. Two extra segmented cumsums + one (2-row) segment-total
+    matmul pair — O(N) on lanes, no new HBM traffic."""
     tile = out8.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
@@ -1073,6 +1185,47 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip):
     prod = jnp.where(rows_i < 3, out8 * d_rgb_b, 0.0)
     d_w = jnp.sum(prod, axis=0, keepdims=True)  # (1, tile)
 
+    if dist is not None:
+        assert not mip, "in-kernel distortion is point-form only"
+        d_scale, dn, df, disp = dist
+        ts_r = x16b[6:7, :]
+        if disp:
+            s_pos = (1.0 / dn - 1.0 / jnp.maximum(ts_r, 1e-10)) / (
+                1.0 / dn - 1.0 / df
+            )
+        else:
+            s_pos = (ts_r - dn) / (df - dn)
+        s_next = pltpu.roll(s_pos, tile - 1, axis=1)  # value at lane+1
+        last = segpos == N - 1
+        d_s = jnp.where(last, 0.0, s_next - s_pos)  # gap to next sample
+        wm = jnp.where(last, 0.0, w)  # point form drops the tail sample
+        wms = wm * s_pos
+        A_in = _seg_cumsum(wm, segpos, N)
+        A_ex = A_in - wm
+        Bm_in = _seg_cumsum(wms, segpos, N)
+        Bm_ex = Bm_in - wms
+        # per-segment totals broadcast back to every lane: pack the two
+        # running sums on rows 0/1, one (8,R) + (8,tile) matmul pair
+        pack2 = jnp.where(
+            rows_i == 0, jnp.broadcast_to(wm, (8, tile)), 0.0
+        ) + jnp.where(rows_i == 1, jnp.broadcast_to(wms, (8, tile)), 0.0)
+        tot2_b = jax.lax.dot_general(
+            dotT(pack2, ST), ST,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        SA = tot2_b[0:1, :] - A_in  # suffix sums (j > k)
+        SBm = tot2_b[1:2, :] - Bm_in
+        # L = 2 sum_k w_k (m_k A^excl_k - B^excl_k) + sum w_k^2 d_k / 3
+        cross_b = s_pos * A_ex - Bm_ex
+        loss_tile = loss_tile + d_scale * jnp.sum(
+            wm * (2.0 * cross_b) + wm * wm * d_s / 3.0
+        )
+        d_w_dist = (
+            2.0 * (cross_b + SBm - s_pos * SA) + (2.0 / 3.0) * wm * d_s
+        )
+        d_w = d_w + d_scale * jnp.where(last, 0.0, d_w_dist)
+
     y = d_w * w
     y8 = jnp.where(rows_i == 0, jnp.broadcast_to(y, (8, tile)), 0.0)
     tot = dotT(y8, ST)  # (8, R) row 0 = per-ray total
@@ -1092,7 +1245,7 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip):
     return loss_tile, g_rgb8, g_sig8, w8
 
 
-def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
+def _train_kernel(dtype, N, scale, want_w, model, mip, dist, x16_ref, *refs):
     """Per grid step: a software-pipelined loop over lane sub-blocks.
 
     The tile is split into K = tile/TS blocks (TS = the ST matrix's lane
@@ -1137,7 +1290,7 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
             pre_enc=pe, prefetch=pf,
         )
         loss_k, g_rgb8, g_sig8, w8 = _composite_grad_block(
-            out8, xb, N, ST, scale, mip
+            out8, xb, N, ST, scale, mip, dist
         )
         if want_w:
             # per-sample compositing weights (row 0) — consumed by the
@@ -1162,7 +1315,7 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, x16_ref, *refs):
     jax.jit,
     static_argnames=(
         "N", "tile_rows", "compute_dtype", "out_weights", "model", "mip",
-        "pipeline_blocks",
+        "pipeline_blocks", "dist",
     ),
 )
 def fused_train_step(
@@ -1175,6 +1328,7 @@ def fused_train_step(
     model: NerfMLP = FLAGSHIP,
     mip: bool = False,
     pipeline_blocks: int = 1,
+    dist: tuple | None = None,
 ):
     """One fused fwd+composite+MSE-grad+bwd pass.
 
@@ -1198,11 +1352,26 @@ def fused_train_step(
         below only produces power-of-2 counts — e.g. a request of 3
         yields 4 sub-blocks). Default 1 = full-width, the
         measured-fastest layout on v5e.
+      dist: optional ``(weight, tn, tf, disparity)`` — adds the
+        mip-NeRF 360 distortion regularizer (point form, s-normalized)
+        to the in-kernel loss AND its gradient to the sigma backprop
+        (_composite_grad_block). Non-mip only. This keeps the 360
+        recipe (proposal + distortion) on the single fused train
+        kernel instead of the 2-kernel custom-vjp fallback.
 
     Returns:
       (loss scalar, weight gradients in kernel layout[, weights (B, N)]).
     """
     rows = x16.shape[1]
+    assert not (mip and dist is not None), (
+        "in-kernel distortion is point-form only; interval-form "
+        "distortion (mip) runs through the XLA loss path"
+    )
+    assert model.app_dim == 0, (
+        "the single fused train kernel has no appearance slot (its x16 "
+        "rows 8..10 carry gt colors); appearance training runs the "
+        "2-kernel custom-vjp path (train/step.py pallas_aux)"
+    )
     assert tile_rows % N == 0 and rows % tile_rows == 0, (rows, tile_rows, N)
     B = rows // N
     grid = (rows // tile_rows,)
@@ -1258,9 +1427,14 @@ def fused_train_step(
             jax.ShapeDtypeStruct((8, rows), jnp.float32),
         )
 
+    # distortion: λ * mean-over-rays -> per-tile sums scale by λ/B
+    dist_k = (
+        (dist[0] / B, dist[1], dist[2], dist[3]) if dist is not None else None
+    )
     outs = pl.pallas_call(
         functools.partial(
-            _train_kernel, compute_dtype, N, scale, out_weights, model, mip
+            _train_kernel, compute_dtype, N, scale, out_weights, model, mip,
+            dist_k,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -1348,6 +1522,10 @@ def fused_render(
     unused). Returns (8, rows) with per-ray values at lanes ray*N:
     rows 0..2 raw rgb, 3 depth, 4 acc."""
     rows = x16.shape[1]
+    assert model.app_dim == 0, (
+        "the fused eval render kernel has no appearance slot; appearance "
+        "eval renders via fused_mlp + XLA compositing"
+    )
     assert tile_rows % N == 0 and rows % tile_rows == 0
     R = tile_rows // N
     grid = (rows // tile_rows,)

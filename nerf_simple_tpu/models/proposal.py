@@ -155,8 +155,40 @@ def proposal_weights(
 
     Returns (B, N) weights — differentiable wrt ``params`` (the
     interlevel loss trains the proposal through this)."""
-    origins, dirs = rays[:, :3], rays[:, 3:]
+    origins, dirs = rays[:, :3], rays[:, 3:6]
     locs = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
     sigma = proposal_sigma(params, locs, model, compute_dtype)
     unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     return weights_from_sigma(sigma, ts, unit_dirs)
+
+
+def proposal_weights_intervals(
+    params: Params,
+    rays: jnp.ndarray,
+    edges: jnp.ndarray,
+    model: ProposalMLP = ProposalMLP(),
+    compute_dtype: Any = jnp.float32,
+) -> jnp.ndarray:
+    """Interval-histogram proposal weights for cone-cast rendering (the
+    mip x proposal composition): density queried at the probe interval
+    MIDPOINTS, composited with the true finite interval widths
+    (ops/volume.py::weights_from_sigma_intervals — no 1e10 tail).
+
+    The proposal stays point-sampled even under mip: its job is coarse
+    placement, and a midpoint probe of a smooth low-frequency density is
+    the cheap sufficient approximation (mip-NeRF 360 itself anneals its
+    proposal supervision rather than demanding IPE fidelity from it).
+
+    Args: rays (B, >=6) packed ``[origin | direction | ...]`` — mip
+    radius/weight columns beyond 6 are ignored; edges (B, N+1) ascending
+    probe interval edges. Returns (B, N) weights, differentiable wrt
+    ``params``.
+    """
+    from nerf_simple_tpu.ops.volume import weights_from_sigma_intervals
+
+    origins, dirs = rays[:, :3], rays[:, 3:6]
+    mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    locs = origins[:, None, :] + dirs[:, None, :] * mids[..., None]
+    sigma = proposal_sigma(params, locs, model, compute_dtype)
+    unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return weights_from_sigma_intervals(sigma, edges, unit_dirs)

@@ -17,18 +17,32 @@ import jax.numpy as jnp
 
 
 def stratified_ts(
-    key: jax.Array, n_rays: int, N: int, tn: float, tf: float, dtype=jnp.float32
+    key: jax.Array,
+    n_rays: int,
+    N: int,
+    tn: float,
+    tf: float,
+    dtype=jnp.float32,
+    det: bool = False,
 ) -> jnp.ndarray:
     """One uniform sample in each of N equal bins of [tn, tf], per ray.
 
     Matches reference utils/rendering.py:25-29:
     ``ts = bin_width * U(0,1) + bin_left_edges``.
 
+    ``det=True`` places each sample at its bin midpoint (u = 0.5)
+    instead of jittering — deterministic eval rendering (the proposal
+    path uses it for its probes so ``det_fine`` renders are fully
+    reproducible).
+
     Returns: (n_rays, N) sorted-by-construction sample distances.
     """
     edges = jnp.linspace(tn, tf, N + 1, dtype=dtype)
     width = (tf - tn) / N
-    u = jax.random.uniform(key, (n_rays, N), dtype=dtype)
+    if det:
+        u = jnp.full((n_rays, N), 0.5, dtype)
+    else:
+        u = jax.random.uniform(key, (n_rays, N), dtype=dtype)
     return width * u + edges[:-1]
 
 
@@ -40,6 +54,7 @@ def stratified_ts_spaced(
     tf: float,
     dtype=jnp.float32,
     space: str = "linear",
+    det: bool = False,
 ) -> jnp.ndarray:
     """``stratified_ts`` with a choice of bin spacing.
 
@@ -49,15 +64,20 @@ def stratified_ts_spaced(
     thins as 1/t^2 — the right prior when ``tf`` spans an unbounded
     background under scene contraction.
 
+    ``det=True``: bin midpoints instead of jitter (see stratified_ts).
+
     Returns: (n_rays, N) ascending sample distances in [tn, tf].
     """
     if space == "linear":
-        return stratified_ts(key, n_rays, N, tn, tf, dtype)
+        return stratified_ts(key, n_rays, N, tn, tf, dtype, det=det)
     assert space == "disparity", space
-    u = (
-        jnp.arange(N, dtype=dtype)
-        + jax.random.uniform(key, (n_rays, N), dtype=dtype)
-    ) / N
+    if det:
+        u = (jnp.arange(N, dtype=dtype) + 0.5)[None, :].repeat(n_rays, 0) / N
+    else:
+        u = (
+            jnp.arange(N, dtype=dtype)
+            + jax.random.uniform(key, (n_rays, N), dtype=dtype)
+        ) / N
     inv = (1.0 / tn) + u * (1.0 / tf - 1.0 / tn)  # descending in t
     return 1.0 / inv
 
@@ -163,6 +183,7 @@ def resample_edges(
     weights: jnp.ndarray,
     N_new: int,
     blur: float = 0.01,
+    det: bool = False,
 ) -> jnp.ndarray:
     """Mip-NeRF fine-level resampling: draw ``N_new + 1`` sorted samples
     from the coarse piecewise-constant interval histogram, forming the
@@ -186,6 +207,9 @@ def resample_edges(
       weights: (B, N) coarse compositing weights (one per interval).
       N_new: fine interval count; returns ``N_new + 1`` edges.
       blur: uniform padding mass added per interval after dilation.
+      det: if True, place the edges at evenly spaced CDF quantiles
+        instead of random draws (deterministic eval rendering — the
+        interval analogue of ``importance_ts(det=True)``).
 
     Returns: (B, N_new + 1) ascending fine edges within [edges min, max].
     """
@@ -201,9 +225,14 @@ def resample_edges(
     )  # (B, N+1), aligned with edges
 
     n_draw = N_new + 1
-    e = jax.random.exponential(key, (B, n_draw + 1), dtype=edges.dtype)
-    s = jnp.cumsum(e, axis=-1)
-    u = s[:, :n_draw] / s[:, n_draw:]  # sorted U(0,1) order statistics
+    if det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_draw, dtype=edges.dtype), (B, n_draw)
+        )
+    else:
+        e = jax.random.exponential(key, (B, n_draw + 1), dtype=edges.dtype)
+        s = jnp.cumsum(e, axis=-1)
+        u = s[:, :n_draw] / s[:, n_draw:]  # sorted U(0,1) order statistics
     return _inv_cdf_interp(cdf, edges, u)
 
 

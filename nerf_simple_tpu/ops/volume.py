@@ -161,6 +161,74 @@ def weights_from_sigma(
     return alpha * jnp.exp(excl)
 
 
+def weights_from_sigma_intervals(
+    sigma: jnp.ndarray, edges: jnp.ndarray, unit_dirs: jnp.ndarray
+) -> jnp.ndarray:
+    """Interval-sample compositing weights from raw density — the
+    color-free slice of ``composite_intervals`` (identical math: softplus
+    activation, true finite frustum widths, no 1e10 tail, log-space
+    exclusive cumprod). Used by the proposal pass under cone casting
+    (mip x proposal — the mip-NeRF 360 composition), which needs the
+    proposal's interval histogram but renders nothing.
+
+    Args: sigma (B, N) raw (pre-softplus) density, one per interval;
+    edges (B, N+1) ascending; unit_dirs (B, 3). Returns (B, N) weights.
+    """
+    deltas = edges[:, 1:] - edges[:, :-1]
+    deltas = deltas * jnp.linalg.norm(unit_dirs, axis=-1, keepdims=True)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * deltas)
+    log_trans = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+    excl = jnp.cumsum(log_trans, axis=-1) - log_trans
+    return alpha * jnp.exp(excl)
+
+
+def _interlevel_core(
+    wi: jnp.ndarray,
+    ti: jnp.ndarray,
+    w_prop: jnp.ndarray,
+    interior_edges: jnp.ndarray,
+) -> jnp.ndarray:
+    """Shared interlevel bound: main-field mass ``wi`` at positions
+    ``ti`` binned against the proposal histogram whose Np bins are
+    separated by ``interior_edges`` (B, Np-1); only under-coverage is
+    penalized (see interlevel_loss for the full rationale)."""
+    Np = w_prop.shape[-1]
+    # bin of t = #(edges <= t), clipped into [0, Np-1]
+    idx = jnp.sum(
+        (interior_edges[:, None, :] <= ti[:, :, None]).astype(jnp.int32),
+        axis=-1,
+    )
+    onehot = (idx[:, :, None] == jnp.arange(Np, dtype=jnp.int32)).astype(
+        wi.dtype
+    )
+    bound = jnp.einsum(
+        "bn,bnp->bp", wi, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    excess = jax.nn.relu(bound - w_prop)
+    return jnp.mean(jnp.sum(excess**2 / (w_prop + 1e-4), axis=-1))
+
+
+def interlevel_loss_intervals(
+    w: jnp.ndarray,
+    t_mids: jnp.ndarray,
+    w_prop: jnp.ndarray,
+    edges_prop: jnp.ndarray,
+) -> jnp.ndarray:
+    """Interval-histogram form of the interlevel bound (the mip-NeRF 360
+    eqn. 13 geometry proper): the fine level's interval weights, located
+    at their interval midpoints, must be covered by the proposal's
+    weight in the probe interval containing them. Unlike the point form
+    there is NO tail exclusion — interval weights carry genuinely
+    absorbed mass (``composite_intervals`` has no artificial 1e10
+    absorber; leftover transmittance is simply unabsorbed).
+
+    Args: w (B, N) fine interval weights (caller stop-gradients them);
+    t_mids (B, N) fine interval centers; w_prop (B, Np) proposal
+    interval weights over edges_prop (B, Np+1) ascending.
+    """
+    return _interlevel_core(w, t_mids, w_prop, edges_prop[:, 1:-1])
+
+
 def interlevel_loss(
     w: jnp.ndarray,
     ts: jnp.ndarray,
@@ -193,22 +261,8 @@ def interlevel_loss(
     Args: w (B, N) main-field weights at ts (B, N); w_prop (B, Np)
     proposal weights at ts_prop (B, Np), both ascending per ray.
     """
-    Np = ts_prop.shape[-1]
     mids = 0.5 * (ts_prop[:, 1:] + ts_prop[:, :-1])  # (B, Np-1) interior edges
-    wi = w[:, :-1]
-    ti = ts[:, :-1]
-    # bin of t = #(edges <= t), clipped into [0, Np-1]
-    idx = jnp.sum(
-        (mids[:, None, :] <= ti[:, :, None]).astype(jnp.int32), axis=-1
-    )
-    onehot = (idx[:, :, None] == jnp.arange(Np, dtype=jnp.int32)).astype(
-        w.dtype
-    )
-    bound = jnp.einsum(
-        "bn,bnp->bp", wi, onehot, precision=jax.lax.Precision.HIGHEST
-    )
-    excess = jax.nn.relu(bound - w_prop)
-    return jnp.mean(jnp.sum(excess**2 / (w_prop + 1e-4), axis=-1))
+    return _interlevel_core(w[:, :-1], ts[:, :-1], w_prop, mids)
 
 
 def distortion_loss(weights: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
@@ -234,6 +288,14 @@ def distortion_loss(weights: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
     w = weights[:, :-1]
     m = ts[:, :-1]
     delta = ts[:, 1:] - ts[:, :-1]  # gap to the next sample, (B, N-1)
+    return _distortion_core(w, m, delta)
+
+
+def _distortion_core(
+    w: jnp.ndarray, m: jnp.ndarray, delta: jnp.ndarray
+) -> jnp.ndarray:
+    """Shared O(N) cumsum distortion: weights ``w`` at sorted positions
+    ``m`` with per-bin widths ``delta`` (see distortion_loss)."""
     acc = jnp.cumsum(w, axis=-1)
     acc_m = jnp.cumsum(w * m, axis=-1)
     # 2 * sum_j w_j * (t_j * A_{j-1} - B_{j-1}), prefix sums exclusive
@@ -242,3 +304,23 @@ def distortion_loss(weights: jnp.ndarray, ts: jnp.ndarray) -> jnp.ndarray:
     )
     self_term = jnp.sum(w * w * delta, axis=-1) / 3.0
     return jnp.mean(cross + self_term)
+
+
+def distortion_loss_intervals(
+    weights: jnp.ndarray, edges: jnp.ndarray
+) -> jnp.ndarray:
+    """Distortion regularizer in its exact interval-histogram form
+    (mip-NeRF 360 eqn. 15 as published): weights are per-INTERVAL
+    (``composite_intervals``), positions are the interval midpoints, the
+    self term uses the true interval widths, and no tail is dropped —
+    interval compositing has no artificial 1e10 absorber, every bin's
+    weight is real density mass.
+
+    Args: weights (B, N) interval weights; edges (B, N+1) ascending
+    interval edges IN THE SAMPLING PARAMETRIZATION (pass s-space edges —
+    the train step normalizes via its ``_s_norm`` before calling, same
+    convention as ``distortion_loss``).
+    """
+    m = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    delta = edges[:, 1:] - edges[:, :-1]
+    return _distortion_core(weights, m, delta)

@@ -141,7 +141,9 @@ def render_rays(
         occupancy-informed, ops/occupancy.py); None = stratified.
       app: optional (B, model.app_dim) per-ray appearance codes
         (models/nerf.py app_dim) — broadcast over samples and appended to
-        the direction encoding. XLA MLP path only.
+        the direction encoding. Both backends (the pallas kernel carries
+        codes on its input stream's rows 8..15 when app_dim <= 8; wider
+        codes fall back to XLA).
       enc_alpha: optional BARF anneal progress in [0, 1] (traced scalar)
         — damps high PE octaves during joint pose refinement
         (TrainConfig.pe_anneal_until). Both backends: the pallas path
@@ -186,69 +188,10 @@ def _render_mip(
     resampled from the (stop-gradient) coarse weight histogram
     (ops/sampling.py::resample_edges), and the fine output is returned
     (both with ``return_coarse=True`` — the train loss needs both)."""
-    from nerf_simple_tpu.models.nerf import nerf_apply_mip
-    from nerf_simple_tpu.ops.sampling import conical_gaussian
-    from nerf_simple_tpu.ops.volume import composite_intervals
-
-    assert isinstance(model, NerfMLP), (
-        "mip rendering is NerfMLP-family only (the hash encoding has no "
-        "integrated form)"
-    )
     B, N = rays.shape[0], settings.N
-    dirs = rays[:, 3:6]
-    unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    # 8-column rays (multiscale training) carry a per-ray cone radius in
-    # column 6, overriding the per-frame scalar
-    radius = (
-        rays[:, 6:7] if rays.shape[1] >= 7 else settings.base_radius
-    )
 
     def one_level(edges, nk):
-        if settings.backend == "pallas":
-            # fused kernel with the IPE encoder (kernels/mlp.py
-            # mip=True); interval compositing stays in XLA like the
-            # point eval path
-            outT, t_mids = _fused_mlp_bn_mip(
-                params, rays, edges, settings, model, radius
-            )
-            if nk is not None and settings.sigma_noise > 0:
-                noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
-                outT = outT.at[3].add(noise)
-            return composite_intervals(
-                jnp.moveaxis(outT, 0, -1), edges, t_mids, unit_dirs
-            )
-
-        means, vars_, t_mids = conical_gaussian(
-            rays, edges, radius, settings.mip_shape
-        )
-        rows = B * N
-        q = jnp.concatenate(
-            [
-                means.reshape(rows, 3),
-                vars_.reshape(rows, 3),
-                jnp.broadcast_to(unit_dirs[:, None, :], (B, N, 3)).reshape(
-                    rows, 3
-                ),
-            ],
-            axis=-1,
-        )
-
-        def f(qq):
-            return nerf_apply_mip(
-                params, qq[:, :3], qq[:, 3:6], qq[:, 6:9], model,
-                settings.compute_dtype,
-            )
-
-        k = 1
-        while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
-            k *= 2
-        out = (
-            jax.lax.map(f, q.reshape(k, rows // k, 9)) if k > 1 else f(q)
-        ).reshape(B, N, 4)
-        if nk is not None and settings.sigma_noise > 0:
-            noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
-            out = out.at[..., 3].add(noise)
-        return composite_intervals(out, edges, t_mids, unit_dirs)
+        return _mip_level(params, rays, edges, settings, model, nk)
 
     edges = stratified_ts_spaced(
         key, B, N + 1, settings.tn, settings.tf, rays.dtype,
@@ -275,6 +218,82 @@ def _render_mip(
     return out_f
 
 
+def _mip_level(
+    params: Params,
+    rays: jnp.ndarray,
+    edges: jnp.ndarray,
+    settings: RenderSettings,
+    model: NerfMLP,
+    nk: jax.Array | None = None,
+) -> CompositeOut:
+    """Render ONE cone-cast level at the given interval edges: conical
+    frustum Gaussians -> IPE forward -> interval compositing (finite
+    deltas, no 1e10 tail). Shared by ``_render_mip`` (stratified /
+    resampled edges) and ``render_rays_proposal`` under ``settings.mip``
+    (proposal-placed edges — the mip-NeRF 360 composition).
+
+    8-column rays (multiscale training / NDC animation) carry a per-ray
+    cone radius in column 6, overriding ``settings.base_radius``.
+    """
+    from nerf_simple_tpu.models.nerf import nerf_apply_mip
+    from nerf_simple_tpu.ops.sampling import conical_gaussian
+    from nerf_simple_tpu.ops.volume import composite_intervals
+
+    assert isinstance(model, NerfMLP), (
+        "mip rendering is NerfMLP-family only (the hash encoding has no "
+        "integrated form)"
+    )
+    B, N = edges.shape[0], edges.shape[1] - 1
+    dirs = rays[:, 3:6]
+    unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    radius = rays[:, 6:7] if rays.shape[1] >= 7 else settings.base_radius
+
+    if settings.backend == "pallas":
+        # fused kernel with the IPE encoder (kernels/mlp.py mip=True);
+        # interval compositing stays in XLA like the point eval path
+        outT, t_mids = _fused_mlp_bn_mip(
+            params, rays, edges, settings, model, radius
+        )
+        if nk is not None and settings.sigma_noise > 0:
+            noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
+            outT = outT.at[3].add(noise)
+        return composite_intervals(
+            jnp.moveaxis(outT, 0, -1), edges, t_mids, unit_dirs
+        )
+
+    means, vars_, t_mids = conical_gaussian(
+        rays, edges, radius, settings.mip_shape
+    )
+    rows = B * N
+    q = jnp.concatenate(
+        [
+            means.reshape(rows, 3),
+            vars_.reshape(rows, 3),
+            jnp.broadcast_to(unit_dirs[:, None, :], (B, N, 3)).reshape(
+                rows, 3
+            ),
+        ],
+        axis=-1,
+    )
+
+    def f(qq):
+        return nerf_apply_mip(
+            params, qq[:, :3], qq[:, 3:6], qq[:, 6:9], model,
+            settings.compute_dtype,
+        )
+
+    k = 1
+    while rows // k > settings.max_mlp_rows and rows % (k * 2) == 0:
+        k *= 2
+    out = (
+        jax.lax.map(f, q.reshape(k, rows // k, 9)) if k > 1 else f(q)
+    ).reshape(B, N, 4)
+    if nk is not None and settings.sigma_noise > 0:
+        noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
+        out = out.at[..., 3].add(noise)
+    return composite_intervals(out, edges, t_mids, unit_dirs)
+
+
 def _render_at_ts(
     params: Params,
     rays: jnp.ndarray,
@@ -285,18 +304,24 @@ def _render_at_ts(
     app: jnp.ndarray | None = None,
     enc_alpha: jnp.ndarray | None = None,
 ) -> CompositeOut:
+    from nerf_simple_tpu.kernels.mlp import supported as _kernel_ok
+
     B, N = ts.shape
     if (
-        app is None
-        and settings.backend == "pallas"
+        settings.backend == "pallas"
         and isinstance(model, NerfMLP)
+        and _kernel_ok(model)  # app_dim > 8 falls back to the XLA path
+        and (app is None) == (model.app_dim == 0)
     ):
         # feature-major path: build the kernel's x^T directly from the
         # (B, N) ray/sample structure — no (B*N, 6) transpose ever
         # exists. BARF annealing (enc_alpha) runs in-kernel via per-row
-        # window weights (kernels/mlp.py::anneal_row_weights).
+        # window weights (kernels/mlp.py::anneal_row_weights);
+        # appearance codes (app) ride input rows 8..15 and their
+        # gradients return through the kernel's input-grad output.
         outT = _fused_mlp_bn(
-            params, rays, ts, settings, model, enc_alpha=enc_alpha
+            params, rays, ts, settings, model, enc_alpha=enc_alpha,
+            app=app,
         )  # (4,B,N)
         if noise_key is not None and settings.sigma_noise > 0:
             noise = settings.sigma_noise * jax.random.normal(noise_key, (B, N))
@@ -404,6 +429,7 @@ def _fused_mlp_bn(
     settings: RenderSettings,
     model: NerfMLP,
     enc_alpha: jnp.ndarray | None = None,
+    app: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Evaluate the fused Pallas MLP over a (B, N) ray/sample grid.
 
@@ -411,24 +437,35 @@ def _fused_mlp_bn(
     structure — rows 0..2 sample xyz (unnormalized-dir placement, the
     reference quirk at utils/rendering.py:31-36), rows 3..5 unit view dir
     — so no (rows, 6)-shaped minor-dim transpose is ever materialized.
+    ``app`` (B, model.app_dim), required iff the model has an appearance
+    rail: codes broadcast per sample onto rows 8..15 of a 16-row stream
+    (kernels/mlp.py FusedWeightsApp); under autodiff their gradients
+    come back through the kernel's input-grad output, so the per-image
+    code tables train at fused-kernel speed.
     Returns channel-major (4, B, N); gradients flow to ``params`` through
     pack_weights' (differentiable) permutation/transposition.
     """
     from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights, supported
 
     assert supported(model), (
-        f"pallas backend needs H % 16 == 0, H >= 16 (got {model}); "
-        "use backend='xla' for other architectures"
+        f"pallas backend needs H % 16 == 0, H >= 16, app_dim <= 8 (got "
+        f"{model}); use backend='xla' for other architectures"
     )
+    assert (app is None) == (model.app_dim == 0), (model.app_dim, app)
     B, N = ts.shape
     oT = rays[:, :3].T  # (3, B) — tiny transposes
     dT = rays[:, 3:].T  # (3, B)
     unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
     locs_T = oT[:, :, None] + dT[:, :, None] * ts[None, :, :]  # (3, B, N)
     dirs_T = jnp.broadcast_to(unitT[:, :, None], (3, B, N))
-    x = jnp.concatenate(
-        [locs_T, dirs_T, jnp.zeros((2, B, N), rays.dtype)], axis=0
-    ).reshape(8, B * N)
+    blocks = [locs_T, dirs_T, jnp.zeros((2, B, N), rays.dtype)]
+    if app is not None:
+        appT = jnp.broadcast_to(
+            app.T[:, :, None].astype(rays.dtype),
+            (model.app_dim, B, N),
+        )
+        blocks += [appT, jnp.zeros((8 - model.app_dim, B, N), rays.dtype)]
+    x = jnp.concatenate(blocks, axis=0).reshape(-1, B * N)
 
     rows = B * N
     tile = 1024 if rows % 1024 == 0 else 128
@@ -528,6 +565,13 @@ def render_rays_proposal(
     occupancy-informed). ``return_aux`` additionally returns
     (ts_prop, w_prop, ts_fine) — the interlevel loss consumes them;
     ``w_prop`` is differentiable wrt the proposal params.
+
+    With ``settings.mip`` this becomes the full mip-NeRF 360 composition:
+    the proposal's interval histogram over stratified probe EDGES places
+    the fine level's interval edges (ops/sampling.py::resample_edges),
+    and the main field renders IPE cone frustums at them (``_mip_level``).
+    ``return_aux`` then returns (edges_prop, w_prop, edges_fine) — the
+    interval-form interlevel/distortion losses consume these.
     """
     from nerf_simple_tpu.models.proposal import ProposalMLP, proposal_weights
 
@@ -536,10 +580,39 @@ def render_rays_proposal(
         prop_model = ProposalMLP()
     k_strat, k_imp = jax.random.split(key)
     B = rays.shape[0]
+    if settings.mip:
+        from nerf_simple_tpu.models.proposal import (
+            proposal_weights_intervals,
+        )
+        from nerf_simple_tpu.ops.sampling import resample_edges
+
+        # config blocks appearance/anneal/occupancy with mip (IPE is not
+        # plumbed through them); probe edges are freshly stratified
+        # (midpoint-placed under det_fine so eval renders are fully
+        # deterministic end to end)
+        assert app is None and enc_alpha is None and ts_prop is None
+        edges_p = stratified_ts_spaced(
+            k_strat, B, settings.N_prop + 1, settings.tn, settings.tf,
+            rays.dtype, settings.sampling_space, det=det_fine,
+        )
+        w_prop = proposal_weights_intervals(
+            params["prop"], rays, edges_p, prop_model, settings.compute_dtype
+        )
+        edges_f = resample_edges(
+            k_imp,
+            edges_p,
+            jax.lax.stop_gradient(w_prop),
+            settings.N,
+            det=det_fine,
+        )
+        out = _mip_level(params["fine"], rays, edges_f, settings, model)
+        if return_aux:
+            return out, (edges_p, w_prop, edges_f)
+        return out
     if ts_prop is None:
         ts_prop = stratified_ts_spaced(
             k_strat, B, settings.N_prop, settings.tn, settings.tf,
-            rays.dtype, settings.sampling_space,
+            rays.dtype, settings.sampling_space, det=det_fine,
         )
     w_prop = proposal_weights(
         params["prop"], rays, ts_prop, prop_model, settings.compute_dtype

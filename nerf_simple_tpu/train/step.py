@@ -324,23 +324,23 @@ def build_train_step(
         import dataclasses as _dc
 
         model = _dc.replace(model, grad_mode="sample-fwd")
-    # Pose-ONLY refinement can stay on the Pallas render path: the fused
-    # kernel's vjp emits dL/dx from the backward kernel when asked
-    # (kernels/mlp.py _input_grad_tile), XLA autodiff chains it through
-    # ray generation into the delta tables, and BARF annealing runs
-    # in-kernel via traced window-weight inputs (anneal_row_weights).
-    # Appearance codes (extra MLP inputs) and mip (IPE would need
-    # d/d(variance)) still need the XLA render path.
+    # Per-image extras (pose refinement AND appearance codes) can stay
+    # on the Pallas render path: the fused kernel's vjp emits dL/dx
+    # from the backward kernel when asked (kernels/mlp.py
+    # _input_grad_tile — for appearance models the same output carries
+    # the per-sample code gradients on rows 8..15), XLA autodiff chains
+    # them through ray generation / the code-table gather, and BARF
+    # annealing runs in-kernel via traced window-weight inputs
+    # (anneal_row_weights). Only mip (IPE would need d/d(variance)) and
+    # app_dim > 8 (no stream rows left) still need the XLA render path.
     from nerf_simple_tpu.kernels.mlp import supported as _kernel_supported
 
     pallas_aux = (
         _aux_on(cfg)
         and cfg.backend == "pallas"
-        and cfg.pose_opt
-        and cfg.appearance_dim == 0
         and not cfg.mip
         and isinstance(model, NerfMLP)
-        and _kernel_supported(model)
+        and _kernel_supported(model)  # checks H alignment + app_dim <= 8
     )
     settings = RenderSettings(
         N=cfg.Nf,
@@ -354,10 +354,11 @@ def build_train_step(
         tn=cfg.tn,
         tf=cfg.tf,
         compute_dtype=cfg.render_dtype,
-        # per-image extras need d(loss)/d(rays) and per-ray codes: apart
-        # from the pose-only case above, the LOSS path must render
-        # through XLA autodiff (the fused kernel's default vjp is
-        # weights-only). Eval settings are unaffected (no pose grads).
+        # per-image extras need d(loss)/d(rays) and d(loss)/d(codes):
+        # apart from the pallas_aux cases above (where the backward
+        # kernel emits them), the LOSS path must render through XLA
+        # autodiff (the fused kernel's default vjp is weights-only).
+        # Eval settings are unaffected (no pose/code grads).
         backend=cfg.backend if (not _aux_on(cfg) or pallas_aux) else "xla",
         input_grads=pallas_aux,
         sigma_noise=cfg.sigma_noise,
@@ -480,17 +481,46 @@ def build_train_step(
             loss = jnp.mean((out.rgb - pix_b) ** 2)
             # distill the proposal from the main field's weights; the
             # stop_gradient keeps the main field from chasing its student
-            loss = loss + cfg.proposal_loss_weight * interlevel_loss(
-                jax.lax.stop_gradient(out.weights), ts_f, w_prop, ts_p
-            )
+            if cfg.mip:
+                # mip x proposal (the published mip-NeRF 360 model):
+                # the aux is interval EDGES (ts_p/ts_f are (B, N+1)
+                # edge arrays, w's are per-interval), so the losses
+                # take their exact interval-histogram forms
+                from nerf_simple_tpu.ops.volume import (
+                    interlevel_loss_intervals,
+                )
+
+                mids_f = 0.5 * (ts_f[:, 1:] + ts_f[:, :-1])
+                loss = loss + cfg.proposal_loss_weight * (
+                    interlevel_loss_intervals(
+                        jax.lax.stop_gradient(out.weights),
+                        mids_f, w_prop, ts_p,
+                    )
+                )
+            else:
+                loss = loss + cfg.proposal_loss_weight * interlevel_loss(
+                    jax.lax.stop_gradient(out.weights), ts_f, w_prop, ts_p
+                )
             if gt_d is not None:
                 loss = loss + cfg.depth_loss_weight * _depth_term(out, gt_d)
             if cfg.distortion_loss_weight > 0:
-                from nerf_simple_tpu.ops.volume import distortion_loss
+                if cfg.mip:
+                    from nerf_simple_tpu.ops.volume import (
+                        distortion_loss_intervals,
+                    )
 
-                loss = loss + cfg.distortion_loss_weight * distortion_loss(
-                    out.weights, _s_norm(ts_f)
-                )
+                    loss = loss + (
+                        cfg.distortion_loss_weight
+                        * distortion_loss_intervals(
+                            out.weights, _s_norm(ts_f)
+                        )
+                    )
+                else:
+                    from nerf_simple_tpu.ops.volume import distortion_loss
+
+                    loss = loss + cfg.distortion_loss_weight * (
+                        distortion_loss(out.weights, _s_norm(ts_f))
+                    )
             return loss
         if cfg.mip and cfg.mip_levels == 2:
             # full mip-NeRF: one shared MLP, coarse + resampled-fine
@@ -509,16 +539,24 @@ def build_train_step(
                 loss = loss + cfg.depth_loss_weight * _depth_term(out_f, gt_d)
             return loss
         ts = _maybe_occ_ts(key, rays_b, occ, cfg.Nf)
-        if ts is None and cfg.distortion_loss_weight > 0:
-            # materialize the same stratified ts render_rays would draw
+        edges = None
+        if cfg.distortion_loss_weight > 0:
+            # materialize the same stratified draw render_rays makes
             # internally (identical key -> identical stream), so the
-            # regularizer sees the ts the composite consumed
+            # regularizer sees what the composite consumed: N point ts
+            # on the point path, N+1 interval edges under mip
             from nerf_simple_tpu.ops.sampling import stratified_ts_spaced
 
-            ts = stratified_ts_spaced(
-                key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf, rays_b.dtype,
-                cfg.sampling_space,
-            )
+            if cfg.mip:
+                edges = stratified_ts_spaced(
+                    key, rays_b.shape[0], cfg.Nf + 1, cfg.tn, cfg.tf,
+                    rays_b.dtype, cfg.sampling_space,
+                )
+            elif ts is None:
+                ts = stratified_ts_spaced(
+                    key, rays_b.shape[0], cfg.Nf, cfg.tn, cfg.tf,
+                    rays_b.dtype, cfg.sampling_space,
+                )
         out = render_rays(
             params, rays_b, key, settings, model, ts=ts, app=app_b,
             enc_alpha=enc_alpha,
@@ -531,11 +569,20 @@ def build_train_step(
         if gt_d is not None:
             loss = loss + cfg.depth_loss_weight * _depth_term(out, gt_d)
         if cfg.distortion_loss_weight > 0:
-            from nerf_simple_tpu.ops.volume import distortion_loss
+            if cfg.mip:
+                from nerf_simple_tpu.ops.volume import (
+                    distortion_loss_intervals,
+                )
 
-            loss = loss + cfg.distortion_loss_weight * distortion_loss(
-                out.weights, _s_norm(ts)
-            )
+                loss = loss + cfg.distortion_loss_weight * (
+                    distortion_loss_intervals(out.weights, _s_norm(edges))
+                )
+            else:
+                from nerf_simple_tpu.ops.volume import distortion_loss
+
+                loss = loss + cfg.distortion_loss_weight * distortion_loss(
+                    out.weights, _s_norm(ts)
+                )
         return loss
 
     def _pick_tile(N: int, batch_rows: int) -> int | None:
@@ -624,31 +671,56 @@ def build_train_step(
             and not aux_on
             and cfg.sigma_noise == 0.0
             and cfg.depth_loss_weight == 0.0
-            and cfg.distortion_loss_weight == 0.0
+            # distortion runs IN-KERNEL in its point form
+            # (kernels/mlp.py::_composite_grad_block dist rail); only
+            # the interval form (mip) needs the XLA loss path
+            and (cfg.distortion_loss_weight == 0.0 or not cfg.mip)
+            # mip x proposal is the INTERVAL composition — it renders
+            # through render_rays_proposal's mip branch (the mip
+            # custom-vjp kernels), not the point-form fused proposal
+            # core below
+            and not (cfg.mip and cfg.proposal)
             and _kernel_supported(model)
             and None not in (tile_f, tile_c, tile_u)
         )
+        # in-kernel distortion parameters (static: baked into the
+        # compiled kernel)
+        dist = (
+            (
+                float(cfg.distortion_loss_weight),
+                float(cfg.tn),
+                float(cfg.tf),
+                cfg.sampling_space == "disparity",
+            )
+            if cfg.distortion_loss_weight > 0
+            else None
+        )
         if not fused_ok:
-            # pose-only refinement intentionally runs the 2-kernel
-            # custom-vjp path (fused fwd + fused bwd with input grads)
-            # instead of the single fused train kernel — still Pallas,
-            # no warning.
+            # per-image extras (pose/appearance) intentionally run the
+            # 2-kernel custom-vjp path (fused fwd + fused bwd with
+            # input/code grads) instead of the single fused train
+            # kernel — still Pallas, no warning.
             if cfg.backend == "pallas" and not pallas_aux:
                 import warnings
 
                 reason = (
-                    "appearance_dim / mip pose refinement (these extras "
-                    "need gradients the fused kernels don't emit: "
-                    "per-ray codes or d/d(variance))"
+                    "mip pose refinement (IPE would need d/d(variance) "
+                    "the fused kernels don't emit)"
+                    if aux_on and cfg.mip
+                    else "appearance_dim > 8 (no free rows in the "
+                    "kernel's 16-row input stream)"
                     if aux_on
                     else "sigma_noise > 0"
                     if cfg.sigma_noise != 0.0
                     else "depth_loss_weight > 0 (the fused kernel's "
                     "in-VMEM backward is MSE-only)"
                     if cfg.depth_loss_weight > 0
-                    else "distortion_loss_weight > 0 (the fused kernel's "
-                    "in-VMEM backward is MSE-only)"
+                    else "distortion_loss_weight > 0 under mip (the "
+                    "in-kernel distortion rail is point-form only)"
                     if cfg.distortion_loss_weight > 0
+                    else "mip x proposal (the interval composition "
+                    "renders through the mip custom-vjp kernels)"
+                    if cfg.mip and cfg.proposal
                     else f"arch (Lp,Ld,H)={(model.Lp, model.Ld, model.H)} "
                     "(needs H % 16 == 0, H >= 16)"
                     if not _kernel_supported(model)
@@ -701,6 +773,8 @@ def build_train_step(
                 ts_f = importance_ts(k_imp, ts_c, w_c, cfg.Nf)
                 ts_all = merge_sorted(ts_c, ts_f)
                 wts_f, vjp_f = jax.vjp(_pack, params["fine"])
+                # distortion (if on) regularizes the FINE union only,
+                # matching loss_fn (the coarse net just steers sampling)
                 loss_f, dwts_f = fused_train_step(
                     wts_f,
                     _build_x16(rays_b, ts_all, pix_b),
@@ -708,6 +782,7 @@ def build_train_step(
                     tile_u,
                     cfg.render_dtype,
                     model=model,
+                    dist=dist,
                 )
                 return loss_c + loss_f, {
                     "coarse": vjp_c(dwts_c)[0],
@@ -752,6 +827,7 @@ def build_train_step(
                     cfg.render_dtype,
                     out_weights=True,
                     model=model,
+                    dist=dist,
                 )
                 il, d_wprop = jax.value_and_grad(
                     lambda wp: interlevel_loss(w_f, ts_f, wp, ts_p)
@@ -815,7 +891,7 @@ def build_train_step(
             wts, vjp_fn = jax.vjp(_pack, params)
             loss, dwts = fused_train_step(
                 wts, _build_x16(rays_b, ts, pix_b), cfg.Nf, tile_f,
-                cfg.render_dtype, model=model,
+                cfg.render_dtype, model=model, dist=dist,
             )
             return loss, vjp_fn(dwts)[0]
 

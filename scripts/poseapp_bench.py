@@ -1,18 +1,18 @@
 """Step-time cost of the per-image trainable extras (pose_opt,
 appearance_dim) at the bench shape (batch 4096 x Nf 128, bf16).
 
-Appearance codes force the autodiff XLA loss path (extra MLP inputs the
-fused kernel doesn't take). Pose-ONLY refinement rides the Pallas
-2-kernel custom-vjp path: the backward kernel emits dL/dx
-(kernels/mlp.py::_input_grad_tile) and autodiff chains it through ray
-generation. The relevant comparisons:
+Both extras ride the Pallas 2-kernel custom-vjp path: the backward
+kernel emits dL/dx (kernels/mlp.py::_input_grad_tile) for pose deltas
+AND per-sample appearance-code gradients on the input-grad output's
+rows 8..15 (FusedWeightsApp rail); XLA autodiff chains them through ray
+generation / the code-table gather. Codes wider than 8 fall back to
+XLA autodiff. The relevant comparisons:
 
-  fused pallas baseline   <- the flagship fast path (1-kernel train step)
-  xla autodiff baseline   <- the path appearance extras actually ride
-  + pose_opt (xla)        <- se(3) deltas, XLA autodiff render
-  + pose_opt (pallas)     <- se(3) deltas, input-grad kernel path
-  + appearance_dim 8      <- per-ray code gather + wider color head
-  + both                  <- the real-capture recipe
+  fused pallas baseline     <- the flagship fast path (1-kernel train step)
+  xla autodiff baseline     <- the generic fallback path
+  + pose_opt (xla/pallas)   <- se(3) deltas, autodiff vs input-grad kernel
+  + appearance_dim 8 (both) <- per-ray code gather + color-head app rail
+  + both (xla/pallas)       <- the real-capture recipe
 
 Writes benchmarks/poseapp_bench.json. Scene content is irrelevant for
 step timing (fixed shapes); reuses $PA_SCENE or generates a tiny one.
@@ -56,8 +56,17 @@ CONFIGS = [
     ),
     ("xla + appearance_dim 8", dict(appearance_dim=8)),
     (
+        "pallas + appearance_dim 8 (code-grad kernel)",
+        dict(appearance_dim=8, backend="pallas"),
+    ),
+    (
         "xla + pose_opt + appearance_dim 8 (real-capture recipe)",
         dict(pose_opt=True, pose_warmup=100, appearance_dim=8),
+    ),
+    (
+        "pallas + pose_opt + appearance_dim 8 (real-capture recipe)",
+        dict(pose_opt=True, pose_warmup=100, appearance_dim=8,
+             backend="pallas"),
     ),
 ]
 

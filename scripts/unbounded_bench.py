@@ -125,8 +125,11 @@ def main():
     )
     train_gts = np.asarray(train_split.images[:2])
 
+    only = os.environ.get("UNB_ONLY", "")
     rows = []
     for name, kw in CONFIGS:
+        if only and only not in name:
+            continue
         cfg = TrainConfig(
             datapath=SCENE, Nf=128, batch_size=BATCH, num_iters=ITERS,
             steps_per_call=SPC, compute_dtype="bf16", backend="pallas",
@@ -199,7 +202,16 @@ def main():
 
     out = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
     os.makedirs(out, exist_ok=True)
-    with open(os.path.join(out, "unbounded_bench.json"), "w") as fh:
+    path = os.path.join(out, "unbounded_bench.json")
+    if only and os.path.exists(path):
+        # partial re-measure (UNB_ONLY filter): merge by config name
+        with open(path) as fh:
+            old = {r["config"]: r for r in json.load(fh)}
+        old.update({r["config"]: r for r in rows})
+        rows = [
+            old[n] for n, _ in CONFIGS if n in old
+        ]
+    with open(path, "w") as fh:
         json.dump(rows, fh, indent=1)
     print("wrote benchmarks/unbounded_bench.json")
 

@@ -217,6 +217,133 @@ def test_fused_train_step_pipelined_matches_full_width():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("space", ["linear", "disparity"])
+def test_fused_train_step_distortion_matches_xla(space):
+    """The in-kernel distortion rail (dist=(w, tn, tf, disp)) must
+    reproduce the XLA pipeline's loss AND parameter gradients for
+    mse + w * distortion_loss(weights, s_norm(ts)) — both the affine
+    (linear spacing) and 1/t (disparity) s-normalizations. This is the
+    seam that keeps the 360 recipe (proposal + distortion) on the
+    single fused train kernel."""
+    from nerf_simple_tpu.kernels.mlp import fused_train_step
+    from nerf_simple_tpu.ops.sampling import sample_points
+    from nerf_simple_tpu.ops.volume import composite, distortion_loss
+
+    B, N, tile = 8, 16, 128
+    tn, tf, lam = 2.0, 6.0, 0.05
+    model = NerfMLP()
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rng = np.random.default_rng(5)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (B, 3)), rng.normal(size=(B, 3))], -1
+        ),
+        jnp.float32,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
+    ts = jnp.asarray(np.sort(rng.uniform(tn, tf, (B, N)), -1), jnp.float32)
+
+    def s_norm(t):
+        if space == "disparity":
+            return (1.0 / tn - 1.0 / jnp.maximum(t, 1e-10)) / (
+                1.0 / tn - 1.0 / tf
+            )
+        return (t - tn) / (tf - tn)
+
+    def xla_loss(p):
+        locs, unit = sample_points(rays, ts)
+        q = jnp.concatenate(
+            [locs, jnp.broadcast_to(unit[:, None, :], locs.shape)], -1
+        ).reshape(B * N, 6)
+        out = nerf_apply(p, q, model).reshape(B, N, 4)
+        comp = composite(out, ts, unit)
+        return jnp.mean((comp.rgb - gt) ** 2) + lam * distortion_loss(
+            comp.weights, s_norm(ts)
+        )
+
+    ref_loss, ref_grads = jax.value_and_grad(xla_loss)(params)
+
+    oT = rays[:, :3].T
+    dT = rays[:, 3:].T
+    unitT = dT / jnp.linalg.norm(dT, axis=0, keepdims=True)
+    locs_T = oT[:, :, None] + dT[:, :, None] * ts[None]
+    x16 = jnp.concatenate(
+        [
+            locs_T,
+            jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+            ts[None],
+            jnp.zeros((1, B, N)),
+            jnp.broadcast_to(gt.T[:, :, None], (3, B, N)),
+            jnp.zeros((5, B, N)),
+        ],
+        axis=0,
+    ).reshape(16, B * N)
+
+    def kern_loss_grads(p):
+        wts, vjp_fn = jax.vjp(pack_weights, p)
+        loss, dwts = fused_train_step(
+            wts, x16, N, tile, jnp.float32,
+            dist=(lam, tn, tf, space == "disparity"),
+        )
+        return loss, vjp_fn(dwts)[0]
+
+    with pltpu.force_tpu_interpret_mode():
+        k_loss, k_grads = kern_loss_grads(params)
+
+    np.testing.assert_allclose(float(k_loss), float(ref_loss), rtol=1e-4)
+    for layer in ref_grads:
+        for kk in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(k_grads[layer][kk]),
+                np.asarray(ref_grads[layer][kk]),
+                atol=1e-5,
+                rtol=2e-3,
+                err_msg=f"{layer}/{kk} [{space}]",
+            )
+
+
+@pytest.mark.slow
+def test_fused_proposal_distortion_step_matches_xla():
+    """End-to-end: the fused proposal core with the in-kernel
+    distortion rail (the 360 recipe's loss shape) matches the autodiff
+    XLA step's losses over multiple scanned iterations."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.config import TrainConfig
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    rng = np.random.default_rng(7)
+    n_rays = 256
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (n_rays, 3)), rng.normal(size=(n_rays, 3))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng.uniform(0, 1, (n_rays, 3)), jnp.float32)
+
+    def run(backend):
+        cfg = TrainConfig(
+            datapath="x", Nf=16, proposal=True, Np=8, prop_Lp=4, prop_D=2,
+            prop_H=32, distortion_loss_weight=0.01, num_iters=2,
+            batch_size=64, steps_per_call=2, backend=backend,
+            compute_dtype="f32",
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+        )
+        model = NerfMLP(Lp=4, Ld=2, H=32)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False)
+        _, losses = step(state, rays, pixels, jax.random.PRNGKey(3))
+        return np.asarray(losses)
+
+    l_x = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        l_p = run("pallas")
+    np.testing.assert_allclose(l_p, l_x, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_fused_hierarchical_train_matches_generic():
     """The two-pass fused hierarchical core must match the generic
     (autodiff) hierarchical loss and gradients (f32, interpret mode)."""

@@ -1,0 +1,342 @@
+"""mip x proposal composition — the published mip-NeRF 360 model.
+
+Proposal-placed interval EDGES + IPE cone frustums + interval-form
+interlevel/distortion losses (Barron et al. 2022). No reference
+analogue (the reference stubs even plain hierarchical sampling,
+utils/nets.py:45-48); this is capability-completeness of the repo's
+own unbounded-scene recipe. Covers ops/volume.py::
+{weights_from_sigma_intervals, interlevel_loss_intervals,
+distortion_loss_intervals}, models/proposal.py::
+proposal_weights_intervals, ops/sampling.py::resample_edges(det=True),
+renderer.py::render_rays_proposal under settings.mip, and the train
+step composition.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_simple_tpu.config import TrainConfig
+from nerf_simple_tpu.models.nerf import NerfMLP, init_nerf_params
+from nerf_simple_tpu.models.proposal import (
+    ProposalMLP,
+    init_proposal_params,
+    proposal_weights_intervals,
+)
+from nerf_simple_tpu.ops.volume import (
+    composite_intervals,
+    distortion_loss_intervals,
+    interlevel_loss_intervals,
+    weights_from_sigma_intervals,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_scene_prop(tmp_path_factory):
+    from nerf_simple_tpu.data.blender import load_blender
+    from nerf_simple_tpu.data.dataset import RayDataset
+    from nerf_simple_tpu.data.synthetic import write_blender_scene
+
+    d = str(tmp_path_factory.mktemp("scene_mip_prop"))
+    write_blender_scene(d, n_train=4, n_val=1, n_test=1, H=24, W=24)
+    rd = RayDataset.from_blender(load_blender(d, half_res=False))
+    return rd.rays["train"], rd.pixels["train"]
+
+
+def _rand_rays(rng, B):
+    rays = np.concatenate(
+        [rng.normal(0, 0.1, (B, 3)), rng.normal(size=(B, 3))], -1
+    )
+    return jnp.asarray(rays, jnp.float32)
+
+
+def _sorted_edges(rng, B, N, lo=2.0, hi=6.0):
+    e = np.sort(rng.uniform(lo, hi, size=(B, N + 1)), axis=-1)
+    return jnp.asarray(e, jnp.float32)
+
+
+def test_weights_from_sigma_intervals_matches_composite(rng):
+    """The color-free interval weights must equal
+    composite_intervals().weights bit-for-bit for the same density."""
+    B, N = 16, 24
+    rgb_sigma = rng.normal(0, 2, size=(B, N, 4)).astype(np.float32)
+    edges = _sorted_edges(rng, B, N)
+    mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    dirs = rng.normal(size=(B, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    full = composite_intervals(
+        jnp.asarray(rgb_sigma), edges, mids, jnp.asarray(dirs)
+    )
+    w = weights_from_sigma_intervals(
+        jnp.asarray(rgb_sigma[..., 3]), edges, jnp.asarray(dirs)
+    )
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(full.weights))
+
+
+def test_interlevel_intervals_zero_when_covered(rng):
+    """A proposal histogram that upper-bounds the fine mass in every
+    probe bin incurs zero loss (only under-coverage is penalized)."""
+    B, N, Np = 8, 32, 8
+    edges_p = jnp.broadcast_to(
+        jnp.linspace(2.0, 6.0, Np + 1), (B, Np + 1)
+    ).astype(jnp.float32)
+    edges_f = _sorted_edges(rng, B, N)
+    mids_f = 0.5 * (edges_f[:, 1:] + edges_f[:, :-1])
+    w_f = jnp.asarray(
+        rng.uniform(0, 0.01, size=(B, N)).astype(np.float32)
+    )
+    w_p = jnp.full((B, Np), 1.0, jnp.float32)  # covers everything
+    loss = interlevel_loss_intervals(w_f, mids_f, w_p, edges_p)
+    assert float(loss) == 0.0
+
+
+def test_interlevel_intervals_matches_loop_oracle(rng):
+    """Literal per-ray double-loop oracle, f64."""
+    B, N, Np = 6, 20, 5
+    edges_p = np.sort(rng.uniform(2, 6, size=(B, Np + 1)), axis=-1)
+    edges_f = np.sort(rng.uniform(2, 6, size=(B, N + 1)), axis=-1)
+    mids_f = 0.5 * (edges_f[:, 1:] + edges_f[:, :-1])
+    w_f = rng.uniform(0, 0.3, size=(B, N))
+    w_p = rng.uniform(0, 0.2, size=(B, Np))
+    total = 0.0
+    for b in range(B):
+        interior = edges_p[b, 1:-1]
+        bound = np.zeros(Np)
+        for i in range(N):  # NO tail exclusion in the interval form
+            j = int(np.sum(interior <= mids_f[b, i]))
+            bound[j] += w_f[b, i]
+        excess = np.maximum(bound - w_p[b], 0.0)
+        total += np.sum(excess**2 / (w_p[b] + 1e-4))
+    want = total / B
+    got = float(
+        interlevel_loss_intervals(
+            jnp.asarray(w_f, jnp.float32),
+            jnp.asarray(mids_f, jnp.float32),
+            jnp.asarray(w_p, jnp.float32),
+            jnp.asarray(edges_p, jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_distortion_intervals_matches_naive_quadratic(rng):
+    """O(N) cumsum form == the literal O(N^2) eqn. 15 double sum."""
+    B, N = 5, 24
+    edges = np.sort(rng.uniform(2, 6, size=(B, N + 1)), axis=-1)
+    w = rng.uniform(0, 0.2, size=(B, N))
+    m = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    d = edges[:, 1:] - edges[:, :-1]
+    naive = np.mean(
+        np.sum(
+            w[:, :, None] * w[:, None, :] * np.abs(m[:, :, None] - m[:, None, :]),
+            axis=(1, 2),
+        )
+        + np.sum(w * w * d, axis=-1) / 3.0
+    )
+    got = float(
+        distortion_loss_intervals(
+            jnp.asarray(w, jnp.float32), jnp.asarray(edges, jnp.float32)
+        )
+    )
+    np.testing.assert_allclose(got, naive, rtol=1e-5)
+
+
+def test_distortion_intervals_prefers_concentrated(rng):
+    B, N = 4, 32
+    edges = jnp.broadcast_to(
+        jnp.linspace(2.0, 6.0, N + 1), (B, N + 1)
+    ).astype(jnp.float32)
+    spread = jnp.full((B, N), 1.0 / N, jnp.float32)
+    conc = jnp.zeros((B, N), jnp.float32).at[:, N // 2].set(1.0)
+    assert float(distortion_loss_intervals(conc, edges)) < float(
+        distortion_loss_intervals(spread, edges)
+    )
+
+
+def test_resample_edges_det_quantiles(rng):
+    """det=True: deterministic, sorted, inside the support, and tracking
+    the histogram (more edges where the weight is)."""
+    from nerf_simple_tpu.ops.sampling import resample_edges
+
+    B, N = 8, 16
+    edges = jnp.broadcast_to(
+        jnp.linspace(2.0, 6.0, N + 1), (B, N + 1)
+    ).astype(jnp.float32)
+    w = jnp.zeros((B, N), jnp.float32).at[:, 3].set(1.0)
+    a = resample_edges(jax.random.PRNGKey(0), edges, w, 32, det=True)
+    b = resample_edges(jax.random.PRNGKey(7), edges, w, 32, det=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a = np.asarray(a)
+    assert a.shape == (B, 33)
+    assert (np.diff(a, axis=-1) >= 0).all()
+    assert a.min() >= 2.0 - 1e-5 and a.max() <= 6.0 + 1e-5
+    # most resampled edges land inside the hot bin's neighborhood
+    lo, hi = 2.0 + 3 * 0.25, 2.0 + 4 * 0.25
+    frac = ((a >= lo - 0.3) & (a <= hi + 0.3)).mean()
+    assert frac > 0.5, frac
+
+
+def test_proposal_weights_intervals_props(rng):
+    """Shape/range + differentiability wrt proposal params + mip-column
+    tolerance (8-col rays: radius/weight columns ignored)."""
+    pm = ProposalMLP(Lp=4, D=2, H=32)
+    params = init_proposal_params(jax.random.PRNGKey(0), pm)
+    B, Np = 12, 8
+    rays = _rand_rays(rng, B)
+    edges = _sorted_edges(rng, B, Np)
+    w = proposal_weights_intervals(params, rays, edges, pm)
+    assert w.shape == (B, Np)
+    w = np.asarray(w)
+    assert (w >= 0).all() and (w.sum(-1) <= 1.0 + 1e-5).all()
+    rays8 = jnp.concatenate(
+        [rays, jnp.full((B, 1), 0.01), jnp.ones((B, 1))], axis=-1
+    )
+    w8 = proposal_weights_intervals(params, rays8, edges, pm)
+    np.testing.assert_array_equal(np.asarray(w8), w)
+    g = jax.grad(
+        lambda p: jnp.sum(proposal_weights_intervals(p, rays, edges, pm))
+    )(params)
+    assert all(
+        np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g)
+    )
+    assert max(
+        float(np.abs(np.asarray(leaf)).max()) for leaf in jax.tree.leaves(g)
+    ) > 0
+
+
+def test_config_mip_proposal_composition():
+    """mip x proposal (+distortion) is now a legal composition; the
+    redundant/contradictory combos still raise."""
+    cfg = TrainConfig(
+        datapath="x", mip=True, proposal=True, Np=8,
+        distortion_loss_weight=0.01,
+    )
+    assert cfg.mip and cfg.proposal
+    # plain mip + distortion is legal too (interval-form regularizer)
+    TrainConfig(datapath="x", mip=True, distortion_loss_weight=0.01)
+    with pytest.raises(ValueError, match="mip_levels=2 and proposal"):
+        TrainConfig(datapath="x", mip=True, mip_levels=2, proposal=True)
+    with pytest.raises(ValueError, match="mip=True is incompatible"):
+        TrainConfig(datapath="x", mip=True, proposal=True, occupancy=True)
+    with pytest.raises(ValueError, match="mip_levels=2"):
+        TrainConfig(
+            datapath="x", mip=True, mip_levels=2,
+            distortion_loss_weight=0.01,
+        )
+
+
+def test_test_config_mip_proposal_eval():
+    """Eval side: mip x Np (proposal-placed cone casting) is legal;
+    the point-resampling schemes still exclude mip."""
+    from nerf_simple_tpu.config import TestConfig
+
+    kw = dict(loadpath="m", datapath="x", savepath="s", exp_name="e")
+    cfg = TestConfig(mip=True, Np=8, **kw)
+    assert cfg.mip and cfg.Np == 8
+    with pytest.raises(ValueError, match="Nc/occupancy"):
+        TestConfig(mip=True, Nc=8, **kw)
+    with pytest.raises(ValueError, match="Nc/occupancy"):
+        TestConfig(mip=True, occupancy=True, **kw)
+    with pytest.raises(ValueError, match="mip_levels=2 and Np"):
+        TestConfig(mip=True, mip_levels=2, Np=8, **kw)
+
+
+def test_render_rays_proposal_mip_shapes_and_aux(rng):
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_proposal,
+    )
+
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+    pm = ProposalMLP(Lp=4, D=2, H=32)
+    params = {
+        "fine": init_nerf_params(jax.random.PRNGKey(0), model),
+        "prop": init_proposal_params(jax.random.PRNGKey(1), pm),
+    }
+    B, N, Np = 8, 16, 6
+    rays = _rand_rays(rng, B)
+    s = RenderSettings(N=N, N_prop=Np, mip=True, base_radius=0.01)
+    out, (edges_p, w_prop, edges_f) = render_rays_proposal(
+        params, rays, jax.random.PRNGKey(2), s, model, pm, return_aux=True
+    )
+    assert out.rgb.shape == (B, 3) and out.weights.shape == (B, N)
+    assert edges_p.shape == (B, Np + 1)
+    assert w_prop.shape == (B, Np)
+    assert edges_f.shape == (B, N + 1)
+    assert (np.diff(np.asarray(edges_f), axis=-1) >= 0).all()
+    assert np.isfinite(np.asarray(out.rgb)).all()
+    # det eval path is deterministic
+    o1 = render_rays_proposal(
+        params, rays, jax.random.PRNGKey(3), s, model, pm, det_fine=True
+    )
+    o2 = render_rays_proposal(
+        params, rays, jax.random.PRNGKey(9), s, model, pm, det_fine=True
+    )
+    np.testing.assert_array_equal(np.asarray(o1.rgb), np.asarray(o2.rgb))
+
+
+def test_mip_proposal_train_step_runs_and_learns(tiny_scene_prop):
+    """The full 360 composition (mip + proposal + distortion) trains:
+    loss finite and the MSE on a held-out batch drops; both nets get
+    gradients."""
+    rays, pixels = tiny_scene_prop
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    cfg = TrainConfig(
+        datapath="x", Nf=16, mip=True, proposal=True,
+        Np=8, prop_Lp=4, prop_D=2, prop_H=32,
+        distortion_loss_weight=0.001,
+        num_iters=120, batch_size=128, steps_per_call=10,
+        ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+    )
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    p0 = jax.device_get(state.params)
+    step = build_train_step(cfg, model, donate=False, base_radius=0.02)
+    key = jax.random.PRNGKey(1)
+    first = None
+    # IPE cone casting converges slower than point sampling at equal
+    # iters (the integrated encoder low-passes early gradients), so
+    # this composition gets 120 iters where test_proposal uses 60
+    for _ in range(12):
+        state, losses = step(state, rays, pixels, key)
+        if first is None:
+            first = np.asarray(losses)
+    last = np.asarray(losses)
+    assert np.isfinite(first).all() and np.isfinite(last).all()
+    assert last[-1] < 0.7 * first[0], (first[0], last[-1])
+    for group in ("prop", "fine"):
+        delta = max(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(
+                jax.tree.leaves(p0[group]),
+                jax.tree.leaves(jax.device_get(state.params)[group]),
+            )
+        )
+        assert delta > 1e-6, (group, delta)
+
+
+def test_mip_proposal_chunked_render(rng):
+    """Eval path: chunked full-image render through the proposal+mip
+    branch produces finite clipped rgb/disp at the right shapes."""
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_chunked,
+    )
+
+    model = NerfMLP(Lp=4, Ld=2, H=32)
+    pm = ProposalMLP(Lp=4, D=2, H=32)
+    params = {
+        "fine": init_nerf_params(jax.random.PRNGKey(0), model),
+        "prop": init_proposal_params(jax.random.PRNGKey(1), pm),
+    }
+    rays = _rand_rays(rng, 40)
+    s = RenderSettings(N=16, N_prop=6, mip=True, base_radius=0.01)
+    rgb, disp = render_rays_chunked(
+        params, rays, jax.random.PRNGKey(2), s, model, chunk=16,
+        prop_model=pm,
+    )
+    assert rgb.shape == (40, 3) and disp.shape == (40,)
+    rgb = np.asarray(rgb)
+    assert np.isfinite(rgb).all() and rgb.min() >= 0 and rgb.max() <= 1

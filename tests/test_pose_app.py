@@ -184,15 +184,17 @@ def test_make_train_state_requires_n_images():
 
 
 def test_pallas_backend_falls_back_with_warning():
-    """Appearance codes are extra MLP inputs the fused kernel doesn't
-    take — backend='pallas' warns and renders through XLA autodiff."""
-    cfg = _tiny_cfg(appearance_dim=4, backend="pallas", net_H=32)
+    """Appearance codes WIDER than the kernel stream's 8 free rows
+    can't ride the fused path — backend='pallas' warns and renders
+    through XLA autodiff (codes <= 8 wide take the kernel, see
+    test_pose_app_pallas_matches_xla_step)."""
+    cfg = _tiny_cfg(appearance_dim=16, backend="pallas", net_H=32)
     model = model_from_train_config(cfg)
     step = build_train_step(cfg, model, donate=False, rays_per_image=16)
     state = make_train_state(jax.random.PRNGKey(0), cfg, model, n_images=4)
     rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
     pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
-    with pytest.warns(UserWarning, match="appearance_dim / mip"):
+    with pytest.warns(UserWarning, match="appearance_dim > 8"):
         _, losses = step(state, rays, pix, jax.random.PRNGKey(3))
     assert bool(jnp.isfinite(losses).all())
 
@@ -243,6 +245,66 @@ def test_pose_only_pallas_matches_xla_step():
                 atol=1e-5,
                 err_msg=f"{k} {extra}",
             )
+
+
+@pytest.mark.slow  # interpret mode; the multichip dryrun also pins
+# pose+app pallas-vs-xla loss agreement every round
+def test_pose_app_pallas_matches_xla_step():
+    """Pose refinement + appearance codes TOGETHER ride the Pallas path
+    (no fallback warning): the backward kernel's input-grad output
+    carries dL/dx on rows 0..7 and the per-sample code gradients on
+    rows 8..15 (kernels/mlp.py FusedWeightsApp), and autodiff chains
+    them through apply_cam_deltas / the code-table gather. One full
+    train step must move BOTH per-image tables identically to the XLA
+    backend (f32, interpret mode). Also covers appearance-ONLY (the
+    pose rows of the input grad are dead but the code rail is live)."""
+    import warnings as _warnings
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+    def run(backend, **kw):
+        cfg = _tiny_cfg(backend=backend, steps_per_call=2, **kw)
+        model = model_from_train_config(cfg)
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model, n_images=4
+        )
+        step = build_train_step(cfg, model, donate=False, rays_per_image=16)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # any fallback warning fails
+            s2, losses = step(state, rays, pix, jax.random.PRNGKey(3))
+        return s2, losses
+
+    for extra in (
+        {"pose_opt": True, "appearance_dim": 4},
+        {"appearance_dim": 8},  # app-only, at the full 8-row rail
+    ):
+        s_x, l_x = run("xla", **extra)
+        with pltpu.force_tpu_interpret_mode():
+            s_p, l_p = run("pallas", **extra)
+
+        np.testing.assert_allclose(
+            np.asarray(l_p), np.asarray(l_x), rtol=2e-5, err_msg=str(extra)
+        )
+        # code (and delta) tables moved, and moved the same way
+        assert float(jnp.abs(s_x.params["app"]).max()) > 0
+        np.testing.assert_allclose(
+            np.asarray(s_p.params["app"]),
+            np.asarray(s_x.params["app"]),
+            atol=1e-5,
+            err_msg=f"app {extra}",
+        )
+        if "pose_opt" in extra:
+            assert float(jnp.abs(s_x.params["cams"]["dr"]).max()) > 0
+            for k in ("dr", "dt"):
+                np.testing.assert_allclose(
+                    np.asarray(s_p.params["cams"][k]),
+                    np.asarray(s_x.params["cams"][k]),
+                    atol=1e-5,
+                    err_msg=f"{k} {extra}",
+                )
 
 
 def test_zero_deltas_match_vanilla_step_losses():
