@@ -1,4 +1,11 @@
-.PHONY: test fast bench quickstart smoke
+.PHONY: test fast bench quickstart smoke validate-real
+
+# real-dataset validation: probes ./data for nerf_synthetic/lego and
+# nerf_llff_data/fern (scripts/download_data.sh fetches them where
+# egress exists) and emits the lego/fern/multiscale PSNR tables through
+# the production train/eval CLIs. Skips gracefully when data is absent.
+validate-real:
+	python scripts/validate_real.py --data_root data
 
 test:
 	python -m pytest tests/ -q
