@@ -191,6 +191,7 @@ def test_split_lr_optimizer_labels(small_model):
     assert u_basis / u_mlp == pytest.approx(1.0, rel=0.05)
 
 
+@pytest.mark.slow
 def test_train_step_cpgrid_loss_decreases(small_model):
     """A few hundred steps on a fixed ray batch must fit it (grid
     families memorize fast — that is the family's whole point)."""
@@ -320,6 +321,7 @@ def test_npz_export_roundtrip_cpgrid(tmp_path, small_model):
     )
 
 
+@pytest.mark.slow
 def test_hierarchical_cpgrid_render(small_model):
     """Coarse/fine with cpgrid fields through the family-agnostic path."""
     from nerf_simple_tpu.render.renderer import (

@@ -60,6 +60,7 @@ def test_negative_depth_weight_rejected():
         TrainConfig(datapath="/tmp/x", depth_loss_weight=-0.1)
 
 
+@pytest.mark.slow
 def test_missing_sidecars_raise_actionable_error(tmp_path):
     from nerf_simple_tpu.train.loop import train
 
@@ -75,6 +76,7 @@ def test_missing_sidecars_raise_actionable_error(tmp_path):
         train(cfg)
 
 
+@pytest.mark.slow
 def test_depth_loss_trains_depth_toward_gt(depth_scene, tmp_path):
     """Supervised training reduces depth RMSE on the train view; the
     depth term actually reaches the gradients (loss differs from the
@@ -138,6 +140,7 @@ def test_depth_loss_trains_depth_toward_gt(depth_scene, tmp_path):
     assert float(ld[0]) > float(l0[0])  # additive non-negative term
 
 
+@pytest.mark.slow
 def test_eval_reports_depth_rmse(depth_scene, tmp_path, capsys):
     """Full CLI pass: train tiny with depth supervision, eval prints the
     depth_rmse line and writes the usual artifacts."""
@@ -167,6 +170,7 @@ def test_eval_reports_depth_rmse(depth_scene, tmp_path, capsys):
     assert "depth_rmse=" in outp
 
 
+@pytest.mark.slow
 def test_distortion_regularizer_reduces_ray_spread(depth_scene, tmp_path):
     """Training with distortion_loss_weight yields lower measured
     distortion (weight spread along rays) than the plain run at equal

@@ -155,6 +155,7 @@ def test_render_rays_with_hashgrid(small_model):
     assert bool(jnp.isfinite(out.disp).all())
 
 
+@pytest.mark.slow
 def test_train_step_hashgrid_loss_decreases(small_model):
     """A few hundred steps on a fixed ray batch must fit it (the hash
     tables memorize fast — that is the family's whole point)."""
@@ -304,6 +305,7 @@ def test_infer_model_fallback(small_model):
     assert m == default_model
 
 
+@pytest.mark.slow
 def test_hierarchical_hashgrid_render(small_model):
     from nerf_simple_tpu.render.renderer import (
         RenderSettings,
@@ -373,6 +375,7 @@ def test_onecorner_autodiff_scatters_one_row(small_model, rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_hash_fwd_mode_training(small_model):
     """hash_fwd_mode: sample trains (loss decreases) while checkpoints
     record the EXACT-interpolation model for eval."""

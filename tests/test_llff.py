@@ -118,6 +118,7 @@ def test_spiral_poses_geometry(llff_dir):
         assert view @ avg_view > 0.8  # within ~35 degrees of forward
 
 
+@pytest.mark.slow
 def test_llff_ndc_animation_renders_scene(llff_dir):
     """NDC-warped spiral rays actually hit the scene: finite output and
     acc > 0 (the r1 bug rendered un-warped world rays at t in [0,1] —

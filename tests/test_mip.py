@@ -734,6 +734,7 @@ def test_mip_train_learns_and_eval_renders(tmp_path):
     assert os.path.exists(os.path.join(root, "results", "mip", "rgb_0.png"))
 
 
+@pytest.mark.slow
 def test_multiscale_two_level_combo(rng):
     """mip_multiscale + mip_levels=2: both fused passes consume the
     8-column rays (per-ray radius + weight) and losses stay finite."""

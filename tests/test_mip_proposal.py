@@ -276,6 +276,7 @@ def test_render_rays_proposal_mip_shapes_and_aux(rng):
     np.testing.assert_array_equal(np.asarray(o1.rgb), np.asarray(o2.rgb))
 
 
+@pytest.mark.slow
 def test_mip_proposal_train_step_runs_and_learns(tiny_scene_prop):
     """The full 360 composition (mip + proposal + distortion) trains:
     loss finite and the MSE on a held-out batch drops; both nets get

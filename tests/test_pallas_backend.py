@@ -37,8 +37,11 @@ def test_pallas_render_matches_xla_render():
 
 
 def test_pallas_train_grads_match_xla():
-    """Full training-loss gradients agree between backends."""
-    model = NerfMLP()
+    """Full training-loss gradients agree between backends. Small arch
+    (the kernels are arch-generic; interpret-mode cost scales with H^2
+    — flagship-width parity is pinned by the slow suite + the TPU
+    dryrun)."""
+    model = NerfMLP(Lp=4, Ld=2, H=32)
     params = init_nerf_params(jax.random.PRNGKey(0), model)
     rng = np.random.default_rng(1)
     rays = jnp.asarray(
@@ -79,7 +82,7 @@ def test_pallas_input_grads_match_xla():
     import dataclasses
 
     for contract in (False, True):
-        model = NerfMLP(contract=contract)
+        model = NerfMLP(Lp=4, Ld=2, H=32, contract=contract)
         params = init_nerf_params(jax.random.PRNGKey(0), model)
         rng = np.random.default_rng(3)
         # origins spread so contract exercises both |x|<=1 and |x|>1
@@ -122,7 +125,7 @@ def test_pallas_annealed_encoder_matches_xla():
     """In-kernel BARF windowing (anneal_row_weights) matches the XLA
     encoder's gamma(alpha=...) at a mid-ramp alpha, through the public
     render path."""
-    model = NerfMLP()
+    model = NerfMLP(Lp=4, Ld=2, H=32)
     params = init_nerf_params(jax.random.PRNGKey(0), model)
     rng = np.random.default_rng(5)
     rays = jnp.asarray(

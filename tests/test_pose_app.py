@@ -794,6 +794,7 @@ def test_pe_anneal_config_validation():
         )
 
 
+@pytest.mark.slow
 def test_anneal_step_trains_and_matches_full_encoder_at_end():
     """A pose_opt + pe_anneal train step runs with finite losses, and
     once the schedule completes (step >= pe_anneal_until) the annealed

@@ -296,6 +296,7 @@ def test_debug_nan_flag_wraps_train_step(tiny_scene):
     assert int(state2.step) == 2
 
 
+@pytest.mark.slow
 def test_custom_arch_trains_and_eval_infers(tmp_path):
     """net_H/net_Lp/net_Ld config knobs train a non-flagship network and
     the eval driver infers the architecture from checkpoint shapes."""
