@@ -1114,15 +1114,19 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
     — w8 is the per-sample compositing weights broadcast row (row 0),
     consumed by the hierarchical path's importance sampler.
 
-    ``dist`` (non-mip only): ``(dist_scale, tn, tf, disparity)`` enables
-    the IN-KERNEL distortion regularizer (ops/volume.py::distortion_loss
-    point form, mip-NeRF 360 eqn. 15): positions are s-normalized ts
-    (train/step.py::_s_norm semantics — affine for linear spacing,
-    1/t-affine for disparity), the last sample is excluded (its 1e10
-    tail delta is artificial), and the loss gradient enters the sigma
-    backprop through the same generic d_w -> d_alpha conversion as the
-    MSE term. Two extra segmented cumsums + one (2-row) segment-total
-    matmul pair — O(N) on lanes, no new HBM traffic."""
+    ``dist``: ``(dist_scale, tn, tf, disparity)`` enables the IN-KERNEL
+    distortion regularizer (mip-NeRF 360 eqn. 15): positions are
+    s-normalized (train/step.py::_s_norm semantics — affine for linear
+    spacing, 1/t-affine for disparity) and the loss gradient enters the
+    sigma backprop through the same generic d_w -> d_alpha conversion
+    as the MSE term. Point form (non-mip; ops/volume.py::
+    distortion_loss): positions are the sample ts, the last sample is
+    excluded (its 1e10 tail delta is artificial). Interval form (mip;
+    ops/volume.py::distortion_loss_intervals): positions are s-space
+    interval midpoints from rows 7 (t0) and 6 (width), the self term
+    uses true s-space widths, no tail drop. Either way: two extra
+    segmented cumsums + one (2-row) segment-total matmul pair — O(N)
+    on lanes, no new HBM traffic."""
     tile = out8.shape[1]
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
@@ -1186,19 +1190,33 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
     d_w = jnp.sum(prod, axis=0, keepdims=True)  # (1, tile)
 
     if dist is not None:
-        assert not mip, "in-kernel distortion is point-form only"
         d_scale, dn, df, disp = dist
-        ts_r = x16b[6:7, :]
-        if disp:
-            s_pos = (1.0 / dn - 1.0 / jnp.maximum(ts_r, 1e-10)) / (
-                1.0 / dn - 1.0 / df
-            )
+
+        def s_of(t):
+            if disp:
+                return (1.0 / dn - 1.0 / jnp.maximum(t, 1e-10)) / (
+                    1.0 / dn - 1.0 / df
+                )
+            return (t - dn) / (df - dn)
+
+        if mip:
+            # INTERVAL form (ops/volume.py::distortion_loss_intervals):
+            # positions are s-space interval midpoints, the self term
+            # uses true s-space interval widths, and no tail is dropped
+            # (interval compositing has no artificial absorber). Row 7
+            # carries t0 per interval, row 6 its t-width.
+            s0 = s_of(x16b[7:8, :])
+            s1 = s_of(x16b[7:8, :] + delta)
+            s_pos = 0.5 * (s0 + s1)
+            d_s = s1 - s0
+            wm = w
         else:
-            s_pos = (ts_r - dn) / (df - dn)
-        s_next = pltpu.roll(s_pos, tile - 1, axis=1)  # value at lane+1
-        last = segpos == N - 1
-        d_s = jnp.where(last, 0.0, s_next - s_pos)  # gap to next sample
-        wm = jnp.where(last, 0.0, w)  # point form drops the tail sample
+            ts_r = x16b[6:7, :]
+            s_pos = s_of(ts_r)
+            s_next = pltpu.roll(s_pos, tile - 1, axis=1)  # value at lane+1
+            last = segpos == N - 1
+            d_s = jnp.where(last, 0.0, s_next - s_pos)  # gap to next sample
+            wm = jnp.where(last, 0.0, w)  # point form drops the tail sample
         wms = wm * s_pos
         A_in = _seg_cumsum(wm, segpos, N)
         A_ex = A_in - wm
@@ -1224,7 +1242,9 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
         d_w_dist = (
             2.0 * (cross_b + SBm - s_pos * SA) + (2.0 / 3.0) * wm * d_s
         )
-        d_w = d_w + d_scale * jnp.where(last, 0.0, d_w_dist)
+        if not mip:
+            d_w_dist = jnp.where(last, 0.0, d_w_dist)
+        d_w = d_w + d_scale * d_w_dist
 
     y = d_w * w
     y8 = jnp.where(rows_i == 0, jnp.broadcast_to(y, (8, tile)), 0.0)
@@ -1339,9 +1359,10 @@ def fused_train_step(
         B*N must be a multiple of tile_rows and tile_rows of N.
         With ``mip=True``: rows 0..2 frustum Gaussian means, 6 the true
         interval widths t1-t0 (composited directly — no 1e10 tail),
-        11..13 diagonal variances (IPE encoder), 14 per-ray loss weight
-        (1.0 except multiscale training), 15 zero
-        (train/step.py::_build_x16_mip).
+        7 the interval near edges t0 (consumed only by the interval
+        distortion rail), 11..13 diagonal variances (IPE encoder),
+        14 per-ray loss weight (1.0 except multiscale training), 15
+        zero (train/step.py::_build_x16_mip).
       N: samples per ray.
       out_weights: also return the per-sample compositing weights (B, N)
         (used by the hierarchical path to drive importance sampling).
@@ -1353,20 +1374,17 @@ def fused_train_step(
         yields 4 sub-blocks). Default 1 = full-width, the
         measured-fastest layout on v5e.
       dist: optional ``(weight, tn, tf, disparity)`` — adds the
-        mip-NeRF 360 distortion regularizer (point form, s-normalized)
-        to the in-kernel loss AND its gradient to the sigma backprop
-        (_composite_grad_block). Non-mip only. This keeps the 360
-        recipe (proposal + distortion) on the single fused train
-        kernel instead of the 2-kernel custom-vjp fallback.
+        mip-NeRF 360 distortion regularizer (s-normalized; point form,
+        or exact interval-histogram form under ``mip``) to the
+        in-kernel loss AND its gradient to the sigma backprop
+        (_composite_grad_block). This keeps the 360 recipes (proposal
+        + distortion, and the mip x proposal composition) on the
+        single fused train kernel instead of the autodiff fallback.
 
     Returns:
       (loss scalar, weight gradients in kernel layout[, weights (B, N)]).
     """
     rows = x16.shape[1]
-    assert not (mip and dist is not None), (
-        "in-kernel distortion is point-form only; interval-form "
-        "distortion (mip) runs through the XLA loss path"
-    )
     assert model.app_dim == 0, (
         "the single fused train kernel has no appearance slot (its x16 "
         "rows 8..10 carry gt colors); appearance training runs the "

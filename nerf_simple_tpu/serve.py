@@ -56,19 +56,29 @@ class RenderServer:
         self.params = jax.tree.map(jax.numpy.asarray, params)
         self.model = model or infer_model(params)
         self.settings = settings or RenderSettings()
-        if self.settings.mip and (
-            self.settings.N_prop > 0
-            or self.settings.N_coarse > 0
-            or occupancy
-        ):
+        if self.settings.mip and (self.settings.N_coarse > 0 or occupancy):
             # mirror Train/TestConfig validation: cone casting draws its
             # own interval edges (occupancy ts would trip the renderer's
-            # assert; proposal/hierarchical would silently win the
-            # dispatch and drop cone casting while /health reports mip)
+            # assert; hierarchical would silently win the dispatch and
+            # drop cone casting while /health reports mip). Proposal DOES
+            # compose (render_rays_proposal's mip branch: the proposal
+            # histogram places the interval edges — the mip-NeRF 360
+            # model serves as trained).
             raise ValueError(
-                "mip serving excludes proposal/hierarchical/occupancy "
-                "sampling: cone casting draws its own interval edges "
-                "(mip_levels=2 is the cone-cast hierarchical scheme)"
+                "mip serving excludes hierarchical/occupancy sampling: "
+                "cone casting draws its own interval edges (mip_levels=2 "
+                "is the cone-cast hierarchical scheme); proposal-guided "
+                "mip serving IS supported (--proposal-samples)"
+            )
+        if (
+            self.settings.mip
+            and self.settings.mip_levels == 2
+            and self.settings.N_prop > 0
+        ):
+            # same rejection as TrainConfig: both define the coarse level
+            raise ValueError(
+                "mip_levels=2 and proposal sampling both define the "
+                "coarse level; serve mip x proposal with mip_levels=1"
             )
         self.prop_model = None
         if self.settings.N_prop > 0:

@@ -642,7 +642,10 @@ def build_train_step(
                 meanT,
                 jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
                 (t1 - t0)[None],
-                jnp.zeros((1, B, N), rays_b.dtype),
+                # row 7: interval near edge — consumed only by the
+                # kernel's interval-form distortion rail (the encoder's
+                # spread matrices never read x columns 6..7)
+                t0[None],
                 jnp.broadcast_to(pix_b.T[:, :, None], (3, B, N)),
                 varT,
                 lw[None],
@@ -671,15 +674,13 @@ def build_train_step(
             and not aux_on
             and cfg.sigma_noise == 0.0
             and cfg.depth_loss_weight == 0.0
-            # distortion runs IN-KERNEL in its point form
-            # (kernels/mlp.py::_composite_grad_block dist rail); only
-            # the interval form (mip) needs the XLA loss path
-            and (cfg.distortion_loss_weight == 0.0 or not cfg.mip)
-            # mip x proposal is the INTERVAL composition — it renders
-            # through render_rays_proposal's mip branch (the mip
-            # custom-vjp kernels), not the point-form fused proposal
-            # core below
-            and not (cfg.mip and cfg.proposal)
+            # distortion runs IN-KERNEL in both its forms
+            # (kernels/mlp.py::_composite_grad_block dist rail: point
+            # form on sample ts, exact interval-histogram form under
+            # mip); mip x proposal runs the fused mip core below with
+            # proposal-placed interval edges — only the two-level
+            # shared-MLP scheme keeps distortion off (config rejects
+            # mip_levels=2 + distortion)
             and _kernel_supported(model)
             and None not in (tile_f, tile_c, tile_u)
         )
@@ -715,12 +716,6 @@ def build_train_step(
                     else "depth_loss_weight > 0 (the fused kernel's "
                     "in-VMEM backward is MSE-only)"
                     if cfg.depth_loss_weight > 0
-                    else "distortion_loss_weight > 0 under mip (the "
-                    "in-kernel distortion rail is point-form only)"
-                    if cfg.distortion_loss_weight > 0
-                    else "mip x proposal (the interval composition "
-                    "renders through the mip custom-vjp kernels)"
-                    if cfg.mip and cfg.proposal
                     else f"arch (Lp,Ld,H)={(model.Lp, model.Ld, model.H)} "
                     "(needs H % 16 == 0, H >= 16)"
                     if not _kernel_supported(model)
@@ -791,6 +786,64 @@ def build_train_step(
 
             return core
 
+        if cfg.proposal and cfg.mip:
+            from nerf_simple_tpu.models.proposal import (
+                proposal_weights_intervals,
+            )
+            from nerf_simple_tpu.ops.sampling import resample_edges
+            from nerf_simple_tpu.ops.volume import interlevel_loss_intervals
+
+            def core(params, rays_b, pix_b, im_b, key, occ, step=None):
+                # the published mip-NeRF 360 composition on the single
+                # fused kernel: the proposal's interval histogram over
+                # stratified probe EDGES places the fine interval edges,
+                # the main field's IPE fwd+composite+MSE+bwd (plus the
+                # interval distortion rail when cfg asks) runs in-kernel,
+                # and the interval-form interlevel loss distills the
+                # proposal from the kernel's (non-differentiable —
+                # i.e. already stop-gradient) weights output. Key stream
+                # matches renderer.py::render_rays_proposal's mip branch
+                # exactly, so xla/pallas losses agree per step.
+                B = rays_b.shape[0]
+                k_strat, k_imp = jax.random.split(key)
+                edges_p = stratified_ts_spaced(
+                    k_strat, B, cfg.Np + 1, cfg.tn, cfg.tf, rays_b.dtype,
+                    cfg.sampling_space,
+                )
+                w_prop, vjp_p = jax.vjp(
+                    lambda pp: proposal_weights_intervals(
+                        pp, rays_b, edges_p, prop_arch, cfg.render_dtype
+                    ),
+                    params["prop"],
+                )
+                edges_f = resample_edges(
+                    k_imp, edges_p, jax.lax.stop_gradient(w_prop), cfg.Nf
+                )
+                wts_f, vjp_f = jax.vjp(_pack, params["fine"])
+                loss_mse, dwts_f, w_f = fused_train_step(
+                    wts_f,
+                    _build_x16_mip(rays_b, edges_f, pix_b),
+                    cfg.Nf,
+                    tile_f,
+                    cfg.render_dtype,
+                    out_weights=True,
+                    model=model,
+                    mip=True,
+                    dist=dist,
+                )
+                mids_f = 0.5 * (edges_f[:, 1:] + edges_f[:, :-1])
+                il, d_wprop = jax.value_and_grad(
+                    lambda wp: interlevel_loss_intervals(
+                        w_f, mids_f, wp, edges_p
+                    )
+                )(w_prop)
+                return loss_mse + cfg.proposal_loss_weight * il, {
+                    "prop": vjp_p(cfg.proposal_loss_weight * d_wprop)[0],
+                    "fine": vjp_f(dwts_f)[0],
+                }
+
+            return core
+
         if cfg.proposal:
             from nerf_simple_tpu.models.proposal import proposal_weights
             from nerf_simple_tpu.ops.volume import interlevel_loss
@@ -845,8 +898,8 @@ def build_train_step(
             def core(params, rays_b, pix_b, im_b, key, occ, step=None):
                 # same key -> identical edge stream as the XLA
                 # _render_mip path (renderer.py), so xla/pallas losses
-                # agree; mip excludes hierarchical/proposal/occupancy by
-                # config validation
+                # agree; mip excludes hierarchical/occupancy by config
+                # validation (proposal composes via the core above)
                 edges = stratified_ts_spaced(
                     key, rays_b.shape[0], cfg.Nf + 1, cfg.tn, cfg.tf,
                     rays_b.dtype, cfg.sampling_space,
@@ -876,6 +929,7 @@ def build_train_step(
                 loss, dwts = fused_train_step(
                     wts, _build_x16_mip(rays_b, edges, pix_b), cfg.Nf,
                     tile_f, cfg.render_dtype, model=model, mip=True,
+                    dist=dist,
                 )
                 return loss, vjp_fn(dwts)[0]
 

@@ -341,3 +341,148 @@ def test_mip_proposal_chunked_render(rng):
     assert rgb.shape == (40, 3) and disp.shape == (40,)
     rgb = np.asarray(rgb)
     assert np.isfinite(rgb).all() and rgb.min() >= 0 and rgb.max() <= 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("space", ["linear", "disparity"])
+def test_fused_interval_distortion_matches_xla(space):
+    """The in-kernel INTERVAL-form distortion rail (mip=True + dist):
+    fused_train_step must reproduce the XLA pipeline's loss AND
+    parameter gradients for mse + w * distortion_loss_intervals(
+    weights, s_norm(edges)) — s-space midpoints, true s-space widths,
+    no tail drop — in both s-normalizations. This is the seam that
+    keeps mip(+proposal)+distortion on the single fused kernel
+    (kernels/mlp.py::_composite_grad_block mip branch; the t0 edges
+    ride x16 row 7)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.kernels.mlp import fused_train_step, pack_weights
+    from nerf_simple_tpu.models.nerf import nerf_apply_mip
+    from nerf_simple_tpu.ops.sampling import (
+        frustum_gaussians_T,
+        stratified_ts_spaced,
+    )
+
+    B, N, tile = 8, 16, 128
+    tn, tf, lam = 2.0, 6.0, 0.05
+    base_radius = 0.05
+    rng = np.random.default_rng(11)
+    model = NerfMLP(Lp=6, Ld=2, H=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (B, 3)), rng.normal(size=(B, 3))], -1
+        ),
+        jnp.float32,
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (B, 3)), jnp.float32)
+    edges = stratified_ts_spaced(
+        jax.random.PRNGKey(1), B, N + 1, tn, tf, jnp.float32, space
+    )
+
+    def s_norm(t):
+        if space == "disparity":
+            return (1.0 / tn - 1.0 / jnp.maximum(t, 1e-10)) / (
+                1.0 / tn - 1.0 / tf
+            )
+        return (t - tn) / (tf - tn)
+
+    meanT, unitT, varT, t_mids = frustum_gaussians_T(
+        rays, edges, base_radius, "cone"
+    )
+
+    def xla_loss(p):
+        unit = unitT.T
+        out = nerf_apply_mip(
+            p,
+            meanT.reshape(3, B * N).T,
+            varT.reshape(3, B * N).T,
+            jnp.broadcast_to(unit[:, None, :], (B, N, 3)).reshape(B * N, 3),
+            model,
+        ).reshape(B, N, 4)
+        comp = composite_intervals(out, edges, t_mids, unit)
+        return jnp.mean((comp.rgb - gt) ** 2) + lam * (
+            distortion_loss_intervals(comp.weights, s_norm(edges))
+        )
+
+    ref_loss, ref_grads = jax.value_and_grad(xla_loss)(params)
+
+    t0, t1 = edges[:, :-1], edges[:, 1:]
+    x16 = jnp.concatenate(
+        [
+            meanT,
+            jnp.broadcast_to(unitT[:, :, None], (3, B, N)),
+            (t1 - t0)[None],
+            t0[None],  # row 7: near edges for the interval dist rail
+            jnp.broadcast_to(gt.T[:, :, None], (3, B, N)),
+            varT,
+            jnp.ones((1, B, N)),
+            jnp.zeros((1, B, N)),
+        ],
+        axis=0,
+    ).reshape(16, B * N)
+
+    def kern(p):
+        wts, vjp_fn = jax.vjp(lambda pp: pack_weights(pp, model=model), p)
+        loss, dwts = fused_train_step(
+            wts, x16, N, tile, jnp.float32, model=model, mip=True,
+            dist=(lam, tn, tf, space == "disparity"),
+        )
+        return loss, vjp_fn(dwts)[0]
+
+    with pltpu.force_tpu_interpret_mode():
+        k_loss, k_grads = kern(params)
+
+    np.testing.assert_allclose(float(k_loss), float(ref_loss), rtol=1e-4)
+    for layer in ref_grads:
+        for kk in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(k_grads[layer][kk]),
+                np.asarray(ref_grads[layer][kk]),
+                atol=1e-5,
+                rtol=2e-3,
+                err_msg=f"{layer}/{kk} [{space}]",
+            )
+
+
+@pytest.mark.slow
+def test_fused_mip_proposal_step_matches_xla():
+    """End-to-end: the fused mip x proposal core (proposal-placed
+    edges -> single fused IPE train kernel with the interval distortion
+    rail -> interval interlevel distillation) matches the autodiff XLA
+    step's losses over multiple scanned iterations — step 2's agreement
+    certifies step 1's gradients for BOTH param groups."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    rng = np.random.default_rng(7)
+    n_rays = 256
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (n_rays, 3)), rng.normal(size=(n_rays, 3))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng.uniform(0, 1, (n_rays, 3)), jnp.float32)
+
+    def run(backend):
+        cfg = TrainConfig(
+            datapath="x", Nf=16, mip=True, proposal=True, Np=8,
+            prop_Lp=4, prop_D=2, prop_H=32,
+            distortion_loss_weight=0.01, num_iters=2,
+            batch_size=64, steps_per_call=2, backend=backend,
+            compute_dtype="f32",
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+        )
+        model = NerfMLP(Lp=4, Ld=2, H=32)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False, base_radius=0.02)
+        _, losses = step(state, rays, pixels, jax.random.PRNGKey(3))
+        return np.asarray(losses)
+
+    l_x = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        l_p = run("pallas")
+    np.testing.assert_allclose(l_p, l_x, rtol=2e-4, atol=1e-6)

@@ -162,3 +162,40 @@ def test_proposal_serving_mode():
             init_nerf_params(jax.random.PRNGKey(2), model), 12, 16, 14.0,
             RenderSettings(N=8, N_prop=4), model, warmup=False,
         )
+
+
+def test_mip_proposal_serving_mode():
+    """The mip x proposal composition serves: proposal-guided interval
+    edges + IPE frustums per frame (render_rays_proposal's mip branch
+    — previously excluded by an over-broad RenderServer assert). Also
+    pins the still-rejected pairings: mip_levels=2 + proposal (both
+    define the coarse level) and mip + occupancy."""
+    from nerf_simple_tpu.models.proposal import (
+        ProposalMLP,
+        init_proposal_params,
+    )
+
+    model = NerfMLP(Lp=2, Ld=2, H=32)
+    pm = ProposalMLP(Lp=4, D=2, H=32)
+    params = {
+        "prop": init_proposal_params(jax.random.PRNGKey(0), pm),
+        "fine": init_nerf_params(jax.random.PRNGKey(1), model),
+    }
+    base = dict(N=8, N_prop=4, mip=True, base_radius=2.0 / 12.0**0.5 / 14.0)
+    srv = RenderServer(
+        params, 12, 16, 14.0, RenderSettings(**base), model, warmup=False
+    )
+    frame = srv.render(4.0, -30.0, 0.0)
+    assert frame.shape == (12, 16, 3) and frame.dtype == np.uint8
+    with pytest.raises(ValueError, match="both define the coarse level"):
+        RenderServer(
+            params, 12, 16, 14.0,
+            RenderSettings(**{**base, "mip_levels": 2}), model,
+            warmup=False,
+        )
+    with pytest.raises(ValueError, match="mip serving excludes"):
+        RenderServer(
+            params["fine"], 12, 16, 14.0,
+            RenderSettings(N=8, mip=True, base_radius=0.01), model,
+            warmup=False, occupancy=True,
+        )
