@@ -709,7 +709,6 @@ def _bwd_kernel(dtype, model, mip, anneal, want_dx, x_ref, g_ref, *refs):
     grad_refs = refs[i:]
     dx_ref = None
     if want_dx:
-        assert not mip, "input grads are not built for the IPE encoder"
         grad_refs, dx_ref = grad_refs[:-1], grad_refs[-1]
     assert len(grad_refs) == n_w
 
@@ -736,11 +735,17 @@ def _bwd_kernel(dtype, model, mip, anneal, want_dx, x_ref, g_ref, *refs):
             wts, res, g_rgb8, g_sig8, dtype, model, want_pos_grads=True,
             app8=app8,
         )
-        dx = _input_grad_tile(
-            x[:8], g_posx, g_posd, Sx, Sd, model, wx=wx, wd=wd
-        )
-        if g_app is not None:
-            dx = jnp.concatenate([dx, g_app], axis=0)
+        if mip:
+            dx = _input_grad_tile_mip(
+                x[:8], x[8:16], g_posx, g_posd, Sx, Sd, Sv, model,
+                wx=wx, wd=wd,
+            )
+        else:
+            dx = _input_grad_tile(
+                x[:8], g_posx, g_posd, Sx, Sd, model, wx=wx, wd=wd
+            )
+            if g_app is not None:
+                dx = jnp.concatenate([dx, g_app], axis=0)
         dx_ref[:] = dx
     else:
         grads = _backprop_tile(
@@ -885,7 +890,8 @@ def _input_grad_tile(
 
     Used by the pose-refinement train path: dL/dx flows out of the
     kernel into XLA's autodiff of ray generation (apply_cam_deltas).
-    No mip support (IPE would also need d/d(variance) rows)."""
+    The IPE (mip) analogue, with d/d(variance) rows and the coupled
+    contraction Jacobian, is _input_grad_tile_mip."""
     if wx is not None:
         g_posx = g_posx * wx
         g_posd = g_posd * wd
@@ -932,6 +938,146 @@ def _input_grad_tile(
     return dxc
 
 
+def _input_grad_tile_mip(
+    x, v8, g_posx, g_posd, Sx, Sd, Sv,
+    model: NerfMLP = FLAGSHIP, wx=None, wd=None,
+):
+    """IPE-encoder transpose: encoded-feature cotangents -> dL/d(x16)
+    (16, TR) — rows 0..2 d/d(frustum Gaussian MEAN), 3..5 d/d(unit
+    dir), 11..13 d/d(diagonal VARIANCE), rest zero.
+
+    Forward (_encode mip branch) was ``posx = f(Sx @ xc) * damp`` with
+    ``damp = exp(-0.5 * Sv @ v8c)`` on the sin/cos blocks, so the
+    transpose splits per chain:
+      dang = g_pos * f'(ang) * damp            (angle chain, damped)
+      dlam = -0.5 * (g_pos ⊙ pos)              (damp chain: g*f(ang)*
+                                                damp*(-1/2) per row)
+      dxc  = Sx^T dang_x + Sd^T dang_d ;  dv8c = Sv^T dlam
+    With ``model.contract`` the mip-NeRF 360 LINEARIZED-GAUSSIAN warp
+    Jacobian chains on top — and unlike the point case it couples mean
+    and variance: y = g(n)x and v_out = g^2 v + 2gc m2 v + c^2 m2 (m2.v)
+    with n=|x|, m2=x^2 both functions of the mean, so d/d(mean) gains
+    the variance-transform-through-mean terms (closed form below;
+    g' = c*n, c' = 6/n^4 - 8/n^5 outside the unit ball, both 0 inside).
+    Angle math in f32 like _encode.
+
+    Used by the anti-aliased pose-refinement path (pose_opt + mip):
+    dL/d(mean, dir, var) flows out of the kernel into XLA's autodiff of
+    frustum_gaussians_T and apply_cam_deltas."""
+    if wx is not None:
+        g_posx = g_posx * wx
+        g_posd = g_posd * wd
+    xyz = x[0:3]
+    v_in = v8[3:6]  # diagonal variances (x16 rows 11..13)
+    if model.contract:
+        n = jnp.sqrt(
+            jnp.maximum(xyz[0:1] ** 2 + xyz[1:2] ** 2 + xyz[2:3] ** 2, 1e-20)
+        )
+        inside = n <= 1.0
+        g = jnp.where(inside, 1.0, (2.0 - 1.0 / n) / n)
+        c = jnp.where(inside, 0.0, (-2.0 / n**2 + 2.0 / n**3) / n)
+        m2 = xyz**2
+        m2v = m2[0:1] * v_in[0:1] + m2[1:2] * v_in[1:2] + m2[2:3] * v_in[2:3]
+        vc = g**2 * v_in + 2.0 * g * c * m2 * v_in + c**2 * m2 * m2v
+        xc = jnp.concatenate([xyz * g, x[3:]], axis=0)
+    else:
+        vc = v_in
+        xc = x
+    v8c = jnp.concatenate([v8[0:3], vc, v8[6:8]], axis=0)
+
+    sbx = _sin_block(model.Lp)
+    ang = _mm(Sx, xc, jnp.float32)
+    lam = _mm(Sv, v8c, jnp.float32)
+    damp = jnp.exp(-0.5 * lam)
+    gp = g_posx.astype(jnp.float32)
+    sin_d = jnp.sin(ang[8 : 8 + sbx]) * damp[8 : 8 + sbx]
+    cos_d = jnp.cos(ang[8 + sbx :]) * damp[8 + sbx :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8,) + gp.shape[1:], 0)
+    dang_x = jnp.concatenate(
+        [
+            jnp.where(rows == 3, 0.0, gp[0:8]),  # rail row: constant
+            gp[8 : 8 + sbx] * jnp.cos(ang[8 : 8 + sbx]) * damp[8 : 8 + sbx],
+            -gp[8 + sbx :] * jnp.sin(ang[8 + sbx :]) * damp[8 + sbx :],
+        ],
+        axis=0,
+    )
+    # damp chain: d(loss)/d(lam_row) = g_row * f(ang)_row * damp * (-1/2)
+    dlam = jnp.concatenate(
+        [
+            jnp.zeros_like(gp[0:8]),
+            -0.5 * gp[8 : 8 + sbx] * sin_d,
+            -0.5 * gp[8 + sbx :] * cos_d,
+        ],
+        axis=0,
+    )
+
+    def sT(S, d):  # S^T @ d: contract the encoded-row axis
+        return jax.lax.dot_general(
+            S, d, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    sbd = _sin_block(model.Ld)
+    ang_d = _mm(Sd, xc, jnp.float32)
+    gpd = g_posd.astype(jnp.float32)
+    dang_d = jnp.concatenate(
+        [
+            jnp.where(rows == 3, 0.0, gpd[0:8]),
+            gpd[8 : 8 + sbd] * jnp.cos(ang_d[8 : 8 + sbd]),
+            -gpd[8 + sbd :] * jnp.sin(ang_d[8 + sbd :]),
+        ],
+        axis=0,
+    )
+    dxc = sT(Sx, dang_x) + sT(Sd, dang_d)  # (8, TR)
+    dvc8 = sT(Sv, dlam)  # (8, TR): rows 3..5 = d/d(contracted var)
+    dvo = dvc8[3:6]
+    if model.contract:
+        dy = dxc[0:3]
+        dot = xyz[0:1] * dy[0:1] + xyz[1:2] * dy[1:2] + xyz[2:3] * dy[2:3]
+        # d/d(pre-contraction variance): vout_j is diagonal in v plus
+        # the rank-one c^2 m2 (m2 . v) coupling
+        Cv = m2[0:1] * dvo[0:1] + m2[1:2] * dvo[1:2] + m2[2:3] * dvo[2:3]
+        dv = (g**2 + 2.0 * g * c * m2) * dvo + c**2 * m2 * Cv
+        # d/d(mean): mean path + the variance transform's n- and
+        # m2-dependence (A = dvo.v, Bv = dvo.(m2 v))
+        gp_n = c * n  # g'(n)
+        cp_n = jnp.where(inside, 0.0, 6.0 / n**4 - 8.0 / n**5)
+        A = dvo[0:1] * v_in[0:1] + dvo[1:2] * v_in[1:2] + dvo[2:3] * v_in[2:3]
+        Bv = (
+            dvo[0:1] * m2[0:1] * v_in[0:1]
+            + dvo[1:2] * m2[1:2] * v_in[1:2]
+            + dvo[2:3] * m2[2:3] * v_in[2:3]
+        )
+        term_n = (
+            2.0 * g * gp_n * A
+            + 2.0 * (gp_n * c + g * cp_n) * Bv
+            + 2.0 * c * cp_n * m2v * Cv
+        ) / n
+        dxyz = (
+            g * dy
+            + c * dot * xyz
+            + term_n * xyz
+            + (4.0 * g * c * v_in + 2.0 * c**2 * m2v) * xyz * dvo
+            + 2.0 * c**2 * v_in * xyz * Cv
+        )
+        dmean = dxyz
+    else:
+        dv = dvo
+        dmean = dxc[0:3]
+    zero1 = jnp.zeros_like(dmean[0:1])
+    return jnp.concatenate(
+        [
+            dmean,          # rows 0..2: d/d(mean)
+            dxc[3:6],       # rows 3..5: d/d(unit dir)
+            zero1, zero1,   # rows 6..7: widths/near edges — no MLP path
+            jnp.zeros_like(dmean),  # rows 8..10 (gt / unused v8 rows)
+            dv,             # rows 11..13: d/d(variance)
+            zero1, zero1,   # rows 14..15
+        ],
+        axis=0,
+    )
+
+
 def _accumulate_grads(grad_refs, grads) -> None:
     """Revisited-block accumulation: init on grid step 0, add after."""
     is_first = pl.program_id(0) == 0
@@ -963,7 +1109,6 @@ def _fused_mlp_bwd(
     rows = xT.shape[1]
     in_rows = 16 if (mip or model.app_dim > 0) else 8
     assert rows % tile_rows == 0
-    assert not (mip and want_dx), "input grads need the plain encoder"
     grid = (rows // tile_rows,)
     wts = _cast_weights(wts, compute_dtype)
 

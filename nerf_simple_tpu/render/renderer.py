@@ -418,7 +418,14 @@ def _fused_mlp_bn_mip(
     if rows_p != rows:
         x = jnp.pad(x, ((0, 0), (0, rows_p - rows)))
     wts = pack_weights(params, model=model)
-    outT = fused_mlp(wts, x, tile, settings.compute_dtype, model, True)
+    # input_grads (pose_opt + mip): the backward kernel emits
+    # dL/d(mean, dir, variance) via _input_grad_tile_mip, and XLA
+    # autodiff chains them through frustum_gaussians_T -> the ray
+    # stream -> apply_cam_deltas
+    outT = fused_mlp(
+        wts, x, tile, settings.compute_dtype, model, True,
+        settings.input_grads,
+    )
     return outT[:4, :rows].reshape(4, B, N), mu_t
 
 

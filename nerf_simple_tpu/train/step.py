@@ -328,17 +328,19 @@ def build_train_step(
     # on the Pallas render path: the fused kernel's vjp emits dL/dx
     # from the backward kernel when asked (kernels/mlp.py
     # _input_grad_tile — for appearance models the same output carries
-    # the per-sample code gradients on rows 8..15), XLA autodiff chains
-    # them through ray generation / the code-table gather, and BARF
-    # annealing runs in-kernel via traced window-weight inputs
-    # (anneal_row_weights). Only mip (IPE would need d/d(variance)) and
-    # app_dim > 8 (no stream rows left) still need the XLA render path.
+    # the per-sample code gradients on rows 8..15; under mip,
+    # _input_grad_tile_mip emits d/d(mean, dir, VARIANCE) through the
+    # IPE damp chain and the coupled contraction Jacobian, so
+    # anti-aliased pose refinement stays fused too), XLA autodiff
+    # chains them through ray generation / the code-table gather, and
+    # BARF annealing runs in-kernel via traced window-weight inputs
+    # (anneal_row_weights). Only app_dim > 8 (no stream rows left)
+    # still needs the XLA render path.
     from nerf_simple_tpu.kernels.mlp import supported as _kernel_supported
 
     pallas_aux = (
         _aux_on(cfg)
         and cfg.backend == "pallas"
-        and not cfg.mip
         and isinstance(model, NerfMLP)
         and _kernel_supported(model)  # checks H alignment + app_dim <= 8
     )
@@ -705,12 +707,10 @@ def build_train_step(
                 import warnings
 
                 reason = (
-                    "mip pose refinement (IPE would need d/d(variance) "
-                    "the fused kernels don't emit)"
-                    if aux_on and cfg.mip
-                    else "appearance_dim > 8 (no free rows in the "
+                    "appearance_dim > 8 (no free rows in the "
                     "kernel's 16-row input stream)"
-                    if aux_on
+                    if aux_on and not _kernel_supported(model)
+                    and getattr(model, "app_dim", 0) > 8
                     else "sigma_noise > 0"
                     if cfg.sigma_noise != 0.0
                     else "depth_loss_weight > 0 (the fused kernel's "

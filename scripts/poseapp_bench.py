@@ -68,6 +68,18 @@ CONFIGS = [
         dict(pose_opt=True, pose_warmup=100, appearance_dim=8,
              backend="pallas"),
     ),
+    # anti-aliased pose refinement (r5): the backward kernel emits
+    # dL/d(mean, dir, variance) through the IPE damp chain
+    # (_input_grad_tile_mip) — previously this composition silently
+    # dropped to the XLA render path
+    (
+        "xla + mip + pose_opt",
+        dict(pose_opt=True, pose_warmup=100, mip=True, backend="xla"),
+    ),
+    (
+        "pallas + mip + pose_opt (IPE input-grad kernel)",
+        dict(pose_opt=True, pose_warmup=100, mip=True, backend="pallas"),
+    ),
 ]
 
 
@@ -78,8 +90,11 @@ def main():
         write_blender_scene(SCENE, n_train=8, n_val=2, n_test=2, H=64, W=64)
     data = load_blender(SCENE, half_res=False)
     rd = RayDataset.from_blender(data)
+    only = os.environ.get("PA_ONLY", "")
     rows = []
     for name, kw in CONFIGS:
+        if only and only not in name:
+            continue
         cfg = TrainConfig(
             datapath=SCENE, Nf=128, batch_size=4096, num_iters=ITERS,
             steps_per_call=SPC, compute_dtype="bf16",
@@ -93,7 +108,10 @@ def main():
             n_images=n_images if aux_on else None,
         )
         step = build_train_step(
-            cfg, model, donate=False, rays_per_image=data.H * data.W
+            cfg, model, donate=False, rays_per_image=data.H * data.W,
+            base_radius=(
+                2.0 / 12.0**0.5 / float(data.f) if cfg.mip else 0.0
+            ),
         )
         rays, pixels = rd.rays["train"], rd.pixels["train"]
         key = jax.random.PRNGKey(0)
@@ -111,13 +129,20 @@ def main():
         rows.append({"config": name, "ms_per_iter": round(ms, 2)})
         print(rows[-1], flush=True)
 
+    out = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    path = os.path.join(out, "poseapp_bench.json")
+    if only and os.path.exists(path):
+        # partial re-measure (PA_ONLY filter): merge by config name
+        with open(path) as fh:
+            old = {r["config"]: r for r in json.load(fh)}
+        old.update({r["config"]: r for r in rows})
+        rows = [old[n] for n, _ in CONFIGS if n in old]
     base = next(
         r["ms_per_iter"] for r in rows if r["config"] == "xla autodiff"
     )
     for r in rows:
         r["vs_xla"] = round(r["ms_per_iter"] / base, 2)
-    out = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
-    with open(os.path.join(out, "poseapp_bench.json"), "w") as fh:
+    with open(path, "w") as fh:
         json.dump(rows, fh, indent=1)
     print("wrote benchmarks/poseapp_bench.json")
 

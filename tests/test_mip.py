@@ -769,3 +769,62 @@ def test_multiscale_two_level_combo(rng):
     with pltpu.force_tpu_interpret_mode():
         state, losses = step(state, rays8, pixels, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(losses)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("contract", [False, True])
+def test_fused_mip_input_grads_match_autodiff(rng, contract):
+    """Anti-aliased pose refinement seam: fused_mlp(mip=True,
+    want_dx=True) must emit dL/d(mean), dL/d(dir), dL/d(variance)
+    matching XLA autodiff of nerf_apply_mip — through the IPE damp
+    chain and (with contract) the coupled linearized-Gaussian warp
+    Jacobian, where the variance transform also depends on the MEAN
+    (kernels/mlp.py::_input_grad_tile_mip). Tested through jax.grad of
+    the custom VJP so the routing into x16 rows 0..5/11..13 is
+    exercised end to end."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.kernels.mlp import fused_mlp, pack_weights
+    from nerf_simple_tpu.models.nerf import nerf_apply_mip
+
+    R = 128  # one kernel tile
+    model = NerfMLP(Lp=4, Ld=2, H=32, contract=contract)
+    params = init_nerf_params(jax.random.PRNGKey(0), model)
+    # means straddle the unit ball so BOTH contraction branches run
+    mean = jnp.asarray(rng.normal(0, 1.2, (R, 3)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.001, 0.05, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    dirs = jnp.asarray(d / np.linalg.norm(d, -1, keepdims=True), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(R, 4)), jnp.float32)
+
+    def xla_loss(mean, var, dirs):
+        out = nerf_apply_mip(params, mean, var, dirs, model)
+        return jnp.sum(out * cot)
+
+    ref = jax.grad(xla_loss, argnums=(0, 1, 2))(mean, var, dirs)
+
+    wts = pack_weights(params, model=model)
+
+    def kern_loss(mean, var, dirs):
+        x16 = jnp.concatenate(
+            [
+                mean.T,
+                dirs.T,
+                jnp.zeros((5, R), jnp.float32),
+                var.T,
+                jnp.zeros((2, R), jnp.float32),
+            ],
+            axis=0,
+        )
+        out = fused_mlp(wts, x16, 128, jnp.float32, model, True, True)
+        # kernel output rows: 0..2 rgb, 3 sigma
+        return jnp.sum(out[:4].T * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(kern_loss, argnums=(0, 1, 2))(mean, var, dirs)
+
+    for name, r, g in zip(("mean", "var", "dir"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-4, rtol=2e-3,
+            err_msg=f"d/d({name}) [contract={contract}]",
+        )

@@ -864,3 +864,102 @@ def test_chunked_render_honors_enc_alpha():
         params, rays, key, settings, model, chunk=8
     )
     assert not np.allclose(np.asarray(rgb_c), np.asarray(rgb_full), atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("contract", [False, True])
+def test_pose_mip_pallas_matches_xla_step(contract):
+    """Anti-aliased pose refinement (pose_opt + mip) rides the Pallas
+    path (no fallback warning): the fused backward emits
+    dL/d(mean, dir, VARIANCE) (kernels/mlp.py::_input_grad_tile_mip)
+    and autodiff chains them through frustum_gaussians_T and
+    apply_cam_deltas — previously this composition silently dropped to
+    the XLA render path. One full train step must move the delta
+    tables identically to the XLA backend (f32, interpret mode); with
+    contract=True the coupled linearized-Gaussian warp Jacobian is on
+    the path too."""
+    import warnings as _warnings
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+    def run(backend):
+        cfg = _tiny_cfg(
+            pose_opt=True, mip=True, backend=backend,
+            contract=contract, compute_dtype="f32",
+        )
+        model = model_from_train_config(cfg)
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model, n_images=4
+        )
+        step = build_train_step(
+            cfg, model, donate=False, rays_per_image=16, base_radius=0.02
+        )
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # any fallback warning fails
+            s2, losses = step(state, rays, pix, jax.random.PRNGKey(3))
+        return s2, losses
+
+    s_x, l_x = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        s_p, l_p = run("pallas")
+
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x), rtol=2e-5)
+    assert float(jnp.abs(s_x.params["cams"]["dr"]).max()) > 0
+    for k in ("dr", "dt"):
+        np.testing.assert_allclose(
+            np.asarray(s_p.params["cams"][k]),
+            np.asarray(s_x.params["cams"][k]),
+            atol=1e-5,
+            err_msg=f"{k} contract={contract}",
+        )
+
+
+@pytest.mark.slow
+def test_pose_mip_proposal_pallas_matches_xla_step():
+    """The full anti-aliased REAL-capture recipe: pose_opt + mip +
+    proposal (+ interval distortion). The main field's pose gradients
+    return through the mip kernel's input-grad output; the proposal
+    MLP's pose gradients flow in XLA through its probe positions. Both
+    backends must agree on losses and delta tables."""
+    import warnings as _warnings
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    rays = jax.random.normal(jax.random.PRNGKey(1), (64, 6))
+    pix = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+    def run(backend):
+        cfg = _tiny_cfg(
+            pose_opt=True, mip=True, proposal=True, Np=4,
+            prop_Lp=4, prop_D=2, prop_H=16,
+            distortion_loss_weight=0.01,
+            backend=backend, compute_dtype="f32",
+        )
+        model = model_from_train_config(cfg)
+        state = make_train_state(
+            jax.random.PRNGKey(0), cfg, model, n_images=4
+        )
+        step = build_train_step(
+            cfg, model, donate=False, rays_per_image=16, base_radius=0.02
+        )
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            s2, losses = step(state, rays, pix, jax.random.PRNGKey(3))
+        return s2, losses
+
+    s_x, l_x = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        s_p, l_p = run("pallas")
+
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x), rtol=2e-5)
+    assert float(jnp.abs(s_x.params["cams"]["dr"]).max()) > 0
+    for k in ("dr", "dt"):
+        np.testing.assert_allclose(
+            np.asarray(s_p.params["cams"][k]),
+            np.asarray(s_x.params["cams"][k]),
+            atol=1e-5,
+            err_msg=k,
+        )
