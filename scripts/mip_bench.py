@@ -67,7 +67,10 @@ def train_one(cfg, rd, base_radius):
 from nerf_simple_tpu.ops.rays import rays_for_poses_scaled as aligned_rays  # noqa: E402
 
 
-def eval_scales(params, model, data, mip: bool, mip_levels: int = 1):
+def eval_scales(
+    params, model, data, mip: bool, mip_levels: int = 1, N_prop: int = 0,
+    prop_model=None,
+):
     """Test-view PSNR at scales 1, 2, 4, 8 vs INTER_AREA-downsampled GT."""
     test = data.splits["test"]
     poses = jnp.asarray(test.poses[:2])
@@ -84,6 +87,7 @@ def eval_scales(params, model, data, mip: bool, mip_levels: int = 1):
             N=128,
             mip=mip,
             mip_levels=mip_levels,
+            N_prop=N_prop,
             base_radius=(2.0 / math.sqrt(12.0) / fs) if mip else 0.0,
             tn=2.0,
             tf=6.0,
@@ -91,7 +95,7 @@ def eval_scales(params, model, data, mip: bool, mip_levels: int = 1):
         )
         rgb, _ = render_rays_chunked(
             params, rays, jax.random.PRNGKey(1), settings, model,
-            chunk=min(16384, max(1024, Hs * Ws)),
+            chunk=min(16384, max(1024, Hs * Ws)), prop_model=prop_model,
         )
         rgb = np.asarray(rgb).reshape(2, Hs, Ws, 3)
         psnrs = []
@@ -104,6 +108,48 @@ def eval_scales(params, model, data, mip: bool, mip_levels: int = 1):
             )
         per_scale[f"1/{s}"] = psnrs
     return per_scale
+
+
+def run_mip_proposal(base, rd, data, base_radius):
+    """The anti-aliased composition row (r5): proposal-placed interval
+    edges + IPE cone frustums through the fused mip x proposal train
+    core. Per-scale PSNR vs mip-alone answers whether proposal
+    placement costs (or buys) anti-aliasing on the bounded scene."""
+    from nerf_simple_tpu.models import model_from_train_config
+    from nerf_simple_tpu.models.proposal import proposal_from_train_config
+    from nerf_simple_tpu.train.step import make_train_state as mts  # noqa: F401
+
+    cfg = TrainConfig(
+        mip=True, proposal=True, Np=64, backend="pallas", **base
+    )
+    model = model_from_train_config(cfg)
+    state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+    step = build_train_step(cfg, model, donate=False, base_radius=base_radius)
+    rays, pixels = rd.rays["train"], rd.pixels["train"]
+    key = jax.random.PRNGKey(0)
+    state, losses = step(state, rays, pixels, jax.random.fold_in(key, 0))
+    float(losses[-1])
+    t0 = time.time()
+    n_chunks = cfg.num_iters // cfg.steps_per_call
+    for i in range(1, n_chunks):
+        state, losses = step(state, rays, pixels, jax.random.fold_in(key, i))
+    float(losses[-1])
+    wall = round((time.time() - t0) * n_chunks / max(n_chunks - 1, 1), 1)
+    row = {
+        "config": "mip x proposal (anti-aliased, proposal-placed edges)",
+        "train_wall_s": wall,
+        "psnr_by_scale": eval_scales(
+            state.params, model, data, mip=True, N_prop=cfg.Np,
+            prop_model=proposal_from_train_config(cfg),
+        ),
+    }
+    print(row, flush=True)
+    path = os.path.join(OUT, "mip_bench.json")
+    rows = json.load(open(path)) if os.path.exists(path) else []
+    rows = [r for r in rows if r["config"] != row["config"]] + [row]
+    with open(path, "w") as fh:
+        json.dump(rows, fh, indent=1)
+    print("wrote benchmarks/mip_bench.json (merged)")
 
 
 def main():
@@ -124,6 +170,12 @@ def main():
         steps_per_call=100, compute_dtype="bf16",
         ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
     )
+    only = os.environ.get("MB_ONLY", "")
+    if only:
+        # partial re-measure: run just the mip x proposal composition row
+        # and merge it into the existing json by config name
+        run_mip_proposal(base, rd, data, base_radius)
+        return
     rows = []
     p_pt, m_pt, wall_pt = train_one(
         TrainConfig(backend="pallas", **base), rd, 0.0

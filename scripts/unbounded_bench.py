@@ -98,6 +98,24 @@ CONFIGS = [
             proposal=True, Np=64, distortion_loss_weight=0.01,
         ),
     ),
+    # the anti-aliased composition (mip-NeRF 360 proper): proposal-placed
+    # interval EDGES + IPE cone frustums, on the r5 fused mip x proposal
+    # core (train/step.py) with the interval-form distortion rail
+    (
+        "disparity + contract + mip + proposal (anti-aliased)",
+        dict(
+            tn=1.0, tf=30.0, sampling_space="disparity", contract=True,
+            proposal=True, Np=64, mip=True,
+        ),
+    ),
+    (
+        "disparity + contract + mip + proposal + distortion "
+        "(anti-aliased 360 recipe)",
+        dict(
+            tn=1.0, tf=30.0, sampling_space="disparity", contract=True,
+            proposal=True, Np=64, mip=True, distortion_loss_weight=0.01,
+        ),
+    ),
 ]
 
 
@@ -138,8 +156,13 @@ def main():
         from nerf_simple_tpu.models import model_from_train_config
 
         model = model_from_train_config(cfg)
+        # cone radius growth for the mip rows: pixel world-space
+        # half-width at unit distance (same formula the train driver uses)
+        base_radius = 2.0 / 12.0**0.5 / float(data.f) if cfg.mip else 0.0
         state = make_train_state(jax.random.PRNGKey(0), cfg, model)
-        step = build_train_step(cfg, model, donate=False)
+        step = build_train_step(
+            cfg, model, donate=False, base_radius=base_radius
+        )
         rays, pixels = rd.rays["train"], rd.pixels["train"]
         key = jax.random.PRNGKey(0)
         state, losses = step(state, rays, pixels, jax.random.fold_in(key, 0))
@@ -166,6 +189,8 @@ def main():
         settings = RenderSettings(
             N=128,
             N_prop=cfg.Np if cfg.proposal else 0,
+            mip=cfg.mip,
+            base_radius=base_radius,
             tn=cfg.tn,
             tf=cfg.tf,
             sampling_space=cfg.sampling_space,
