@@ -57,6 +57,17 @@ class TrainConfig:
     prop_D: int = 4  # proposal hidden layers
     prop_H: int = 64  # proposal hidden width
     proposal_loss_weight: float = 1.0
+    # Resampling anneal (mip-NeRF 360 / MultiNeRF ``anneal_slope``
+    # analogue, linear ramp): for the first prop_anneal_frac * num_iters
+    # steps, the histogram that PLACES the main field's samples is
+    # raised to a power ramping 0 -> 1 (uniform -> true weights), so
+    # early random proposal weights cannot lock sample placement into a
+    # degenerate attractor. Load-bearing for the anti-aliased unbounded
+    # composition (mip x proposal x disparity): without it the tiny
+    # near-plane intervals' undamped IPE sharpness pulls ALL density
+    # into a per-view canvas at t = tn (train 38 dB / test 13 dB,
+    # measured — docs/PERFORMANCE.md anti-aliased-360 section). 0 = off.
+    prop_anneal_frac: float = 0.0
     # mip-NeRF cone casting (Barron et al. 2021): samples become conical
     # frustum Gaussians and the position encoding integrates over them
     # (ops/encoding.py::gamma_ipe) — anti-aliased rendering across
@@ -75,6 +86,15 @@ class TrainConfig:
     # parameters of classic hierarchical, which keeps two nets)
     mip_levels: int = 1
     mip_coarse_weight: float = 0.1
+    # Exploration floor for interval-edge resampling (resample_edges
+    # ``blur``, mip-NeRF's alpha): uniform mass added per histogram bin
+    # before drawing the fine edges, for both mip_levels=2 and the
+    # mip x proposal composition. Note the scale: 0.01 per bin over Np
+    # bins scatters a double-digit fraction of the fine edges uniformly
+    # along every ray, where the point sampler's floor (importance_ts)
+    # is 1e-5 per bin — see the anti-aliased-360 notes in
+    # docs/PERFORMANCE.md before changing it.
+    resample_blur: float = 0.01
     # mip-NeRF multiscale training (paper sec. 4): train on the union of
     # the image pyramid at scales 1..1/8 with per-ray cone radii and
     # footprint-area loss weights (data/dataset.py::
@@ -106,8 +126,9 @@ class TrainConfig:
     # mip-NeRF 360 distortion regularizer weight (ops/volume.py::
     # distortion_loss): penalizes weight mass spread along rays
     # ("fog"/floaters — what makes vanilla-NeRF density-gradient
-    # normals noisy). 0.0 = off. Typical: 1e-3..1e-2. Runs the
-    # autodiff XLA loss path (the fused kernel is MSE-only).
+    # normals noisy). 0.0 = off. Typical: 1e-3..1e-2. Runs IN-KERNEL
+    # on the fused pallas train path (kernels/mlp.py dist rail, point
+    # and interval forms); XLA path computes the same loss in jnp.
     distortion_loss_weight: float = 0.0
     # --- per-image trainable extras (the real-capture toolkit; both ride
     # a {"field": ..., "cams"/"app": ...} param wrapper with their own
@@ -291,6 +312,16 @@ class TrainConfig:
                 "proposal_loss_weight must be >= 0, got "
                 f"{self.proposal_loss_weight}"
             )
+        if not 0.0 <= self.prop_anneal_frac <= 1.0:
+            raise ValueError(
+                "prop_anneal_frac must be in [0, 1] (fraction of "
+                f"num_iters), got {self.prop_anneal_frac}"
+            )
+        if self.prop_anneal_frac > 0 and not self.proposal:
+            raise ValueError(
+                "prop_anneal_frac > 0 anneals proposal-guided sample "
+                "placement and needs proposal=True"
+            )
         if self.mip:
             # proposal COMPOSES with mip (proposal-placed interval edges
             # + IPE frustums + optionally distortion = the published
@@ -319,6 +350,10 @@ class TrainConfig:
         if self.mip_levels not in (1, 2):
             raise ValueError(
                 f"mip_levels must be 1 or 2, got {self.mip_levels}"
+            )
+        if self.resample_blur < 0:
+            raise ValueError(
+                f"resample_blur must be >= 0, got {self.resample_blur}"
             )
         if self.mip_levels == 2 and not self.mip:
             raise ValueError(
@@ -628,6 +663,9 @@ class TestConfig:
     # the paper's fine-level resampling pass (single shared MLP)
     mip: bool = False
     mip_levels: int = 1
+    # interval-edge resampling floor (see TrainConfig.resample_blur) —
+    # match the training value so eval places edges the same way
+    resample_blur: float = 0.01
     # eval-side sampler spacing ("disparity" for contracted unbounded
     # checkpoints; the model's own contract field rides the sidecar)
     sampling_space: str = "linear"

@@ -152,6 +152,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         N_prop=cfg.Np,
         mip=cfg.mip,
         mip_levels=cfg.mip_levels,
+        resample_blur=cfg.resample_blur,
         sampling_space=cfg.sampling_space,
         tn=cfg.tn,
         tf=cfg.tf,

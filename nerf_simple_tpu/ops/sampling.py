@@ -177,6 +177,26 @@ def _inv_cdf_interp(
     return v_below + frac * (v_above - v_below)
 
 
+def anneal_weights(w: jnp.ndarray, a) -> jnp.ndarray:
+    """Histogram sharpening ramp for placement annealing (mip-NeRF 360 /
+    MultiNeRF ``anneal_slope`` analogue): returns ``w ** a`` with a
+    zero-safe floor, so a traced exponent ``a`` ramping 0 -> 1 over
+    early training moves sample PLACEMENT from uniform to the true
+    histogram. Supervision losses keep the un-annealed weights — only
+    where samples land is annealed. ``a=None`` is the identity (off).
+
+    Why it exists: placement distills from the field being trained, a
+    positive-feedback loop that can lock early random weights into a
+    degenerate attractor. The measured case (TrainConfig.
+    prop_anneal_frac): mip x proposal x disparity spacing collapses all
+    density into a per-view canvas at t=tn because tiny near intervals
+    carry undamped IPE sharpness (docs/PERFORMANCE.md anti-aliased-360
+    section)."""
+    if a is None:
+        return w
+    return jnp.power(jnp.maximum(w, 1e-8), a)
+
+
 def resample_edges(
     key: jax.Array,
     edges: jnp.ndarray,

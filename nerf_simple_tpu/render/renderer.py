@@ -75,6 +75,13 @@ class RenderSettings:
     # cross-section doesn't grow with t; pairs with per-ray radii in ray
     # column 6 — ops/rays.py::mip_ray_radii)
     mip_shape: str = "cone"
+    # Uniform exploration floor added per bin when interval edges are
+    # resampled from a weight histogram (ops/sampling.py::resample_edges
+    # ``blur``; mip-NeRF's alpha=0.01, Barron 2021 sec. 3.2). Note the
+    # scale: 0.01 per bin across Np=64 bins scatters a double-digit
+    # percentage of the fine edges uniformly along every ray — far more
+    # exploration than the point sampler's 1e-5 floor (importance_ts).
+    resample_blur: float = 0.01
     # stratified bin spacing: "linear" (reference) or "disparity"
     # (uniform in 1/t — the mip-NeRF 360 unbounded parametrization;
     # pair with model.contract for 360 scenes)
@@ -208,6 +215,7 @@ def _render_mip(
         edges,
         jax.lax.stop_gradient(out_c.weights),
         N,
+        blur=settings.resample_blur,
     )
     out_f = one_level(
         edges_f,
@@ -560,6 +568,7 @@ def render_rays_proposal(
     return_aux: bool = False,
     app: jnp.ndarray | None = None,
     enc_alpha: jnp.ndarray | None = None,
+    prop_anneal: jnp.ndarray | None = None,
 ):
     """Proposal-guided rendering (mip-NeRF 360 scheme, models/proposal.py):
     N_prop stratified probes of the tiny proposal density -> weight PDF ->
@@ -579,6 +588,11 @@ def render_rays_proposal(
     and the main field renders IPE cone frustums at them (``_mip_level``).
     ``return_aux`` then returns (edges_prop, w_prop, edges_fine) — the
     interval-form interlevel/distortion losses consume these.
+
+    ``prop_anneal``: traced placement-anneal exponent in [0, 1] (train
+    drivers only; ops/sampling.py::anneal_weights) — the histogram that
+    PLACES samples is ``w_prop ** prop_anneal`` while the interlevel
+    loss target stays un-annealed. None (eval) = true weights.
     """
     from nerf_simple_tpu.models.proposal import ProposalMLP, proposal_weights
 
@@ -591,7 +605,10 @@ def render_rays_proposal(
         from nerf_simple_tpu.models.proposal import (
             proposal_weights_intervals,
         )
-        from nerf_simple_tpu.ops.sampling import resample_edges
+        from nerf_simple_tpu.ops.sampling import (
+            anneal_weights,
+            resample_edges,
+        )
 
         # config blocks appearance/anneal/occupancy with mip (IPE is not
         # plumbed through them); probe edges are freshly stratified
@@ -608,8 +625,9 @@ def render_rays_proposal(
         edges_f = resample_edges(
             k_imp,
             edges_p,
-            jax.lax.stop_gradient(w_prop),
+            anneal_weights(jax.lax.stop_gradient(w_prop), prop_anneal),
             settings.N,
+            blur=settings.resample_blur,
             det=det_fine,
         )
         out = _mip_level(params["fine"], rays, edges_f, settings, model)
@@ -624,10 +642,12 @@ def render_rays_proposal(
     w_prop = proposal_weights(
         params["prop"], rays, ts_prop, prop_model, settings.compute_dtype
     )
+    from nerf_simple_tpu.ops.sampling import anneal_weights
+
     ts_f = importance_ts(
         k_imp,
         ts_prop,
-        jax.lax.stop_gradient(w_prop),
+        anneal_weights(jax.lax.stop_gradient(w_prop), prop_anneal),
         settings.N,
         det=det_fine,
     )

@@ -236,6 +236,9 @@ def main() -> None:
                     "any frame scale; cone radius derives from --focal")
     ap.add_argument("--mip-levels", type=int, default=1, choices=[1, 2],
                     help="2 = coarse+fine cone casting (shared MLP)")
+    ap.add_argument("--resample-blur", type=float, default=0.01,
+                    help="interval-edge resampling floor (match the "
+                    "checkpoint's TrainConfig.resample_blur)")
     ap.add_argument("--tn", type=float, default=2.0,
                     help="near sampling bound (match the training config "
                     "— unbounded/360 checkpoints used e.g. 0.2)")
@@ -265,6 +268,7 @@ def main() -> None:
         N_prop=args.proposal_samples,
         mip=args.mip,
         mip_levels=args.mip_levels,
+        resample_blur=args.resample_blur,
         # pixel world-space half-width at unit distance (mip-NeRF 3.1)
         base_radius=(2.0 / 12.0**0.5 / args.focal) if args.mip else 0.0,
         tn=args.tn,

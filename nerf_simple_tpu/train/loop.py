@@ -257,6 +257,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         mip=cfg.mip,
         mip_levels=cfg.mip_levels,
         mip_shape="cylinder" if (cfg.dataset == "llff" and cfg.ndc) else "cone",
+        resample_blur=cfg.resample_blur,
         base_radius=base_radius,
         sampling_space=cfg.sampling_space,
         tn=cfg.tn,

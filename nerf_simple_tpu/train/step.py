@@ -351,6 +351,7 @@ def build_train_step(
         mip=cfg.mip,
         mip_levels=cfg.mip_levels,
         mip_shape=mip_shape,
+        resample_blur=cfg.resample_blur,
         base_radius=base_radius if cfg.mip else 0.0,
         sampling_space=cfg.sampling_space,
         tn=cfg.tn,
@@ -406,6 +407,21 @@ def build_train_step(
             )
         return (ts - cfg.tn) / (cfg.tf - cfg.tn)
 
+    def _prop_anneal(step):
+        """Traced placement-anneal exponent (TrainConfig.prop_anneal_frac;
+        ops/sampling.py::anneal_weights): ramps 0 -> 1 over the first
+        prop_anneal_frac * num_iters steps so sample placement cannot
+        lock onto the early random field. None = off (exact current
+        behavior, no extra ops in the compiled step)."""
+        if cfg.prop_anneal_frac <= 0 or step is None:
+            return None
+        return jnp.clip(
+            step.astype(jnp.float32)
+            / (cfg.prop_anneal_frac * cfg.num_iters),
+            0.0,
+            1.0,
+        )
+
     def _depth_term(out, gt_d):
         """Masked L2 on expected termination depth (DS-NeRF eqn. 3
         analogue). gt_d <= 0 / non-finite rows (holes in real depth
@@ -443,6 +459,7 @@ def build_train_step(
             enc_alpha = jnp.clip(
                 step.astype(jnp.float32) / cfg.pe_anneal_until, 0.0, 1.0
             )
+        prop_anneal = _prop_anneal(step)
         if cfg.hierarchical:
             coarse, fine, (_, ts_all) = render_rays_hierarchical(
                 params["coarse"], params["fine"], rays_b, key, settings, model,
@@ -479,6 +496,7 @@ def build_train_step(
                 return_aux=True,
                 app=app_b,
                 enc_alpha=enc_alpha,
+                prop_anneal=prop_anneal,
             )
             loss = jnp.mean((out.rgb - pix_b) ** 2)
             # distill the proposal from the main field's weights; the
@@ -790,7 +808,10 @@ def build_train_step(
             from nerf_simple_tpu.models.proposal import (
                 proposal_weights_intervals,
             )
-            from nerf_simple_tpu.ops.sampling import resample_edges
+            from nerf_simple_tpu.ops.sampling import (
+                anneal_weights,
+                resample_edges,
+            )
             from nerf_simple_tpu.ops.volume import interlevel_loss_intervals
 
             def core(params, rays_b, pix_b, im_b, key, occ, step=None):
@@ -817,7 +838,13 @@ def build_train_step(
                     params["prop"],
                 )
                 edges_f = resample_edges(
-                    k_imp, edges_p, jax.lax.stop_gradient(w_prop), cfg.Nf
+                    k_imp,
+                    edges_p,
+                    anneal_weights(
+                        jax.lax.stop_gradient(w_prop), _prop_anneal(step)
+                    ),
+                    cfg.Nf,
+                    blur=cfg.resample_blur,
                 )
                 wts_f, vjp_f = jax.vjp(_pack, params["fine"])
                 loss_mse, dwts_f, w_f = fused_train_step(
@@ -846,6 +873,7 @@ def build_train_step(
 
         if cfg.proposal:
             from nerf_simple_tpu.models.proposal import proposal_weights
+            from nerf_simple_tpu.ops.sampling import anneal_weights
             from nerf_simple_tpu.ops.volume import interlevel_loss
 
             def core(params, rays_b, pix_b, im_b, key, occ, step=None):
@@ -869,7 +897,12 @@ def build_train_step(
                     params["prop"],
                 )
                 ts_f = importance_ts(
-                    k_imp, ts_p, jax.lax.stop_gradient(w_prop), cfg.Nf
+                    k_imp,
+                    ts_p,
+                    anneal_weights(
+                        jax.lax.stop_gradient(w_prop), _prop_anneal(step)
+                    ),
+                    cfg.Nf,
                 )
                 wts_f, vjp_f = jax.vjp(_pack, params["fine"])
                 loss_mse, dwts_f, w_f = fused_train_step(
@@ -916,7 +949,8 @@ def build_train_step(
                         model=model, mip=True,
                     )
                     edges_f = resample_edges(
-                        jax.random.fold_in(key, 2), edges, w_c, cfg.Nf
+                        jax.random.fold_in(key, 2), edges, w_c, cfg.Nf,
+                        blur=cfg.resample_blur,
                     )
                     loss_f, dw_f = fused_train_step(
                         wts, _build_x16_mip(rays_b, edges_f, pix_b),

@@ -177,6 +177,153 @@ def test_resample_edges_det_quantiles(rng):
     assert frac > 0.5, frac
 
 
+def test_resample_blur_floor_fraction(rng):
+    """Quantify the exploration floor the ``blur`` knob controls: with a
+    converged (concentrated) histogram, blur=0.01 over 64 bins scatters
+    a double-digit fraction of fine edges uniformly along the ray, while
+    blur=1e-4 keeps nearly all of them at the histogram mode. This scale
+    gap (vs importance_ts's 1e-5 point floor) is why the unbounded
+    anti-aliased recipe sets TrainConfig.resample_blur low (see
+    docs/PERFORMANCE.md anti-aliased-360 notes)."""
+    from nerf_simple_tpu.ops.sampling import resample_edges
+
+    B, Np = 16, 64
+    edges = jnp.broadcast_to(
+        jnp.linspace(1.0, 30.0, Np + 1), (B, Np + 1)
+    ).astype(jnp.float32)
+    # converged proposal: all mass in bins 20-21
+    w = jnp.zeros((B, Np), jnp.float32).at[:, 20:22].set(0.5)
+    lo = 1.0 + 18 * 29.0 / Np  # dilation spreads to bins 19-22
+    hi = 1.0 + 24 * 29.0 / Np
+
+    def outside_frac(blur):
+        a = np.asarray(
+            resample_edges(jax.random.PRNGKey(3), edges, w, 128, blur=blur)
+        )
+        return ((a < lo) | (a > hi)).mean()
+
+    assert outside_frac(0.01) > 0.15, outside_frac(0.01)
+    assert outside_frac(1e-4) < 0.02, outside_frac(1e-4)
+
+
+def test_resample_blur_config_plumbing():
+    """resample_blur: validation rejects negatives; the knob reaches the
+    det eval path (different blur -> different proposal-placed edges)."""
+    with pytest.raises(ValueError, match="resample_blur"):
+        TrainConfig(datapath="x", resample_blur=-0.1)
+    from nerf_simple_tpu.models.proposal import init_proposal_params
+    from nerf_simple_tpu.render.renderer import (
+        RenderSettings,
+        render_rays_proposal,
+    )
+
+    pm = ProposalMLP(Lp=4, D=2, H=32)
+    model = NerfMLP()
+    params = {
+        "prop": init_proposal_params(jax.random.PRNGKey(0), pm),
+        "fine": init_nerf_params(jax.random.PRNGKey(1), model),
+    }
+    rays = _rand_rays(np.random.default_rng(5), 8)
+    outs = {}
+    for blur in (0.01, 0.0):
+        s = RenderSettings(
+            N=16, N_prop=8, mip=True, base_radius=0.01,
+            resample_blur=blur,
+        )
+        out, (_, _, edges_f) = render_rays_proposal(
+            params, rays, jax.random.PRNGKey(2), s, model,
+            prop_model=pm, det_fine=True, return_aux=True,
+        )
+        outs[blur] = np.asarray(edges_f)
+    assert not np.allclose(outs[0.01], outs[0.0])
+
+
+def test_anneal_weights_ramp(rng):
+    """Placement anneal: a=0 -> uniform histogram (early training
+    ignores the proposal), a=1 -> identity, None -> no-op; zero bins
+    stay finite at every exponent."""
+    from nerf_simple_tpu.ops.sampling import anneal_weights
+
+    w = jnp.asarray(
+        np.array([[0.0, 0.6, 0.3, 0.0], [0.25, 0.25, 0.25, 0.25]]),
+        jnp.float32,
+    )
+    assert anneal_weights(w, None) is w
+    a0 = np.asarray(anneal_weights(w, jnp.float32(0.0)))
+    np.testing.assert_allclose(a0, np.ones_like(a0))  # uniform
+    a1 = np.asarray(anneal_weights(w, jnp.float32(1.0)))
+    np.testing.assert_allclose(a1[0, 1:3], [0.6, 0.3], rtol=1e-6)
+    half = np.asarray(anneal_weights(w, jnp.float32(0.5)))
+    assert np.isfinite(half).all()
+    # sharpening is monotone: ratios contract toward 1 as a drops
+    assert half[0, 1] / half[0, 2] < a1[0, 1] / a1[0, 2]
+
+
+def test_prop_anneal_config_and_placement():
+    """prop_anneal_frac: validation (range + needs proposal) and the
+    live behavior — at step 0 the annealed mip x proposal step places
+    edges as if the histogram were uniform, so two different random
+    proposal inits yield IDENTICAL fine-edge streams; far past the
+    ramp the proposal histogram drives placement again."""
+    with pytest.raises(ValueError, match="prop_anneal_frac"):
+        TrainConfig(datapath="x", prop_anneal_frac=1.5, proposal=True)
+    with pytest.raises(ValueError, match="prop_anneal_frac"):
+        TrainConfig(datapath="x", prop_anneal_frac=0.5)
+    from nerf_simple_tpu.ops.sampling import anneal_weights, resample_edges
+
+    B, Np = 4, 16
+    edges = jnp.broadcast_to(
+        jnp.linspace(1.0, 30.0, Np + 1), (B, Np + 1)
+    ).astype(jnp.float32)
+    w1 = jax.random.uniform(jax.random.PRNGKey(0), (B, Np))
+    w2 = jax.random.uniform(jax.random.PRNGKey(9), (B, Np))
+    k = jax.random.PRNGKey(3)
+    e1 = resample_edges(k, edges, anneal_weights(w1, jnp.float32(0.0)), 32)
+    e2 = resample_edges(k, edges, anneal_weights(w2, jnp.float32(0.0)), 32)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-6)
+    f1 = resample_edges(k, edges, anneal_weights(w1, jnp.float32(1.0)), 32)
+    assert not np.allclose(np.asarray(f1), np.asarray(e1))
+
+
+def test_prop_anneal_step_runs_and_matches_backends(tiny_scene_prop):
+    """The annealed composition runs through build_train_step on BOTH
+    backends with matching losses (the anneal exponent is traced from
+    the step counter inside the scanned program)."""
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    rays, pixels = tiny_scene_prop
+    rays, pixels = rays[:256], pixels[:256]
+    losses = {}
+    for backend in ("xla", "pallas"):
+        cfg = TrainConfig(
+            datapath="x", Nf=32, Np=16, batch_size=64, num_iters=8,
+            steps_per_call=4, backend=backend, proposal=True, mip=True,
+            prop_anneal_frac=0.5, distortion_loss_weight=0.01,
+            tn=1.0, tf=30.0, sampling_space="disparity", contract=True,
+        )
+        from nerf_simple_tpu.models import model_from_train_config
+
+        model = model_from_train_config(cfg)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(
+            cfg, model, donate=False, base_radius=2e-3
+        )
+        if backend == "pallas":
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                state, ls = step(state, rays, pixels, jax.random.PRNGKey(2))
+                losses[backend] = np.asarray(ls)
+        else:
+            state, ls = step(state, rays, pixels, jax.random.PRNGKey(2))
+            losses[backend] = np.asarray(ls)
+        assert int(state.step) == 4
+        assert np.isfinite(losses[backend]).all()
+    np.testing.assert_allclose(
+        losses["pallas"], losses["xla"], rtol=2e-3, atol=2e-4
+    )
+
+
 def test_proposal_weights_intervals_props(rng):
     """Shape/range + differentiability wrt proposal params + mip-column
     tolerance (8-col rays: radius/weight columns ignored)."""
