@@ -69,11 +69,11 @@ def train_recipe(name, mip, data, rd, iters):
     return cfg, model, state.params, base_radius
 
 
-def diagnose(name, cfg, model, params, base_radius, data):
+def diagnose(name, cfg, model, params, base_radius, data, backend="pallas"):
     settings = RenderSettings(
         N=128, N_prop=cfg.Np, mip=cfg.mip, base_radius=base_radius,
         tn=cfg.tn, tf=cfg.tf, sampling_space=cfg.sampling_space,
-        compute_dtype=jnp.bfloat16, backend="pallas",
+        compute_dtype=jnp.bfloat16, backend=backend,
     )
     prop_model = proposal_from_train_config(cfg)
 
@@ -175,7 +175,76 @@ def main():
         import dataclasses
 
         cfg_m = dataclasses.replace(cfg, mip=True)
+        # both backends: a pallas-vs-xla split here pins an in-kernel
+        # IPE bug; agreement pins shared math
         diagnose("conecast_eval", cfg_m, model, params, br, data)
+        diagnose(
+            "conecast_eval_xla", cfg_m, model, params, br, data,
+            backend="xla",
+        )
+        # apply-level split: SAME params, SAME frustums — point encode
+        # at the frustum centers vs IPE encode with the live variances.
+        # A sigma/color delta here pins the collapse to the encoder
+        # inputs; agreement pins it to compositing/placement.
+        from nerf_simple_tpu.models.nerf import nerf_apply, nerf_apply_mip
+        from nerf_simple_tpu.ops.sampling import conical_gaussian
+        from nerf_simple_tpu.render.renderer import (
+            RenderSettings,
+            render_rays_proposal,
+        )
+
+        sp = data.splits["test"]
+        rr = np.asarray(
+            rays_for_poses(jnp.asarray(sp.poses[:1]), data.H, data.W, data.f)
+        )
+        rays_b = jnp.asarray(rr[:: len(rr) // 512][:512])
+        st = RenderSettings(
+            N=128, N_prop=cfg.Np, mip=True, base_radius=br,
+            tn=cfg.tn, tf=cfg.tf, sampling_space=cfg.sampling_space,
+        )
+        _, (ep, wp, ef) = render_rays_proposal(
+            {"prop": params["prop"], "fine": params["fine"]},
+            rays_b, jax.random.PRNGKey(2), st, model,
+            prop_model=proposal_from_train_config(cfg),
+            det_fine=True, return_aux=True,
+        )
+        means, vars_, t_mids = conical_gaussian(rays_b, ef, br)
+        B, N = t_mids.shape
+        unit = rays_b[:, 3:6] / jnp.linalg.norm(
+            rays_b[:, 3:6], axis=-1, keepdims=True
+        )
+        dirs = jnp.broadcast_to(unit[:, None, :], (B, N, 3)).reshape(-1, 3)
+        out_pt = nerf_apply(
+            params["fine"],
+            jnp.concatenate([means.reshape(-1, 3), dirs], -1),
+            model,
+        )
+        out_ipe = nerf_apply_mip(
+            params["fine"], means.reshape(-1, 3), vars_.reshape(-1, 3),
+            dirs, model,
+        )
+        sp_, si = np.asarray(out_pt[:, 3]), np.asarray(out_ipe[:, 3])
+        cp, ci = np.asarray(out_pt[:, :3]), np.asarray(out_ipe[:, :3])
+        v = np.asarray(vars_.reshape(-1, 3))
+        print(
+            "DIAG "
+            + json.dumps(
+                {
+                    "recipe": "apply_split",
+                    "sigma_point_p50": round(float(np.median(sp_)), 3),
+                    "sigma_ipe_p50": round(float(np.median(si)), 3),
+                    "sigma_absdelta_p90": round(
+                        float(np.percentile(np.abs(sp_ - si), 90)), 3
+                    ),
+                    "color_absdelta_p90": round(
+                        float(np.percentile(np.abs(cp - ci), 90)), 3
+                    ),
+                    "var_p50": float(np.median(v)),
+                    "var_p99": float(np.percentile(v, 99)),
+                }
+            ),
+            flush=True,
+        )
         return
     for name, mip in (("point", False), ("mip", True)):
         if which != "both" and which != name:

@@ -8,7 +8,7 @@ distortion weight (interval-form magnitude), proposal weight — and
 prints a JSON row per run so the PERFORMANCE.md section can close the
 question with numbers instead of guesses. Does NOT write benchmarks/.
 
-Usage: python scripts/unb_probe.py ITERS DIST_W [PROP_W] [BLUR] [NP] [ANNEAL] [tag]
+Usage: python scripts/unb_probe.py ITERS DIST_W [PROP_W] [BLUR] [NP] [ANNEAL] [SPACE] [CONTRACT] [tag]
 Reuses $UNB_SCENE (default /tmp/unb_scene_v3/scene) like unbounded_bench.
 """
 
@@ -44,14 +44,16 @@ def main():
     blur = float(sys.argv[4]) if len(sys.argv) > 4 else 0.01
     Np = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     anneal = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
-    tag = sys.argv[7] if len(sys.argv) > 7 else ""
+    space = sys.argv[7] if len(sys.argv) > 7 else "disparity"
+    contract = bool(int(sys.argv[8])) if len(sys.argv) > 8 else True
+    tag = sys.argv[9] if len(sys.argv) > 9 else ""
     data = load_blender(SCENE, half_res=False)
     rd = RayDataset.from_blender(data)
     cfg = TrainConfig(
         datapath=SCENE, Nf=128, batch_size=4096, num_iters=iters,
         steps_per_call=40, compute_dtype="bf16", backend="pallas",
         ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
-        tn=1.0, tf=30.0, sampling_space="disparity", contract=True,
+        tn=1.0, tf=30.0, sampling_space=space, contract=contract,
         proposal=True, Np=Np, mip=True, resample_blur=blur,
         prop_anneal_frac=anneal,
         distortion_loss_weight=dist_w, proposal_loss_weight=prop_w,
@@ -98,7 +100,7 @@ def main():
     row = {
         "probe": tag
         or f"iters={iters} dist={dist_w} prop={prop_w} "
-        f"blur={blur} Np={Np} anneal={anneal}",
+        f"blur={blur} Np={Np} anneal={anneal} {space} contract={contract}",
         "train_wall_s": wall,
         "test_psnr": psnrs("test", 4),
         "train_view_psnr": psnrs("train", 2),
