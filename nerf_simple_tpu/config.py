@@ -95,6 +95,16 @@ class TrainConfig:
     # is 1e-5 per bin — see the anti-aliased-360 notes in
     # docs/PERFORMANCE.md before changing it.
     resample_blur: float = 0.01
+    # mip-NeRF 360's opaque_background: extend the LAST cone frustum to
+    # infinity so interval compositing gets the same boundary absorber
+    # the point path has built in (its 1e10 tail delta). REQUIRED for
+    # unbounded (contract) scenes under mip: without an absorber the
+    # field has nowhere to charge background misses and collapses into
+    # per-view near-plane canvases (measured 40 dB train / 13 dB test —
+    # docs/PERFORMANCE.md "Mip × proposal"). The artificial tail
+    # interval is excluded from the distortion/interlevel losses exactly
+    # like the point form's tail sample. No-op without mip.
+    opaque_background: bool = False
     # mip-NeRF multiscale training (paper sec. 4): train on the union of
     # the image pyramid at scales 1..1/8 with per-ray cone radii and
     # footprint-area loss weights (data/dataset.py::
@@ -354,6 +364,12 @@ class TrainConfig:
         if self.resample_blur < 0:
             raise ValueError(
                 f"resample_blur must be >= 0, got {self.resample_blur}"
+            )
+        if self.opaque_background and not self.mip:
+            raise ValueError(
+                "opaque_background modifies INTERVAL compositing and "
+                "needs mip=True (the point path already has the 1e10 "
+                "tail absorber built in)"
             )
         if self.mip_levels == 2 and not self.mip:
             raise ValueError(
@@ -666,6 +682,11 @@ class TestConfig:
     # interval-edge resampling floor (see TrainConfig.resample_blur) —
     # match the training value so eval places edges the same way
     resample_blur: float = 0.01
+    # mip-NeRF 360 opaque background (see TrainConfig.opaque_background)
+    # — match the training value: a field trained WITH the boundary
+    # absorber parks background mass in the tail frustum and renders
+    # holes without it
+    opaque_background: bool = False
     # eval-side sampler spacing ("disparity" for contracted unbounded
     # checkpoints; the model's own contract field rides the sidecar)
     sampling_space: str = "linear"

@@ -153,6 +153,7 @@ def test(params_or_cfg: dict[str, Any] | TestConfig) -> None:
         mip=cfg.mip,
         mip_levels=cfg.mip_levels,
         resample_blur=cfg.resample_blur,
+        opaque_background=cfg.opaque_background,
         sampling_space=cfg.sampling_space,
         tn=cfg.tn,
         tf=cfg.tf,

@@ -1250,7 +1250,9 @@ def _seg_cumsum(x, segpos, N):
     return x
 
 
-def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
+def _composite_grad_block(
+    out8, x16b, N, ST, scale, mip, dist=None, opaque_tail=False
+):
     """Compositing forward + MSE loss + loss gradient back to per-sample
     rgb/sigma, on one lane block (ops/volume.py math, segmented on lanes).
 
@@ -1281,8 +1283,12 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
     if mip:
         # interval compositing (ops/volume.py::composite_intervals): row 6
         # carries the true finite frustum widths — no 1e10 tail, leftover
-        # transmittance stays unabsorbed
+        # transmittance stays unabsorbed. ``opaque_tail`` (mip-NeRF 360
+        # opaque_background) extends the LAST frustum to infinity — the
+        # point form's boundary absorber, required for unbounded scenes.
         delta = x16b[6:7, :]
+        if opaque_tail:
+            delta = jnp.where(segpos == N - 1, 1e10, delta)
     else:
         ts = x16b[6:7, :]  # (1, tile)
         ts_next = pltpu.roll(ts, tile - 1, axis=1)  # value at lane+1
@@ -1349,12 +1355,22 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
             # positions are s-space interval midpoints, the self term
             # uses true s-space interval widths, and no tail is dropped
             # (interval compositing has no artificial absorber). Row 7
-            # carries t0 per interval, row 6 its t-width.
+            # carries t0 per interval, row 6 its t-width (NOT ``delta``,
+            # which is 1e10 at the tail under opaque_tail). With
+            # opaque_tail the last interval IS an artificial absorber
+            # and drops out of the regularizer like the point form's
+            # tail sample.
+            width = x16b[6:7, :]
             s0 = s_of(x16b[7:8, :])
-            s1 = s_of(x16b[7:8, :] + delta)
+            s1 = s_of(x16b[7:8, :] + width)
             s_pos = 0.5 * (s0 + s1)
             d_s = s1 - s0
-            wm = w
+            if opaque_tail:
+                last = segpos == N - 1
+                d_s = jnp.where(last, 0.0, d_s)
+                wm = jnp.where(last, 0.0, w)
+            else:
+                wm = w
         else:
             ts_r = x16b[6:7, :]
             s_pos = s_of(ts_r)
@@ -1387,7 +1403,9 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
         d_w_dist = (
             2.0 * (cross_b + SBm - s_pos * SA) + (2.0 / 3.0) * wm * d_s
         )
-        if not mip:
+        if not mip or opaque_tail:
+            # the loss doesn't touch the excluded tail weight, so its
+            # d_w contribution there must be exactly zero
             d_w_dist = jnp.where(last, 0.0, d_w_dist)
         d_w = d_w + d_scale * d_w_dist
 
@@ -1410,7 +1428,9 @@ def _composite_grad_block(out8, x16b, N, ST, scale, mip, dist=None):
     return loss_tile, g_rgb8, g_sig8, w8
 
 
-def _train_kernel(dtype, N, scale, want_w, model, mip, dist, x16_ref, *refs):
+def _train_kernel(
+    dtype, N, scale, want_w, model, mip, dist, opq, x16_ref, *refs
+):
     """Per grid step: a software-pipelined loop over lane sub-blocks.
 
     The tile is split into K = tile/TS blocks (TS = the ST matrix's lane
@@ -1455,7 +1475,7 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, dist, x16_ref, *refs):
             pre_enc=pe, prefetch=pf,
         )
         loss_k, g_rgb8, g_sig8, w8 = _composite_grad_block(
-            out8, xb, N, ST, scale, mip, dist
+            out8, xb, N, ST, scale, mip, dist, opaque_tail=opq
         )
         if want_w:
             # per-sample compositing weights (row 0) — consumed by the
@@ -1480,7 +1500,7 @@ def _train_kernel(dtype, N, scale, want_w, model, mip, dist, x16_ref, *refs):
     jax.jit,
     static_argnames=(
         "N", "tile_rows", "compute_dtype", "out_weights", "model", "mip",
-        "pipeline_blocks", "dist",
+        "pipeline_blocks", "dist", "opaque_tail",
     ),
 )
 def fused_train_step(
@@ -1494,6 +1514,7 @@ def fused_train_step(
     mip: bool = False,
     pipeline_blocks: int = 1,
     dist: tuple | None = None,
+    opaque_tail: bool = False,
 ):
     """One fused fwd+composite+MSE-grad+bwd pass.
 
@@ -1525,6 +1546,11 @@ def fused_train_step(
         (_composite_grad_block). This keeps the 360 recipes (proposal
         + distortion, and the mip x proposal composition) on the
         single fused train kernel instead of the autodiff fallback.
+      opaque_tail: (mip only) mip-NeRF 360's opaque_background — the
+        last frustum's compositing delta becomes 1e10 (the point
+        path's boundary absorber) and the tail interval drops out of
+        the distortion rail like the point form's tail sample
+        (ops/volume.py::composite_intervals opaque_tail).
 
     Returns:
       (loss scalar, weight gradients in kernel layout[, weights (B, N)]).
@@ -1597,7 +1623,7 @@ def fused_train_step(
     outs = pl.pallas_call(
         functools.partial(
             _train_kernel, compute_dtype, N, scale, out_weights, model, mip,
-            dist_k,
+            dist_k, opaque_tail,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -168,6 +168,7 @@ def proposal_weights_intervals(
     edges: jnp.ndarray,
     model: ProposalMLP = ProposalMLP(),
     compute_dtype: Any = jnp.float32,
+    opaque_tail: bool = False,
 ) -> jnp.ndarray:
     """Interval-histogram proposal weights for cone-cast rendering (the
     mip x proposal composition): density queried at the probe interval
@@ -191,4 +192,6 @@ def proposal_weights_intervals(
     locs = origins[:, None, :] + dirs[:, None, :] * mids[..., None]
     sigma = proposal_sigma(params, locs, model, compute_dtype)
     unit_dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    return weights_from_sigma_intervals(sigma, edges, unit_dirs)
+    return weights_from_sigma_intervals(
+        sigma, edges, unit_dirs, opaque_tail=opaque_tail
+    )

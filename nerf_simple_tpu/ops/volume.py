@@ -111,6 +111,7 @@ def composite_intervals(
     t_edges: jnp.ndarray,
     t_mids: jnp.ndarray,
     unit_dirs: jnp.ndarray,
+    opaque_tail: bool = False,
 ) -> CompositeOut:
     """``composite`` for interval samples (the mip path): each of the N
     rgb/sigma rows describes the frustum BETWEEN consecutive edges, so
@@ -120,10 +121,22 @@ def composite_intervals(
     Same softplus / log-space exclusive-cumprod machinery as
     ``composite``; depth/disparity use the frustum centers ``t_mids``.
 
+    ``opaque_tail`` (mip-NeRF 360's ``opaque_background``) extends the
+    LAST frustum to infinity — exactly the point path's 1e10 tail
+    absorber. Unbounded scenes need it: without a boundary absorber the
+    field has nowhere to charge background misses and learns per-view
+    near-plane canvases instead of world geometry (measured: the
+    anti-aliased 360 recipe collapses 40 dB train / 13 dB test without
+    it — docs/PERFORMANCE.md "Mip × proposal" notes). Depth/disparity
+    keep the finite ``t_mids`` (the absorber is a boundary condition,
+    not scene geometry at t0 + 1e10).
+
     Args: rgb_sigma (B, N, 4); t_edges (B, N+1) ascending;
     t_mids (B, N); unit_dirs (B, 3).
     """
     deltas = t_edges[:, 1:] - t_edges[:, :-1]
+    if opaque_tail:
+        deltas = deltas.at[:, -1].set(1e10)
     deltas = deltas * jnp.linalg.norm(unit_dirs, axis=-1, keepdims=True)
     sigma = rgb_sigma[..., 3]
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * deltas)
@@ -162,7 +175,10 @@ def weights_from_sigma(
 
 
 def weights_from_sigma_intervals(
-    sigma: jnp.ndarray, edges: jnp.ndarray, unit_dirs: jnp.ndarray
+    sigma: jnp.ndarray,
+    edges: jnp.ndarray,
+    unit_dirs: jnp.ndarray,
+    opaque_tail: bool = False,
 ) -> jnp.ndarray:
     """Interval-sample compositing weights from raw density — the
     color-free slice of ``composite_intervals`` (identical math: softplus
@@ -171,10 +187,19 @@ def weights_from_sigma_intervals(
     (mip x proposal — the mip-NeRF 360 composition), which needs the
     proposal's interval histogram but renders nothing.
 
+    ``opaque_tail`` mirrors ``composite_intervals``: the last probe
+    interval absorbs all leftover transmittance, so the placement
+    histogram can park background mass at the far boundary (the point
+    path's ``weights_from_sigma`` has this absorber built in via its
+    1e10 delta — symmetry matters, the interlevel bound compares the
+    two levels' histograms).
+
     Args: sigma (B, N) raw (pre-softplus) density, one per interval;
     edges (B, N+1) ascending; unit_dirs (B, 3). Returns (B, N) weights.
     """
     deltas = edges[:, 1:] - edges[:, :-1]
+    if opaque_tail:
+        deltas = deltas.at[:, -1].set(1e10)
     deltas = deltas * jnp.linalg.norm(unit_dirs, axis=-1, keepdims=True)
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * deltas)
     log_trans = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
@@ -213,6 +238,7 @@ def interlevel_loss_intervals(
     t_mids: jnp.ndarray,
     w_prop: jnp.ndarray,
     edges_prop: jnp.ndarray,
+    opaque_tail: bool = False,
 ) -> jnp.ndarray:
     """Interval-histogram form of the interlevel bound (the mip-NeRF 360
     eqn. 13 geometry proper): the fine level's interval weights, located
@@ -222,10 +248,18 @@ def interlevel_loss_intervals(
     absorbed mass (``composite_intervals`` has no artificial 1e10
     absorber; leftover transmittance is simply unabsorbed).
 
+    Under ``opaque_tail`` the fine level's LAST interval is the
+    artificial boundary absorber (``composite_intervals`` opaque_tail),
+    so its weight is leftover transmittance, not scene mass — excluded
+    from the bound exactly like the point form's tail sample
+    (``interlevel_loss``).
+
     Args: w (B, N) fine interval weights (caller stop-gradients them);
     t_mids (B, N) fine interval centers; w_prop (B, Np) proposal
     interval weights over edges_prop (B, Np+1) ascending.
     """
+    if opaque_tail:
+        w, t_mids = w[:, :-1], t_mids[:, :-1]
     return _interlevel_core(w, t_mids, w_prop, edges_prop[:, 1:-1])
 
 
@@ -307,7 +341,7 @@ def _distortion_core(
 
 
 def distortion_loss_intervals(
-    weights: jnp.ndarray, edges: jnp.ndarray
+    weights: jnp.ndarray, edges: jnp.ndarray, opaque_tail: bool = False
 ) -> jnp.ndarray:
     """Distortion regularizer in its exact interval-histogram form
     (mip-NeRF 360 eqn. 15 as published): weights are per-INTERVAL
@@ -316,6 +350,12 @@ def distortion_loss_intervals(
     interval compositing has no artificial 1e10 absorber, every bin's
     weight is real density mass.
 
+    Under ``opaque_tail`` the last interval IS an artificial absorber
+    (``composite_intervals`` opaque_tail) and is dropped exactly like
+    the point form's tail sample (``distortion_loss``): its weight is
+    leftover transmittance, and penalizing the background absorber's
+    spread would fight the boundary condition.
+
     Args: weights (B, N) interval weights; edges (B, N+1) ascending
     interval edges IN THE SAMPLING PARAMETRIZATION (pass s-space edges —
     the train step normalizes via its ``_s_norm`` before calling, same
@@ -323,4 +363,6 @@ def distortion_loss_intervals(
     """
     m = 0.5 * (edges[:, 1:] + edges[:, :-1])
     delta = edges[:, 1:] - edges[:, :-1]
+    if opaque_tail:
+        weights, m, delta = weights[:, :-1], m[:, :-1], delta[:, :-1]
     return _distortion_core(weights, m, delta)

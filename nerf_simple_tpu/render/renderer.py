@@ -82,6 +82,12 @@ class RenderSettings:
     # percentage of the fine edges uniformly along every ray — far more
     # exploration than the point sampler's 1e-5 floor (importance_ts).
     resample_blur: float = 0.01
+    # mip-NeRF 360's opaque_background: extend the LAST frustum to
+    # infinity so interval compositing gets the same boundary absorber
+    # the point path's 1e10 tail provides. Required for unbounded
+    # (contract) scenes under mip — without it the field has nowhere to
+    # charge background misses (see ops/volume.py::composite_intervals).
+    opaque_background: bool = False
     # stratified bin spacing: "linear" (reference) or "disparity"
     # (uniform in 1/t — the mip-NeRF 360 unbounded parametrization;
     # pair with model.contract for 360 scenes)
@@ -266,7 +272,8 @@ def _mip_level(
             noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
             outT = outT.at[3].add(noise)
         return composite_intervals(
-            jnp.moveaxis(outT, 0, -1), edges, t_mids, unit_dirs
+            jnp.moveaxis(outT, 0, -1), edges, t_mids, unit_dirs,
+            opaque_tail=settings.opaque_background,
         )
 
     means, vars_, t_mids = conical_gaussian(
@@ -299,7 +306,10 @@ def _mip_level(
     if nk is not None and settings.sigma_noise > 0:
         noise = settings.sigma_noise * jax.random.normal(nk, (B, N))
         out = out.at[..., 3].add(noise)
-    return composite_intervals(out, edges, t_mids, unit_dirs)
+    return composite_intervals(
+        out, edges, t_mids, unit_dirs,
+        opaque_tail=settings.opaque_background,
+    )
 
 
 def _render_at_ts(
@@ -620,7 +630,8 @@ def render_rays_proposal(
             rays.dtype, settings.sampling_space, det=det_fine,
         )
         w_prop = proposal_weights_intervals(
-            params["prop"], rays, edges_p, prop_model, settings.compute_dtype
+            params["prop"], rays, edges_p, prop_model, settings.compute_dtype,
+            opaque_tail=settings.opaque_background,
         )
         edges_f = resample_edges(
             k_imp,

@@ -239,6 +239,10 @@ def main() -> None:
     ap.add_argument("--resample-blur", type=float, default=0.01,
                     help="interval-edge resampling floor (match the "
                     "checkpoint's TrainConfig.resample_blur)")
+    ap.add_argument("--opaque-background", action="store_true",
+                    help="mip-NeRF 360 opaque background: the last cone "
+                    "frustum absorbs all leftover transmittance (match "
+                    "the checkpoint's TrainConfig.opaque_background)")
     ap.add_argument("--tn", type=float, default=2.0,
                     help="near sampling bound (match the training config "
                     "— unbounded/360 checkpoints used e.g. 0.2)")
@@ -269,6 +273,7 @@ def main() -> None:
         mip=args.mip,
         mip_levels=args.mip_levels,
         resample_blur=args.resample_blur,
+        opaque_background=args.opaque_background,
         # pixel world-space half-width at unit distance (mip-NeRF 3.1)
         base_radius=(2.0 / 12.0**0.5 / args.focal) if args.mip else 0.0,
         tn=args.tn,

@@ -258,6 +258,7 @@ def train(params_or_cfg: dict[str, Any] | TrainConfig) -> TrainState:
         mip_levels=cfg.mip_levels,
         mip_shape="cylinder" if (cfg.dataset == "llff" and cfg.ndc) else "cone",
         resample_blur=cfg.resample_blur,
+        opaque_background=cfg.opaque_background,
         base_radius=base_radius,
         sampling_space=cfg.sampling_space,
         tn=cfg.tn,

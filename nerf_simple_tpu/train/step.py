@@ -352,6 +352,7 @@ def build_train_step(
         mip_levels=cfg.mip_levels,
         mip_shape=mip_shape,
         resample_blur=cfg.resample_blur,
+        opaque_background=cfg.opaque_background,
         base_radius=base_radius if cfg.mip else 0.0,
         sampling_space=cfg.sampling_space,
         tn=cfg.tn,
@@ -515,6 +516,7 @@ def build_train_step(
                     interlevel_loss_intervals(
                         jax.lax.stop_gradient(out.weights),
                         mids_f, w_prop, ts_p,
+                        opaque_tail=cfg.opaque_background,
                     )
                 )
             else:
@@ -532,7 +534,8 @@ def build_train_step(
                     loss = loss + (
                         cfg.distortion_loss_weight
                         * distortion_loss_intervals(
-                            out.weights, _s_norm(ts_f)
+                            out.weights, _s_norm(ts_f),
+                            opaque_tail=cfg.opaque_background,
                         )
                     )
                 else:
@@ -595,7 +598,10 @@ def build_train_step(
                 )
 
                 loss = loss + cfg.distortion_loss_weight * (
-                    distortion_loss_intervals(out.weights, _s_norm(edges))
+                    distortion_loss_intervals(
+                        out.weights, _s_norm(edges),
+                        opaque_tail=cfg.opaque_background,
+                    )
                 )
             else:
                 from nerf_simple_tpu.ops.volume import distortion_loss
@@ -833,7 +839,8 @@ def build_train_step(
                 )
                 w_prop, vjp_p = jax.vjp(
                     lambda pp: proposal_weights_intervals(
-                        pp, rays_b, edges_p, prop_arch, cfg.render_dtype
+                        pp, rays_b, edges_p, prop_arch, cfg.render_dtype,
+                        opaque_tail=cfg.opaque_background,
                     ),
                     params["prop"],
                 )
@@ -857,11 +864,13 @@ def build_train_step(
                     model=model,
                     mip=True,
                     dist=dist,
+                    opaque_tail=cfg.opaque_background,
                 )
                 mids_f = 0.5 * (edges_f[:, 1:] + edges_f[:, :-1])
                 il, d_wprop = jax.value_and_grad(
                     lambda wp: interlevel_loss_intervals(
-                        w_f, mids_f, wp, edges_p
+                        w_f, mids_f, wp, edges_p,
+                        opaque_tail=cfg.opaque_background,
                     )
                 )(w_prop)
                 return loss_mse + cfg.proposal_loss_weight * il, {
@@ -947,6 +956,7 @@ def build_train_step(
                         wts, _build_x16_mip(rays_b, edges, pix_b), cfg.Nf,
                         tile_f, cfg.render_dtype, out_weights=True,
                         model=model, mip=True,
+                        opaque_tail=cfg.opaque_background,
                     )
                     edges_f = resample_edges(
                         jax.random.fold_in(key, 2), edges, w_c, cfg.Nf,
@@ -956,6 +966,7 @@ def build_train_step(
                         wts, _build_x16_mip(rays_b, edges_f, pix_b),
                         cfg.Nf, tile_f, cfg.render_dtype, model=model,
                         mip=True,
+                        opaque_tail=cfg.opaque_background,
                     )
                     cw = cfg.mip_coarse_weight
                     dw = jax.tree.map(lambda a, b: cw * a + b, dw_c, dw_f)
@@ -964,6 +975,7 @@ def build_train_step(
                     wts, _build_x16_mip(rays_b, edges, pix_b), cfg.Nf,
                     tile_f, cfg.render_dtype, model=model, mip=True,
                     dist=dist,
+                    opaque_tail=cfg.opaque_background,
                 )
                 return loss, vjp_fn(dwts)[0]
 

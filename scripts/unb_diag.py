@@ -73,6 +73,7 @@ def diagnose(name, cfg, model, params, base_radius, data, backend="pallas"):
     settings = RenderSettings(
         N=128, N_prop=cfg.Np, mip=cfg.mip, base_radius=base_radius,
         tn=cfg.tn, tf=cfg.tf, sampling_space=cfg.sampling_space,
+        opaque_background=cfg.opaque_background,
         compute_dtype=jnp.bfloat16, backend=backend,
     )
     prop_model = proposal_from_train_config(cfg)
@@ -181,6 +182,14 @@ def main():
         diagnose(
             "conecast_eval_xla", cfg_m, model, params, br, data,
             backend="xla",
+        )
+        # with the boundary absorber: de-confounds the tail (the point
+        # path's 1e10 delta absorbed ~1/3 of the ray mass on this scene;
+        # opaque_background gives interval compositing the same absorber)
+        diagnose(
+            "conecast_eval_opaque",
+            dataclasses.replace(cfg_m, opaque_background=True),
+            model, params, br, data,
         )
         # apply-level split: SAME params, SAME frustums — point encode
         # at the frustum centers vs IPE encode with the live variances.

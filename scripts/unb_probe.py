@@ -8,7 +8,7 @@ distortion weight (interval-form magnitude), proposal weight — and
 prints a JSON row per run so the PERFORMANCE.md section can close the
 question with numbers instead of guesses. Does NOT write benchmarks/.
 
-Usage: python scripts/unb_probe.py ITERS DIST_W [PROP_W] [BLUR] [NP] [ANNEAL] [SPACE] [CONTRACT] [tag]
+Usage: python scripts/unb_probe.py ITERS DIST_W [PROP_W] [BLUR] [NP] [ANNEAL] [SPACE] [CONTRACT] [OPQ] [tag]
 Reuses $UNB_SCENE (default /tmp/unb_scene_v3/scene) like unbounded_bench.
 """
 
@@ -46,7 +46,8 @@ def main():
     anneal = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
     space = sys.argv[7] if len(sys.argv) > 7 else "disparity"
     contract = bool(int(sys.argv[8])) if len(sys.argv) > 8 else True
-    tag = sys.argv[9] if len(sys.argv) > 9 else ""
+    opq = bool(int(sys.argv[9])) if len(sys.argv) > 9 else False
+    tag = sys.argv[10] if len(sys.argv) > 10 else ""
     data = load_blender(SCENE, half_res=False)
     rd = RayDataset.from_blender(data)
     cfg = TrainConfig(
@@ -55,7 +56,7 @@ def main():
         ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
         tn=1.0, tf=30.0, sampling_space=space, contract=contract,
         proposal=True, Np=Np, mip=True, resample_blur=blur,
-        prop_anneal_frac=anneal,
+        prop_anneal_frac=anneal, opaque_background=opq,
         distortion_loss_weight=dist_w, proposal_loss_weight=prop_w,
     )
     model = model_from_train_config(cfg)
@@ -77,6 +78,7 @@ def main():
         N=128, N_prop=cfg.Np, mip=True, base_radius=base_radius,
         tn=cfg.tn, tf=cfg.tf, sampling_space=cfg.sampling_space,
         resample_blur=cfg.resample_blur,
+        opaque_background=cfg.opaque_background,
         compute_dtype=jax.numpy.bfloat16, backend="pallas",
     )
     prop_model = proposal_from_train_config(cfg)
@@ -100,7 +102,8 @@ def main():
     row = {
         "probe": tag
         or f"iters={iters} dist={dist_w} prop={prop_w} "
-        f"blur={blur} Np={Np} anneal={anneal} {space} contract={contract}",
+        f"blur={blur} Np={Np} anneal={anneal} {space} contract={contract}"
+        f" opq={int(opq)}",
         "train_wall_s": wall,
         "test_psnr": psnrs("test", 4),
         "train_view_psnr": psnrs("train", 2),

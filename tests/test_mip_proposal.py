@@ -633,3 +633,145 @@ def test_fused_mip_proposal_step_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         l_p = run("pallas")
     np.testing.assert_allclose(l_p, l_x, rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# opaque_background (mip-NeRF 360's opaque background): the last frustum
+# becomes the point path's 1e10 boundary absorber. Root cause + measured
+# necessity for unbounded scenes: docs/PERFORMANCE.md "Mip x proposal".
+# ---------------------------------------------------------------------------
+
+
+def test_opaque_tail_composite_semantics(rng):
+    """With opaque_tail the last interval absorbs ALL leftover
+    transmittance (acc == 1), every non-tail weight is untouched, and
+    depth keeps the finite interval midpoints (the absorber is a
+    boundary condition, not geometry at t0 + 1e10)."""
+    B, N = 8, 16
+    edges = _sorted_edges(rng, B, N)
+    mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    rs = jnp.asarray(rng.normal(size=(B, N, 4)), jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    open_out = composite_intervals(rs, edges, mids, dirs)
+    opq = composite_intervals(rs, edges, mids, dirs, opaque_tail=True)
+
+    np.testing.assert_allclose(np.asarray(opq.acc), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(opq.weights[:, :-1]),
+        np.asarray(open_out.weights[:, :-1]),
+        rtol=1e-6,
+    )
+    # tail weight = exactly the leftover transmittance of the open form
+    np.testing.assert_allclose(
+        np.asarray(opq.weights[:, -1]),
+        np.asarray(1.0 - jnp.sum(open_out.weights[:, :-1], axis=-1)),
+        atol=1e-5,
+    )
+    assert np.all(np.isfinite(np.asarray(opq.depth)))
+    assert np.all(np.asarray(opq.depth) <= np.asarray(edges[:, -1]) + 1e-3)
+
+
+def test_opaque_tail_weights_from_sigma_matches_composite(rng):
+    """Color-free slice agrees with the full composite under the flag."""
+    B, N = 4, 8
+    edges = _sorted_edges(rng, B, N)
+    mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    sig = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    rs = jnp.concatenate(
+        [jnp.zeros((B, N, 3), jnp.float32), sig[..., None]], -1
+    )
+    dirs = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    w = weights_from_sigma_intervals(sig, edges, dirs, opaque_tail=True)
+    out = composite_intervals(rs, edges, mids, dirs, opaque_tail=True)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(out.weights), rtol=1e-6)
+
+
+def test_opaque_tail_losses_exclude_tail(rng):
+    """Distortion/interlevel drop the artificial tail interval exactly
+    like the point form's tail sample: perturbing ONLY the tail weight
+    changes neither loss when opaque_tail=True (but does when False)."""
+    B, N, Np = 4, 16, 8
+    edges = _sorted_edges(rng, B, N)
+    mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    edges_p = _sorted_edges(rng, B, Np)
+    w = jnp.asarray(rng.uniform(0, 0.1, size=(B, N)), jnp.float32)
+    w_prop = jnp.asarray(rng.uniform(0, 0.1, size=(B, Np)), jnp.float32)
+    w2 = w.at[:, -1].add(0.7)
+
+    d1 = distortion_loss_intervals(w, edges, opaque_tail=True)
+    d2 = distortion_loss_intervals(w2, edges, opaque_tail=True)
+    np.testing.assert_allclose(float(d1), float(d2), rtol=1e-6)
+    assert abs(
+        float(distortion_loss_intervals(w, edges))
+        - float(distortion_loss_intervals(w2, edges))
+    ) > 1e-4
+
+    i1 = interlevel_loss_intervals(w, mids, w_prop, edges_p, opaque_tail=True)
+    i2 = interlevel_loss_intervals(w2, mids, w_prop, edges_p, opaque_tail=True)
+    np.testing.assert_allclose(float(i1), float(i2), rtol=1e-6)
+    assert abs(
+        float(interlevel_loss_intervals(w, mids, w_prop, edges_p))
+        - float(interlevel_loss_intervals(w2, mids, w_prop, edges_p))
+    ) > 1e-6
+
+
+def test_opaque_background_config_validation():
+    """The knob modifies interval compositing only: mip required; rides
+    TrainConfig -> RenderSettings in the train step and TestConfig for
+    eval parity with the checkpoint."""
+    from nerf_simple_tpu.config import TestConfig
+
+    with pytest.raises(ValueError, match="opaque_background"):
+        TrainConfig(datapath="x", opaque_background=True)
+    cfg = TrainConfig(
+        datapath="x", mip=True, proposal=True, Np=8, opaque_background=True
+    )
+    assert cfg.opaque_background
+    tc = TestConfig(
+        datapath="x", loadpath="y", mip=True, opaque_background=True
+    )
+    assert tc.opaque_background
+
+
+def test_fused_mip_proposal_opaque_matches_xla():
+    """xla-vs-pallas loss agreement for the anti-aliased 360 recipe WITH
+    the opaque background (the colmap360 anti-aliased configuration):
+    certifies the kernel's opaque-tail compositing delta, the dist-rail
+    tail exclusion, and the interlevel tail exclusion in one scanned
+    2-step run."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_simple_tpu.train.step import build_train_step, make_train_state
+
+    rng = np.random.default_rng(11)
+    n_rays = 256
+    rays = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.1, (n_rays, 3)), rng.normal(size=(n_rays, 3))],
+            -1,
+        ),
+        jnp.float32,
+    )
+    pixels = jnp.asarray(rng.uniform(0, 1, (n_rays, 3)), jnp.float32)
+
+    def run(backend):
+        cfg = TrainConfig(
+            datapath="x", Nf=16, mip=True, proposal=True, Np=8,
+            prop_Lp=4, prop_D=2, prop_H=32, opaque_background=True,
+            distortion_loss_weight=0.01, num_iters=2,
+            batch_size=64, steps_per_call=2, backend=backend,
+            compute_dtype="f32",
+            ckpt_loss=10**9, ckpt_images=10**9, ckpt_model=10**9,
+        )
+        model = NerfMLP(Lp=4, Ld=2, H=32)
+        state = make_train_state(jax.random.PRNGKey(0), cfg, model)
+        step = build_train_step(cfg, model, donate=False, base_radius=0.02)
+        _, losses = step(state, rays, pixels, jax.random.PRNGKey(3))
+        return np.asarray(losses)
+
+    l_x = run("xla")
+    with pltpu.force_tpu_interpret_mode():
+        l_p = run("pallas")
+    np.testing.assert_allclose(l_p, l_x, rtol=2e-4, atol=1e-6)
